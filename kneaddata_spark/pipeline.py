@@ -1,0 +1,190 @@
+"""The quality-filter pipeline as one declarative DataFrame program.
+
+Reference lifecycle being re-expressed (/root/reference/kneaddata/
+knead_data.py:449-610): trim -> tandem-repeat screen -> decontaminate
+(N databases, clean = pass all) -> write clean/contam outputs + counters.
+Here every stage appends columns; the verdict is a single when-chain in
+``rules.RULE_ORDER`` (first failing rule = drop_rule, mirroring the
+``_contam_`` file taxonomy of config.py:94-116); outputs are two
+partitioned tables plus a metrics table.
+
+Physical shape (the 100 TB argument):
+ - the hot path is MAP-ONLY: scan -> mapInPandas (audio) -> Arrow struct
+   UDFs (text) -> project -> partitioned write. Zero shuffles before the
+   final write; the only aggregation is the tiny metrics groupBy.
+ - model artifacts are broadcast once (bowtie2-index analog).
+ - binary column is pruned from the text-side expressions by Catalyst;
+   the scan never reads columns a stage does not use.
+ - skew (en≈58% of langs, pcm_s16le≈52% of codecs) is neutralized by
+   repartitioning on xxhash64(clip_id) — uniform by construction — before
+   the write, NOT by the skewed lang/codec keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import rules
+from .functions.audio import AUDIO_FEATURE_SCHEMA, audio_stage
+from .functions.text import complexity_features, make_model_scores_udf, scrub_col
+from .models import train_langid, train_perplexity
+
+
+def broadcast_models(spark: SparkSession):
+    """Train (driver-side, deterministic) and broadcast the two scorer
+    'databases'. In production these would be loaded from artifacts, not
+    trained inline; the broadcast lifecycle is identical."""
+    sc = spark.sparkContext
+    return sc.broadcast(train_langid()), sc.broadcast(train_perplexity())
+
+
+def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
+    """Append every rule column + drop_rule + keep. Pure transformation."""
+    out_schema = T.StructType(list(df.schema) + list(T.StructType.fromDDL(AUDIO_FEATURE_SCHEMA)))
+    a = df.mapInPandas(audio_stage, schema=out_schema)
+
+    # try_divide: sr_hz=0 rows (sr_invalid) must not abort under ANSI mode
+    sr = F.col("sr_hz").cast("double")
+    kept_ms = F.try_divide(F.col("trim_end") - F.col("trim_start"), sr) * 1000.0
+    input_ms = F.try_divide(F.col("n_samples"), sr) * 1000.0
+    a = a.withColumn("kept_ms", kept_ms).withColumn("input_ms", input_ms)
+
+    fail_dur = ~F.col("dur_ms").between(rules.MIN_DUR_MS, rules.MAX_DUR_MS)
+    fail_sr = ~F.col("sr_hz").isin(*rules.VALID_SR_HZ)
+    fail_codec = ~F.col("codec").isin(*rules.VALID_CODECS)
+    fail_decode = ~F.col("decode_ok")
+    fail_trim = (F.col("kept_ms") < rules.POST_TRIM_MIN_MS) | (
+        F.col("kept_ms") < rules.POST_TRIM_MIN_RATIO * F.col("input_ms")
+    )
+    fail_clip = F.col("clip_frac") > rules.CLIP_FRAC_MAX
+    fail_tempty = F.col("transcript").isNull() | (
+        F.length(F.trim(F.col("transcript"))) < rules.MIN_TRANSCRIPT_CHARS
+    )
+
+    audio_ok = ~(fail_dur | fail_sr | fail_codec | fail_decode | fail_trim | fail_clip)
+
+    # complexity features only where the row is still alive (gate the UDF
+    # input to NULL so dropped rows cost nothing in python)
+    gated_text = F.when(audio_ok & ~fail_tempty, F.col("transcript"))
+    a = a.withColumn("cx", complexity_features(gated_text))
+    fail_ent = F.col("cx.entropy") < rules.MIN_CHAR_ENTROPY_BITS
+    fail_run = F.col("cx.max_run") > rules.MAX_TOKEN_RUN
+    fail_top = (F.col("cx.n_tokens") >= rules.TOP_TOKEN_MIN_TOKENS) & (
+        F.col("cx.top_frac") > rules.MAX_TOP_TOKEN_FRAC
+    )
+    text_ok = ~(fail_tempty | fail_ent | fail_run | fail_top)
+
+    scores_udf = make_model_scores_udf(langid_bc, ppl_bc)
+    gated2 = F.when(audio_ok & text_ok, F.col("transcript"))
+    a = a.withColumn("ms", scores_udf(gated2))
+    fail_lang = (~F.col("ms.lang").isin(*rules.ALLOWED_LANGS)) | (
+        F.col("ms.lang_conf") < rules.LANGID_MIN_CONF
+    )
+    fail_ppl = F.col("ms.ppl") > rules.PPL_MAX
+
+    # canonical first-failing-rule verdict (rules.RULE_ORDER)
+    drop_rule = (
+        F.when(fail_dur, "dur_bounds")
+        .when(fail_sr, "sr_invalid")
+        .when(fail_codec, "codec_invalid")
+        .when(fail_decode, "decode_error")
+        .when(fail_trim, "post_trim_short")
+        .when(fail_clip, "clipping")
+        .when(fail_tempty, "transcript_empty")
+        .when(fail_ent, "low_entropy")
+        .when(fail_run, "repeat_run")
+        .when(fail_top, "top_token")
+        .when(fail_lang, "langid")
+        .when(fail_ppl, "perplexity")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    a = a.withColumn("drop_rule", drop_rule).withColumn("keep", F.col("drop_rule").isNull())
+    a = a.withColumn(
+        "transcript_scrubbed",
+        F.when(F.col("keep"), scrub_col(F.col("transcript"))),
+    )
+    return a
+
+
+@dataclass
+class QcResult:
+    out_path: str       # one table, partitioned by status (kept | <drop_rule>)
+    kept_path: str      # partition subtree of out_path
+    metrics: dict       # rule -> count, plus n_rows / n_kept / n_scrubbed
+
+
+def metrics_df(annotated: DataFrame) -> DataFrame:
+    """Per-rule counters (clips in / dropped-by-rule / scrubbed) — the
+    READ COUNT log analog (utilities.py:672-686) as a real table."""
+    return (
+        annotated.select(
+            F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("rule"),
+            F.when(
+                F.col("keep") & (F.col("transcript_scrubbed") != F.col("transcript")), 1
+            )
+            .otherwise(0)
+            .alias("scrubbed"),
+        )
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"), F.sum("scrubbed").alias("n_scrubbed"))
+    )
+
+
+def run_qc(
+    spark: SparkSession,
+    clips: DataFrame,
+    out_dir: str,
+    langid_bc=None,
+    ppl_bc=None,
+    write_partitions: int | None = None,
+) -> QcResult:
+    """ONE map-only job: scan -> annotate -> write partitioned by status;
+    metrics ride along via observe() (no second scan — kneaddata re-reads
+    its files per stage; we deliberately don't)."""
+    from pyspark.sql import Observation
+
+    if langid_bc is None or ppl_bc is None:
+        langid_bc, ppl_bc = broadcast_models(spark)
+    ann = annotate(clips, langid_bc, ppl_bc)
+    if write_partitions:
+        # salt on uniform xxhash64(clip_id), not on skewed lang/codec keys
+        ann = ann.repartition(write_partitions, F.xxhash64("clip_id"))
+
+    obs = Observation("qc_metrics")
+    rule_counts = [
+        F.sum(F.when(F.col("drop_rule") == r, 1).otherwise(0)).alias(f"drop_{r}")
+        for r in rules.RULE_ORDER
+    ]
+    ann = ann.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.sum(
+            (
+                F.col("keep") & (F.col("transcript_scrubbed") != F.col("transcript"))
+            ).cast("long")
+        ).alias("n_scrubbed"),
+        *rule_counts,
+    )
+
+    out = ann.select(
+        "clip_id",
+        F.when(F.col("keep"), F.col("bytes_trimmed")).alias("bytes"),
+        "sr_hz",
+        F.when(F.col("keep"), F.col("kept_ms").cast("int"))
+        .otherwise(F.col("dur_ms"))
+        .alias("dur_ms"),
+        "codec",
+        F.when(F.col("keep"), F.col("transcript_scrubbed")).alias("transcript"),
+        F.col("ms.lang").alias("lang"),
+        F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"),
+    )
+    out_path = f"{out_dir}/clips_qc"
+    out.write.mode("overwrite").partitionBy("status").parquet(out_path)
+    return QcResult(
+        out_path=out_path, kept_path=f"{out_path}/status=kept", metrics=dict(obs.get)
+    )

@@ -1,0 +1,108 @@
+"""Rule specification for the audio+transcript quality-filter pipeline.
+
+Single source of truth for every threshold and pattern. Both the Spark
+engine (``kneaddata_spark.pipeline``) and the pure-pandas oracle
+(``kneaddata_spark.oracle``) read these constants; the two *implementations*
+are independent (vectorized numpy vs. per-row python) so parity tests are
+meaningful.
+
+Rule lineage (reference: biobakery/kneaddata, /root/reference):
+ - duration / sample-rate / codec structural gates  <- Trimmomatic MINLEN
+   pre-filter (kneaddata/utilities.py:987, config.py:49) and the
+   format-validity checks (utilities.py:537-574).
+ - silence trim (sliding RMS window)                <- SLIDINGWINDOW:4:20
+   (config.py:44, utilities.py:974).
+ - post-trim duration ratio                         <- adaptive MINLEN =
+   0.5 * input read length (utilities.py:970-971).
+ - low-complexity / repeat screens                  <- TRF tandem-repeat
+   removal (config.py:59-66, run.py:452-480) and FastQC overrepresented
+   sequences (utilities.py:1094-1164).
+ - language-ID + perplexity model scores            <- bowtie2/BMTagger
+   contaminant DBs (run.py:53-185, 213-274): each model is a "database",
+   clean = pass ALL (intersection semantics, run.py:174-185).
+ - PII scrub                                        <- ILLUMINACLIP adapter
+   trimming (config.py:42-43): remove known-bad substrings, keep the rest.
+
+The canonical rule order below mirrors kneaddata's stage order (trim ->
+tandem-repeat -> decontaminate, knead_data.py:534-568); ``drop_rule`` is
+the FIRST failing rule, mirroring the stage-suffix taxonomy of
+config.py:94-116.
+"""
+
+from __future__ import annotations
+
+# --- structural gates (Trimmomatic MINLEN / format validity analogs) -----
+MIN_DUR_MS = 300          # MINLEN:60 analog: clips shorter than this drop
+MAX_DUR_MS = 30_000       # absurdly long clips drop
+VALID_SR_HZ = (8000, 16000, 22050, 44100, 48000)
+VALID_CODECS = ("pcm_s16le", "pcm_u8", "flac", "opus", "mp3")
+
+# --- decode validity ------------------------------------------------------
+# decoded sample count must match dur_ms*sr_hz within this relative tol
+DECODE_LEN_RTOL = 0.02
+
+# --- silence trim (SLIDINGWINDOW analog) ----------------------------------
+TRIM_WIN_MS = 25          # window length (4-base window analog)
+TRIM_DB_FLOOR = -40.0     # window mean RMS below this (dBFS) = silence
+POST_TRIM_MIN_RATIO = 0.5 # MINLEN = 0.5 * input length analog
+POST_TRIM_MIN_MS = 200    # absolute floor after trimming
+
+# --- clipping screen ------------------------------------------------------
+CLIP_SAMPLE_THRESH = 0.999  # |sample| >= this counts as clipped
+CLIP_FRAC_MAX = 0.03        # more than 3% clipped samples -> drop
+
+# --- transcript structural ------------------------------------------------
+MIN_TRANSCRIPT_CHARS = 3
+
+# --- low-complexity screens (TRF / FastQC analogs) ------------------------
+MIN_CHAR_ENTROPY_BITS = 2.0   # Shannon entropy over characters
+MAX_TOKEN_RUN = 6             # same token repeated > this consecutively
+MAX_TOP_TOKEN_FRAC = 0.6      # single token > 60% of tokens (len >= 5 tok)
+TOP_TOKEN_MIN_TOKENS = 5
+
+# --- language-ID model (bowtie2 "database" #1) ----------------------------
+LANGID_HASH_BITS = 15            # trigram hash buckets = 2**15
+LANGID_MIN_CONF = 0.05           # cosine margin confidence floor
+# (clean sentences score >=0.10 at p1; alphabet gibberish <=0.006 — the
+# threshold sits in the empty band between the two populations)
+ALLOWED_LANGS = ("en", "es", "fr", "de", "zh")
+
+# --- perplexity model (bowtie2 "database" #2) ------------------------------
+PPL_HASH_BITS = 18               # hashed bigram buckets
+PPL_ADD_K = 0.1                  # add-k smoothing
+PPL_MAX = 2000.0                 # perplexity above this -> drop
+
+# --- canonical rule order (first failing rule wins; config.py:94-116) -----
+RULE_ORDER = (
+    "dur_bounds",      # structural duration gate
+    "sr_invalid",      # sample-rate whitelist
+    "codec_invalid",   # codec whitelist
+    "decode_error",    # undecodable bytes / length mismatch
+    "post_trim_short", # silence-trimmed remainder too short
+    "clipping",        # too many clipped samples
+    "transcript_empty",
+    "low_entropy",     # char-entropy screen
+    "repeat_run",      # tandem token repeat (TRF analog)
+    "top_token",       # overrepresented token (FastQC analog)
+    "langid",          # language not allowed / low confidence
+    "perplexity",      # n-gram LM perplexity too high
+)
+
+# --- PII scrub patterns (ILLUMINACLIP analog) ------------------------------
+# Ordered (pattern, replacement). Patterns are written in the common subset
+# of Java regex (Spark regexp_replace) and Python re so both produce
+# byte-identical output (SURVEY.md hard-part (a)).
+SCRUB_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b(?:\d[ -]?){13,16}\b", "<CCNUM>"),
+    (r"\+?\d{1,3}[ .-]?\(?\d{2,3}\)?[ .-]?\d{3}[ .-]?\d{4}", "<PHONE>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+# fake container magics used by the deterministic synthetic encoder/decoder
+# (real flac/opus/mp3 codec libraries are not in this container; the decode
+# step for those codecs is a clearly-marked deterministic fake: a magic
+# header + little-endian s16 payload. The Spark-side plumbing — schema,
+# batching, partitioning — is real.)
+FAKE_MAGIC = {"flac": b"KSFL", "opus": b"KSOP", "mp3": b"KSMP"}

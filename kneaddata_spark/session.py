@@ -1,0 +1,34 @@
+"""SparkSession factory tuned for this engine (local-mode test harness;
+the same conf block is what a spark-submit --py-files cluster launch uses,
+minus master/driver-memory)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "kneaddata_spark", master: str | None = None, cores: int | None = None) -> SparkSession:
+    if master is None:
+        cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        master = f"local[{cores}]"
+    else:
+        cores = cores or 32
+    shuffle_parts = max(8, cores)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
