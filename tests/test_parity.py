@@ -1,0 +1,73 @@
+"""BASELINE.json acceptance: engine vs pure-pandas oracle.
+
+Targets (BASELINE.json / input_hint): keep/drop F1 >= 0.99, scrubbed
+transcript equality, decoded trimmed-PCM SNR >= 30 dB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _merged(annotated_pdf, oracle_labels):
+    return annotated_pdf.merge(oracle_labels, on="clip_id", validate="1:1")
+
+
+def test_keep_drop_f1(annotated_pdf, oracle_labels):
+    m = _merged(annotated_pdf, oracle_labels)
+    tp = ((m["keep"]) & (m["expect_keep"])).sum()
+    fp = ((m["keep"]) & (~m["expect_keep"])).sum()
+    fn = ((~m["keep"]) & (m["expect_keep"])).sum()
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.99, f"F1={f1} (tp={tp} fp={fp} fn={fn})"
+
+
+def test_drop_rule_agreement(annotated_pdf, oracle_labels):
+    m = _merged(annotated_pdf, oracle_labels)
+    dis = m[m["drop_rule"].fillna("KEEP") != m["expect_drop_rule"].fillna("KEEP")]
+    assert len(dis) / len(m) <= 0.01, dis[["clip_id", "drop_rule", "expect_drop_rule"]]
+
+
+def test_all_rules_exercised(oracle_labels):
+    from kneaddata_spark import rules
+
+    seen = set(oracle_labels["expect_drop_rule"].dropna())
+    assert seen == set(rules.RULE_ORDER), f"missing: {set(rules.RULE_ORDER) - seen}"
+
+
+def test_scrubbed_transcript_equality(annotated_pdf, oracle_labels):
+    m = _merged(annotated_pdf, oracle_labels)
+    kept = m[m["keep"] & m["expect_keep"]]
+    neq = kept[kept["transcript_scrubbed"] != kept["expect_transcript_scrubbed"]]
+    assert len(neq) == 0, neq[["transcript_scrubbed", "expect_transcript_scrubbed"]].head()
+
+
+def test_pcm_snr(annotated_pdf, oracle_labels):
+    from kneaddata_spark.oracle import decode_pcm
+
+    m = _merged(annotated_pdf, oracle_labels)
+    kept = m[m["keep"] & m["expect_keep"]]
+    assert len(kept) > 100
+    for _, r in kept.iterrows():
+        eng = decode_pcm(bytes(r["bytes_trimmed"]), r["codec"])
+        ref = r["expect_pcm"]
+        assert eng is not None and len(eng) == len(ref), r["clip_id"]
+        err = float(np.sum((eng - ref) ** 2))
+        if err > 0:
+            snr = 10 * np.log10(float(np.sum(ref**2)) / err)
+            assert snr >= 30.0, (r["clip_id"], snr)
+
+
+def test_lang_matches_generator(annotated_pdf):
+    """Kept rows' predicted lang must equal the generator's hidden lang."""
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    hidden = gen_clips_pdf(len(annotated_pdf), hidden=True)[
+        ["clip_id", "_lang", "_tdefect"]
+    ]
+    m = annotated_pdf.merge(hidden, on="clip_id")
+    kept = m[m["keep"] & m["_tdefect"].isin(["none", "pii"])]
+    acc = (kept["lang"] == kept["_lang"]).mean()
+    assert acc >= 0.99, acc
