@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship document-QC query on sf0.001.
+``queries()`` / ``oracle_sql()`` — operator surface from SURVEY.md §2 plus
+the training-data-pipeline extensions (dedup / similarity / text analysis),
+implemented in kneaddata_spark.plans.entry_queries; DuckDB oracles attached
+for every SQL-expressible operator (engine-hash LSH variants and the
+binary-audio domain pipeline are rows-only by design).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: document quality-filter verdict over sf0.001 documents —
+    the kneaddata keep/drop pipeline shape (filter rules -> dedup screen ->
+    quality features -> verdict) on the driver-provided corpus."""
+    from kneaddata_spark.operators import dedup, textstats
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    deduped = dedup.dedup_exact(docs, "doc_id", "text")
+    quality = textstats.quality_scores(deduped, "doc_id", "text")
+    stats = textstats.token_stats(deduped, "doc_id", "text")
+    votes = textstats.lang_stopword_votes(deduped, "doc_id", "text")
+    out = (
+        deduped.select("doc_id", "lang", "source")
+        .join(quality, "doc_id")
+        .join(stats, "doc_id")
+        .join(votes.select("doc_id", "pred_lang"), "doc_id")
+        .withColumn(
+            "keep",
+            (F.col("n_chars") >= 60)
+            & (F.col("n_tokens") >= 5)
+            & (F.col("punct_ratio") <= 0.3),
+        )
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kneaddata_spark.plans.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kneaddata_spark.plans.entry_queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,80 @@
+"""Aggregation operators (SURVEY.md §2.5): stage counters, the read-count
+pivot table, and the overrepresented-sequence harvest.
+
+Reference semantics:
+ - stage read counts logged as 'READ COUNT: <stage> <type> : N'
+   (utilities.py:597-686) and re-parsed into a sample x stage table by
+   read_count_table.py:25-73 — here counters are first-class DataFrames.
+ - overrepresented sequences: FastQC module harvest
+   (utilities.py:1094-1164) -> corpus n-gram frequency aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stage_counts(df: DataFrame, stage_col: str = "stage", type_col: str = "file_type") -> DataFrame:
+    """A1/A2: counts per (stage, file_type)."""
+    return df.groupBy(stage_col, type_col).agg(F.count("*").alias("n"))
+
+
+def read_count_pivot(
+    df: DataFrame,
+    sample_col: str = "sample",
+    stage_col: str = "stage",
+    count_col: str = "count",
+    stages: list[str] | None = None,
+) -> DataFrame:
+    """A3: sample x stage wide table (utilities.py:1059-1092). Passing the
+    stage list pins column order AND lets Spark skip the distinct-values
+    job. NA fill mirrors the reference's 'NA' cells."""
+    p = df.groupBy(sample_col).pivot(stage_col, stages) if stages else df.groupBy(
+        sample_col
+    ).pivot(stage_col)
+    return p.agg(F.first(count_col))
+
+
+def overrepresented_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    min_frac: float = 0.001,
+    min_count: int = 2,
+) -> DataFrame:
+    """F5/A6: corpus-level n-gram frequency screen. Returns (ngram, n_occ)
+    for n-grams above the frequency bar, to be broadcast back into a scrub
+    stage — exactly FastQC's overrepresented list feeding ILLUMINACLIP
+    (knead_data.py:519-532). Map-side partial aggregation makes this one
+    shuffle of the (small) distinct-ngram space, never of the corpus."""
+    tokens = df.select(F.split(F.lower(F.col(text_col)), "\\s+").alias("tokens"))
+    if n == 1:
+        grams = tokens.select(F.explode("tokens").alias("ngram"))
+    else:
+        # sliding word n-grams, JVM-side: transform over an index sequence
+        grams = tokens.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
+                    f"i -> array_join(slice(tokens, i, {n}), ' '))"
+                )
+            ).alias("ngram")
+        )
+    exploded = grams
+    total = df.count()
+    return (
+        exploded.where(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occ"))
+        .where((F.col("n_occ") >= min_count) & (F.col("n_occ") >= min_frac * total))
+    )
+
+
+def id_occurrence_counts(dfs: list[DataFrame], key: str = "read_id") -> DataFrame:
+    """A4: id -> occurrence count across k frames (intersection support,
+    run.py:289-293)."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), [d.select(key) for d in dfs])
+    return u.groupBy(key).agg(F.count("*").alias("n_occ"))

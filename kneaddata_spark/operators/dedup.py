@@ -1,0 +1,254 @@
+"""Corpus deduplication operators — the training-data-pipeline extension of
+the reference's duplicate screens (FastQC overrepresented sequences,
+utilities.py:1094-1164; TRF repeats, run.py:452-480), scaled to documents.
+
+All operators are pure DataFrame compositions (one explode + one or two
+key-partitioned shuffles); nothing collects to the driver. Frequent-shingle
+skew (the classic LSH hot-key) is handled by dropping shingles above a
+document-frequency ceiling — they carry no discriminative signal anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact --
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: (canonical_id, dup_id) pairs for every
+    duplicate row (canonical = min id per md5(text) group)."""
+    h = F.md5(F.col(text_col)).alias("h")
+    w = Window.partitionBy("h")
+    return (
+        df.select(F.col(id_col).alias("dup_id"), h)
+        .withColumn("canonical_id", F.min("dup_id").over(w))
+        .where(F.col("dup_id") != F.col("canonical_id"))
+        .select("canonical_id", "dup_id")
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per exact-duplicate text group."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where("__rn = 1").drop("__rn")
+
+
+# ------------------------------------------------------------- shingles --
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """Distinct (id, shingle) word n-grams. max_df drops shingles appearing
+    in more than max_df docs (skew guard / stop-shingles)."""
+    toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
+        f"i -> array_join(slice(tokens, i, {n}), ' '))"
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), toks.alias("tokens"))
+        .select("id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Self-join on shingle -> pair intersection counts; |A|,|B| joined in;
+    J = inter / (|A| + |B| - inter). The shingle join is the only big
+    shuffle; max_df caps its worst key."""
+    sh = word_shingles(df, id_col, text_col, n, max_df).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+# -------------------------------------------------------------- minhash --
+
+# Mersenne prime 2^31-1: (x%p)*a + b stays < 2^62, no int64 overflow
+# under ANSI arithmetic
+_P = (1 << 31) - 1
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 7):
+    import numpy as np
+
+    rng = np.random.default_rng(np.random.Philox(key=[seed, 0]))
+    a = rng.integers(1, _P, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _P, size=num_hashes, dtype=np.int64)
+    return a.tolist(), b.tolist()
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures over a (id, shingle) frame.
+
+    One shuffle: groupBy(id) with num_hashes min() partial aggregates —
+    map-side combine keeps the shuffle at |ids| x num_hashes, independent
+    of shingle count. Permutations are (a*x + b) mod p over xxhash64."""
+    a, b = _perm_coeffs(num_hashes, seed)
+    x = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    mins = [
+        F.min((x * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(_P)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing ANY band bucket.
+    (id_a < id_b, distinct). Classic (bands x rows) S-curve tuning."""
+    assert bands * rows_per_band <= 10_000
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), '_')) as bucket))"
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: shingle -> signature -> band candidates
+    -> exact-Jaccard verification of candidates only. At corpus scale the
+    verification join touches only the candidate pair set, not all pairs."""
+    sh = word_shingles(df, id_col, text_col, n, max_df).cache()
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.withColumnRenamed("id", "id_b")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_b")
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# -------------------------------------------------------------- simhash --
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side: explode tokens,
+    xxhash64 each, per-bit +/-1 sums via 64 conditional aggregates (map-side
+    combined), sign -> bit. One shuffle of |ids| x 64 longs."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
+    ).where(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    sigs: DataFrame, max_hamming: int = 3, chunks: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming(sig_a, sig_b) <= max_hamming via the
+    chunk-index trick: pigeonhole — any pair within distance k < chunks
+    shares at least one exact 16-bit chunk; join per chunk, then verify
+    with bit_count(xor)."""
+    width = 64 // chunks
+    chunked = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {chunks - 1}), "
+                f"c -> struct(c as chunk, shiftright(simhash, c * {width}) & {(1 << width) - 1} as piece))"
+            )
+        ).alias("cp"),
+    ).select("id", "simhash", "cp.chunk", "cp.piece")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    return (
+        a.join(b, ["chunk", "piece"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

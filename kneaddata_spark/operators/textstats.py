@@ -1,0 +1,105 @@
+"""Text-analysis operators for the documents table: token counting,
+quality scoring, stopword-based language signals, fingerprinting.
+
+All JVM-side Column algebra (split / filter / aggregate higher-order
+functions) — zero Python in the hot path; each has an exact ANSI-SQL
+oracle for the driver's DuckDB check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sampling import KNUTH, M32
+
+# tiny per-language stopword lists (subset of vocab.LANG_VOCAB heads)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "that", "it", "was", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "se", "no", "por"],
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token count (whitespace), BPE-ish subword count (runs of letters /
+    digits / single punctuation — a cheap tokenizer-budget proxy), char
+    count, mean word length."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    subword = F.size(
+        F.expr(
+            rf"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        subword.alias("n_subwords"),
+        F.length(text_col).alias("n_chars"),
+        F.round(
+            F.try_divide(
+                F.aggregate(toks, F.lit(0).cast("long"), lambda s, t: s + F.length(t)),
+                F.size(toks),
+            ),
+            4,
+        ).alias("mean_word_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: punct ratio, digit ratio, space ratio,
+    uppercase ratio, stopword(en) ratio — the document analog of the
+    reference's quality-trim heuristics (config.py:44-49)."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    toks = F.split(F.lower(F.trim(t)), "\\s+")
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return df.select(
+        F.col(id_col),
+        F.round(F.try_divide(n - F.length(F.regexp_replace(t, r"[^\w\s]", "")), n), 4).alias("punct_ratio"),
+        F.round(F.try_divide(n - F.length(F.regexp_replace(t, r"[0-9]", "")), n), 4).alias("digit_ratio"),
+        F.round(F.try_divide(n - F.length(F.regexp_replace(t, r"[A-Z]", "")), n), 4).alias("upper_ratio"),
+        F.round(F.try_divide(n_sw.cast("double"), F.size(toks)), 4).alias("stopword_ratio"),
+    )
+
+
+def lang_stopword_votes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Language-ID heuristic over documents: per-language stopword hit
+    counts + argmax vote (ties -> lexicographically first lang)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+
+    def _vote(lang: str):
+        arr = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        # single-arg lambda only: a second (default) arg would make PySpark
+        # treat it as an (element, index) lambda
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    votes = {lang: _vote(lang) for lang in STOPWORDS}
+    out = df.select(F.col(id_col), *[v.alias(f"votes_{k}") for k, v in votes.items()])
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"votes_{k}") for k in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"votes_{lang}") == best, lang).otherwise(pred)
+    return out.withColumn("pred_lang", F.when(best > 0, pred).otherwise("und"))
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted sum of
+    portable token hashes mod 2^61 (rolling-hash flavor; deterministic and
+    expressible in ANSI SQL for the oracle). Token hash = Knuth multiplier
+    over (length, first/last code points)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    tok_h = (
+        lambda x: (
+            (F.length(x).cast("long") * F.lit(KNUTH))
+            + (F.ascii(x).cast("long") * F.lit(1315423911))
+            + (F.ascii(F.substring(x, -1, 1)).cast("long") * F.lit(2246822519))
+        )
+        % F.lit(M32)
+    )
+    # position-weighted (1-based) sum of portable token hashes: associative,
+    # overflow-safe in int64 (hash < 2^32, positions < 2^13)
+    weighted = F.transform(toks, lambda x, i: (i.cast("long") + 1) * tok_h(x))
+    fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, h: acc + h)
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,870 @@
+"""Driver-contract query surface: every SURVEY.md §2 operator as a
+(spark, sf_dir) -> DataFrame callable plus a DuckDB-equivalent ANSI-SQL
+oracle string.
+
+Column names are aliased identically on both sides (the driver hashes
+values after sorting columns by name). Doubles are rounded on both sides.
+Deterministic cross-engine sampling/hashing uses plain integer arithmetic
+(operators/sampling.py) — never engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import (
+    normalize_read_id,
+    read_id_minus_pair,
+    reverse_complement,
+    rna_to_dna,
+)
+from ..operators import aggregates, dedup, pairs, sampling, setops, similarity, textstats
+from ..operators.sampling import KNUTH, M32
+
+# ----------------------------------------------------------- helpers ----
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_with_dups(spark, sf_dir) -> DataFrame:
+    """documents ∪ planted near-duplicates: docs with doc_id < 40 re-appear
+    as doc_id+100000 with ' tail extra' appended (near-dup) and docs with
+    40 <= doc_id < 60 re-appear byte-identical as doc_id+200000 (exact)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.where("doc_id < 40")
+        .select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" tail extra")).alias("text"))
+    )
+    exact = d.where("doc_id >= 40 and doc_id < 60").select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+_DOCS_DUPS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || ' tail extra' AS text
+    FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text
+    FROM documents WHERE doc_id >= 40 AND doc_id < 60
+"""
+
+
+def _emb_with_dups(spark, sf_dir) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = e.where("vec_id < 20").select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return e.unionByName(dup)
+
+
+_EMB_DUPS_SQL = """
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+"""
+
+# ------------------------------------------------------------ queries ----
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# --- aggregations (A1-A6) -------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "stage_counts",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stage_counts(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@q(
+    "read_count_pivot",
+    """
+    SELECT source,
+           count(*) FILTER (lang = 'en') AS en,
+           count(*) FILTER (lang = 'es') AS es,
+           count(*) FILTER (lang = 'fr') AS fr,
+           count(*) FILTER (lang = 'de') AS de,
+           count(*) FILTER (lang = 'zh') AS zh
+    FROM documents GROUP BY source
+    """,
+)
+def read_count_pivot(spark, sf):
+    d = _t(spark, sf, "documents").select("source", "lang", F.lit(1).alias("c"))
+    counts = d.groupBy("source", "lang").agg(F.count("*").alias("count"))
+    p = aggregates.read_count_pivot(
+        counts, sample_col="source", stage_col="lang", count_col="count",
+        stages=["en", "es", "fr", "de", "zh"],
+    )
+    return p.na.fill(0, ["en", "es", "fr", "de", "zh"])
+
+
+@q(
+    "overrepresented_ngrams",
+    """
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS tokens FROM documents
+    ), grams AS (
+      SELECT tokens[i] || ' ' || tokens[i+1] AS ngram
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(tokens) - 1, 0))) AS i
+      )
+    )
+    SELECT ngram, count(*) AS n_occ FROM grams
+    WHERE ngram <> '' GROUP BY ngram HAVING count(*) >= 30
+    """,
+)
+def overrepresented_ngrams_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    tokens = d.select(F.split(F.lower(F.col("text")), " ").alias("tokens"))
+    grams = tokens.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+                "i -> concat(tokens[i-1], ' ', tokens[i]))"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.where(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= 30)
+    )
+
+
+@q(
+    "id_occurrence_counts",
+    """
+    SELECT user_id, count(*) AS n_occ FROM (
+      SELECT user_id FROM events WHERE event_type = 'click'
+      UNION ALL SELECT user_id FROM events WHERE value > 50
+    ) GROUP BY user_id
+    """,
+)
+def id_occurrence_counts_q(spark, sf):
+    e = _t(spark, sf, "events")
+    return aggregates.id_occurrence_counts(
+        [e.where("event_type = 'click'"), e.where("value > 50")], key="user_id"
+    )
+
+
+# --- filters / scalars (F1/F6/F7, C1-C6) ----------------------------------
+
+
+@q(
+    "minlen_filter",
+    """
+    SELECT lang, count(*) AS n, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents WHERE n_chars >= 60 GROUP BY lang
+    """,
+)
+def minlen_filter(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .where(F.col("n_chars") >= 60)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@q(
+    "alphabet_predicate",
+    """
+    SELECT source, count(*) AS n FROM documents
+    WHERE regexp_full_match(text, '[a-z ]+') GROUP BY source
+    """,
+)
+def alphabet_predicate(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .where(F.col("text").rlike("^[a-z ]+$"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "id_normalize",
+    """
+    SELECT doc_id,
+           regexp_extract(text, '^(\\S+)', 1) || '#0/' || CAST(doc_id % 2 + 1 AS VARCHAR) AS norm_id
+    FROM documents
+    """,
+)
+def id_normalize(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        normalize_read_id(F.col("text"), F.col("doc_id") % 2 + 1).alias("norm_id"),
+    )
+
+
+@q(
+    "scalar_suite",
+    """
+    SELECT doc_id,
+           reverse(translate(substring(upper(text), 1, 30), 'ATCGatcg', 'TAGCtagc')) AS revcomp,
+           replace(translate(substring(text, 1, 40), 'Uu', 'Tt'), ' ', '') AS dna,
+           substring(source, 1, length(source) - 1) AS src_base,
+           'TAG_' || lang AS tagged
+    FROM documents
+    """,
+)
+def scalar_suite(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        reverse_complement(F.substring(F.upper(F.col("text")), 1, 30)).alias("revcomp"),
+        rna_to_dna(F.substring(F.col("text"), 1, 40)).alias("dna"),
+        read_id_minus_pair(F.col("source")).alias("src_base"),
+        F.concat(F.lit("TAG_"), F.col("lang")).alias("tagged"),
+    )
+
+
+@q(
+    "scrub_pii",
+    """
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        substring(text, 1, 30)
+          || CASE doc_id % 4
+               WHEN 0 THEN ' mail bob.smith@corp.example.org now'
+               WHEN 1 THEN ' ssn 523-12-9876 leaked'
+               WHEN 2 THEN ' card 4111 1111 1111 1111 used'
+               ELSE ' host 10.20.30.40 down' END,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+        '\\b(?:\\d[ -]?){13,16}\\b', '<CCNUM>', 'g'),
+        '\\+?\\d{1,3}[ .-]?\\(?\\d{2,3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}', '<PHONE>', 'g'),
+        '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def scrub_pii(spark, sf):
+    from ..functions.text import scrub_col
+
+    d = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 30),
+        F.when(F.col("doc_id") % 4 == 0, " mail bob.smith@corp.example.org now")
+        .when(F.col("doc_id") % 4 == 1, " ssn 523-12-9876 leaked")
+        .when(F.col("doc_id") % 4 == 2, " card 4111 1111 1111 1111 used")
+        .otherwise(" host 10.20.30.40 down"),
+    )
+    return d.select("doc_id", scrub_col(planted).alias("scrubbed"))
+
+
+# --- set ops / joins (J1-J6, D6, D7) ---------------------------------------
+
+
+@q(
+    "intersect_kway",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+)
+def intersect_kway_q(spark, sf):
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf, "orders")
+    others = [
+        o.where(F.col("o_orderstatus") == s).select(F.col("o_custkey").alias("c_custkey"))
+        for s in ("O", "F", "P")
+    ]
+    return setops.intersect_kway(c, others, key="c_custkey")
+
+
+@q(
+    "anti_join_repeats",
+    """
+    SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem l
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_orderkey = l.l_orderkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY l_linestatus
+    """,
+)
+def anti_join_repeats(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    hits = (
+        _t(spark, sf, "orders")
+        .where("o_orderpriority = '1-URGENT'")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    clean = setops.anti_join_ids(li, hits, key="l_orderkey")
+    return clean.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@q(
+    "keep_only_clean",
+    """
+    SELECT 'clean' AS status, count(*) AS n FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'contam' AS status, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+)
+def keep_only_clean_q(spark, sf):
+    c = _t(spark, sf, "customer")
+    clean_ids = (
+        _t(spark, sf, "orders")
+        .where("o_orderstatus = 'O'")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    clean, contam = setops.keep_only_clean(c, clean_ids, key="c_custkey")
+    return clean.select(F.lit("clean").alias("status")).groupBy("status").agg(
+        F.count("*").alias("n")
+    ).unionByName(
+        contam.select(F.lit("contam").alias("status")).groupBy("status").agg(
+            F.count("*").alias("n")
+        )
+    )
+
+
+@q(
+    "union_distinct_aligned",
+    """
+    SELECT DISTINCT user_id FROM (
+      SELECT user_id, event_type FROM events WHERE value > 10
+      UNION ALL SELECT user_id, event_type FROM events WHERE value < 5
+    ) WHERE event_type <> 'error'
+    """,
+)
+def union_distinct_aligned_q(spark, sf):
+    # 'error' events play the unaligned '*' role of mergesams.py:11-13
+    e = _t(spark, sf, "events")
+    ref = F.when(F.col("event_type") == "error", "*").otherwise(F.col("event_type"))
+    a = e.where("value > 10").select(F.col("user_id").alias("read_id"), ref.alias("ref"))
+    b = e.where("value < 5").select(F.col("user_id").alias("read_id"), ref.alias("ref"))
+    out = setops.union_distinct_aligned([a, b], key="read_id", ref_col="ref")
+    return out.select(F.col("read_id").alias("user_id"))
+
+
+@q(
+    "serial_cascade",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+    FROM lineitem
+    WHERE NOT (l_discount > 0.05) AND NOT (l_tax > 0.04) AND NOT (l_quantity < 5)
+    GROUP BY l_returnflag
+    """,
+)
+def serial_cascade_q(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    survivors, _ = setops.serial_cascade(
+        li,
+        [F.col("l_discount") > 0.05, F.col("l_tax") > 0.04, F.col("l_quantity") < 5],
+    )
+    return survivors.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("price")
+    )
+
+
+# --- pair policies (D2-D5), dedup-by-position (S6), reorder (D8) ----------
+
+
+def _pair_policy(spark, sf, policy):
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("read_id"),
+        (F.col("l_returnflag") == "R").cast("int").alias("aligned"),
+    )
+    v = pairs.pair_verdict(li, policy, key="read_id", flag_col="aligned")
+    return (
+        v.select(F.col("read_id").alias("l_orderkey"), F.col("pair_drop").cast("int").alias("pair_drop"))
+        .distinct()
+    )
+
+
+@q(
+    "pair_policy_strict",
+    """
+    SELECT l_orderkey,
+           CAST(max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS INT) AS pair_drop
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def pair_policy_strict(spark, sf):
+    return _pair_policy(spark, sf, "strict")
+
+
+@q(
+    "pair_policy_lenient",
+    """
+    SELECT l_orderkey,
+           CAST(min(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS INT) AS pair_drop
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def pair_policy_lenient(spark, sf):
+    return _pair_policy(spark, sf, "lenient")
+
+
+@q(
+    "pair_policy_unpaired",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS INT) AS pair_drop
+    FROM lineitem
+    """,
+)
+def pair_policy_unpaired(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", (F.col("l_returnflag") == "R").cast("int").alias("aligned")
+    )
+    v = pairs.pair_verdict(li, "unpaired", key="l_orderkey", flag_col="aligned")
+    return v.select("l_orderkey", "l_linenumber", F.col("pair_drop").cast("int").alias("pair_drop"))
+
+
+@q(
+    "classify_pairs",
+    """
+    SELECT l_orderkey,
+           max(CASE WHEN l_linenumber % 2 + 1 = 1 THEN CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END END) AS m1_aligned,
+           max(CASE WHEN l_linenumber % 2 + 1 = 2 THEN CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END END) AS m2_aligned,
+           count(CASE WHEN l_linenumber % 2 + 1 = 1 THEN 1 END) AS m1_n,
+           count(CASE WHEN l_linenumber % 2 + 1 = 2 THEN 1 END) AS m2_n
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def classify_pairs_q(spark, sf):
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("read_id"),
+        (F.col("l_linenumber") % 2 + 1).alias("mate"),
+        (F.col("l_returnflag") == "R").cast("int").alias("aligned"),
+    )
+    out = pairs.classify_pairs(li, key="read_id")
+    return out.select(
+        F.col("read_id").alias("l_orderkey"), "m1_aligned", "m2_aligned", "m1_n", "m2_n"
+    )
+
+
+@q(
+    "first_occurrence_dedup",
+    """
+    SELECT doc_id, lang, source FROM documents
+    QUALIFY row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+    """,
+)
+def first_occurrence_dedup_q(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        "doc_id", "lang", "source", F.concat_ws("|", "lang", "source").alias("key")
+    )
+    out = pairs.first_occurrence_dedup(d, key="key", pos_col="doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+@q(
+    "reorder_emit",
+    """
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rank
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def reorder_emit(spark, sf):
+    li = _t(spark, sf, "lineitem").where("l_orderkey < 200")
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    return li.select("l_orderkey", "l_linenumber").withColumn("rank", F.row_number().over(w))
+
+
+# --- sampling (O4/O5) ------------------------------------------------------
+
+
+@q(
+    "det_sample_bernoulli",
+    f"""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE (o_orderkey * {KNUTH}) % {M32} < CAST(0.1 * {M32} AS BIGINT)
+    """,
+)
+def det_sample_bernoulli(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderstatus")
+    return sampling.bernoulli_deterministic(o, key="o_orderkey", fraction=0.1)
+
+
+@q(
+    "det_reservoir_topk",
+    f"""
+    SELECT o_orderkey FROM orders
+    ORDER BY (o_orderkey * {KNUTH}) % {M32} ASC, o_orderkey ASC LIMIT 100
+    """,
+)
+def det_reservoir_topk(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey")
+    return sampling.reservoir_deterministic(o, key="o_orderkey", k=100)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@q(
+    "token_stats",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_subwords,
+           length(text) AS n_chars,
+           round(list_sum(list_transform(toks, x -> length(x))) / len(toks), 4) AS mean_word_len
+    FROM t
+    """,
+)
+def token_stats_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")).alias(
+            "n_subwords"
+        ),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.try_divide(
+                F.aggregate(toks, F.lit(0).cast("long"), lambda s, t: s + F.length(t)).cast("double"),
+                F.size(toks),
+            ),
+            4,
+        ).alias("mean_word_len"),
+    )
+
+
+@q(
+    "quality_scores",
+    """
+    WITH t AS (SELECT doc_id, text, length(text)::DOUBLE AS n,
+                      string_split(lower(trim(text)), ' ') AS toks FROM documents)
+    SELECT doc_id,
+      round((n - length(regexp_replace(text, '[^\\w ]', '', 'g'))) / n, 4) AS punct_ratio,
+      round((n - length(regexp_replace(text, '[0-9]', '', 'g'))) / n, 4) AS digit_ratio,
+      round((n - length(regexp_replace(text, '[A-Z]', '', 'g'))) / n, 4) AS upper_ratio,
+      round(len(list_filter(toks, x -> list_contains(['the','and','of','to','in','that','it','was','for','on'], x)))::DOUBLE / len(toks), 4) AS stopword_ratio
+    FROM t
+    """,
+)
+def quality_scores_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    n = F.length(t).cast("double")
+    toks = F.split(F.lower(F.trim(t)), " ")
+    sw = F.array([F.lit(w) for w in textstats.STOPWORDS["en"]])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return d.select(
+        "doc_id",
+        F.round(F.try_divide(n - F.length(F.regexp_replace(t, r"[^\w ]", "")), n), 4).alias("punct_ratio"),
+        F.round(F.try_divide(n - F.length(F.regexp_replace(t, r"[0-9]", "")), n), 4).alias("digit_ratio"),
+        F.round(F.try_divide(n - F.length(F.regexp_replace(t, r"[A-Z]", "")), n), 4).alias("upper_ratio"),
+        F.round(F.try_divide(n_sw.cast("double"), F.size(toks)), 4).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "lang_stopword_votes",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+    v AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','in','that','it','was','for','on'], x))) AS votes_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','se','no','por'], x))) AS votes_es
+      FROM t)
+    SELECT doc_id, votes_en, votes_es,
+      CASE WHEN greatest(votes_en, votes_es) = 0 THEN 'und'
+           WHEN votes_en >= votes_es THEN 'en' ELSE 'es' END AS pred_lang
+    FROM v
+    """,
+)
+def lang_stopword_votes_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.lang_stopword_votes(d, "doc_id", "text")
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents)
+    SELECT doc_id,
+      coalesce(list_sum(list_transform(toks, (x, i) ->
+        i * ((length(x)::BIGINT * {KNUTH}
+              + ascii(x)::BIGINT * 1315423911
+              + ascii(right(x, 1))::BIGINT * 2246822519) % {M32})
+      )), 0) AS fingerprint
+    FROM t
+    """,
+)
+def doc_fingerprint_q(spark, sf):
+    d = _t(spark, sf, "documents")
+    return textstats.doc_fingerprint(d, "doc_id", "text")
+
+
+# --- dedup family ----------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH d AS ({_DOCS_DUPS_SQL})
+    SELECT doc_id FROM d
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+)
+def dedup_exact_q(spark, sf):
+    d = _docs_with_dups(spark, sf)
+    return dedup.dedup_exact(d, "doc_id", "text").select("doc_id")
+
+
+@q(
+    "exact_dup_groups",
+    f"""
+    WITH d AS ({_DOCS_DUPS_SQL}),
+    g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM d)
+    SELECT canonical_id, doc_id AS dup_id FROM g WHERE doc_id <> canonical_id
+    """,
+)
+def exact_dup_groups_q(spark, sf):
+    d = _docs_with_dups(spark, sf)
+    return dedup.exact_dup_groups(d, "doc_id", "text")
+
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH d AS ({_DOCS_DUPS_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM d),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 2, 0))) AS i)
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf):
+    d = _docs_with_dups(spark, sf)
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@q("minhash_dedup_pairs")  # engine-hash based; rows-only driver check
+def minhash_dedup_pairs_q(spark, sf):
+    d = _docs_with_dups(spark, sf)
+    return dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@q("simhash_near_dups")  # engine-hash based; rows-only driver check
+def simhash_near_dups_q(spark, sf):
+    d = _docs_with_dups(spark, sf)
+    sigs = dedup.simhash_signatures(d, "doc_id", "text")
+    return dedup.simhash_near_dup_pairs(sigs, max_hamming=3)
+
+
+# --- similarity search ------------------------------------------------------
+
+
+_COS_SQL = """
+    list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+"""
+
+
+@q(
+    "cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+             {_COS_SQL} AS cos
+      FROM e a, e b
+      WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, nbr_id, rank, round(cos, 4) AS cos FROM (
+      SELECT query_id, nbr_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def cosine_topk_q(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    out = similarity.cosine_topk_bruteforce(e, e.where("vec_id < 10"), k=5)
+    return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+@q(
+    "cosine_dup_pairs",
+    f"""
+    WITH d AS ({_EMB_DUPS_SQL}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM d)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 4) AS cos
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id AND {_COS_SQL} >= 0.99
+    """,
+)
+def cosine_dup_pairs_q(spark, sf):
+    e = _emb_with_dups(spark, sf)
+    out = similarity.cosine_pairs_threshold(e, threshold=0.99)
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+@q("ann_lsh_topk")  # LSH hyperplanes not SQL-expressible; rows-only check
+def ann_lsh_topk_q(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.ann_lsh_topk(e, e.where("vec_id < 10"), dim=64, k=5)
+
+
+# --- events: windows / sessionization ---------------------------------------
+
+
+@q(
+    "window_rolling",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value
+    FROM events
+    """,
+)
+def window_rolling(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select("event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value"))
+
+
+@q(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events)
+    SELECT user_id, CAST(1 + sum(new_sess) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def sessionize(spark, sf):
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    new_sess = F.when(gap > 1800, 1).otherwise(0)
+    return (
+        e.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg((F.lit(1) + F.sum("new_sess")).cast("long").alias("n_sessions"))
+    )
+
+
+@q(
+    "tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+
+
+# --- the domain pipeline (rows-only: binary audio semantics not in SQL) ----
+
+
+@q("qc_pipeline_clips")
+def qc_pipeline_clips(spark, sf):
+    """Flagship domain pipeline over a deterministic synthetic clip table
+    (BASELINE.json input_hint shape), generated in-Spark. Returns per-rule
+    counts. No SQL oracle: binary PCM decode + broadcast model scoring are
+    not ANSI-SQL-expressible; pytest provides the parity gate instead."""
+    from ..pipeline import annotate, broadcast_models
+    from ..synth import clips_spark_df
+
+    clips = clips_spark_df(spark, 800, n_partitions=8)
+    ann = annotate(clips, *broadcast_models(spark))
+    return (
+        ann.select(F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
