@@ -1,0 +1,116 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Includes the domain QC pipeline over a deterministic synthetic clip table
+sized by sf (generated once, cached in /tmp) — the clip throughput is the
+BASELINE.json headline; relational operator timings cover the SURVEY.md §2
+surface. Scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/bench_scaling.py -> BENCH_SCALING.json / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline operator queries (from the driver surface)
+HEADLINE = [
+    "q1_pricing_summary",
+    "pair_policy_strict",
+    "anti_join_repeats",
+    "intersect_kway",
+    "overrepresented_ngrams",
+    "window_rolling",
+    "sessionize",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash_near_dups",
+    "cosine_topk",
+    "token_stats",
+    "doc_fingerprint",
+    "scrub_pii",
+]
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def ensure_clips(spark, n: int) -> str:
+    from kneaddata_spark.synth import clips_spark_df
+
+    path = f"/tmp/kneaddata_bench/clips_{n}.parquet"
+    if not os.path.exists(path + "/_SUCCESS"):
+        clips_spark_df(spark, n, n_partitions=max(CPUS, 8)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def bench_qc_pipeline(spark, n_clips: int) -> tuple[float, dict]:
+    from kneaddata_spark.pipeline import broadcast_models, run_qc
+
+    path = ensure_clips(spark, n_clips)
+    models = broadcast_models(spark)
+    clips = spark.read.parquet(path)
+    t0 = time.time()
+    res = run_qc(spark, clips, "/tmp/kneaddata_bench/qc_out", *models)
+    el = time.time() - t0
+    return el, res.metrics
+
+
+def main() -> None:
+    from kneaddata_spark.plans.entry_queries import QUERIES
+    from kneaddata_spark.session import get_spark
+
+    sf = _sf_of(SF_DIR)
+    spark = get_spark(app="bench", cores=CPUS)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    n_clips = max(2000, int(200_000 * sf))
+    qc_sec, metrics = bench_qc_pipeline(spark, n_clips)
+    timings["qc_pipeline_clips"] = round(qc_sec, 3)
+    clips_per_sec = round(n_clips / qc_sec, 1)
+    print(
+        f"# qc_pipeline: {n_clips} clips in {qc_sec:.1f}s = {clips_per_sec} clips/s "
+        f"(kept {metrics.get('n_kept')})",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "clips_per_sec": clips_per_sec,
+        "n_clips": n_clips,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -64,7 +64,7 @@ def image_feature_stage(strict: bool = False, feat_dim: int = 8):
             )
             feats = []
             for c in crcs:
-                rng = np.random.default_rng(np.random.Philox(key=[int(c) & 0x7FFFFFFF]))
+                rng = np.random.default_rng(np.random.Philox(key=[int(c) & 0x7FFFFFFF, 0]))
                 feats.append(rng.standard_normal(feat_dim).astype(np.float32))
             yield pd.DataFrame(
                 {

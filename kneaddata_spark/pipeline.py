@@ -9,9 +9,10 @@ Here every stage appends columns; the verdict is a single when-chain in
 partitioned tables plus a metrics table.
 
 Physical shape (the 100 TB argument):
- - the hot path is MAP-ONLY: scan -> mapInPandas (audio) -> Arrow struct
-   UDFs (text) -> project -> partitioned write. Zero shuffles before the
-   final write; the only aggregation is the tiny metrics groupBy.
+ - the hot path is MAP-ONLY: scan -> ONE fused mapInPandas (audio decode/
+   trim + text complexity + broadcast model scores, functions/qc_kernel.py)
+   -> Column-algebra verdict -> partitioned write. Zero shuffles, one
+   JVM<->Arrow round trip; metrics ride the write via observe().
  - model artifacts are broadcast once (bowtie2-index analog).
  - binary column is pruned from the text-side expressions by Catalyst;
    the scan never reads columns a stage does not use.
@@ -29,8 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import rules
-from .functions.audio import AUDIO_FEATURE_SCHEMA, audio_stage
-from .functions.text import complexity_features, make_model_scores_udf, scrub_col
+from .functions.qc_kernel import QC_FEATURE_SCHEMA, make_qc_stage
+from .functions.text import scrub_col
 from .models import train_langid, train_perplexity
 
 
@@ -43,9 +44,13 @@ def broadcast_models(spark: SparkSession):
 
 
 def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
-    """Append every rule column + drop_rule + keep. Pure transformation."""
-    out_schema = T.StructType(list(df.schema) + list(T.StructType.fromDDL(AUDIO_FEATURE_SCHEMA)))
-    a = df.mapInPandas(audio_stage, schema=out_schema)
+    """Append every rule column + drop_rule + keep. Pure transformation.
+
+    ONE fused mapInPandas stage (functions/qc_kernel.py) emits all feature
+    columns — a single JVM<->Arrow round trip; the verdict below is pure
+    Column algebra over those features (whole-stage codegen)."""
+    out_schema = T.StructType(list(df.schema) + list(T.StructType.fromDDL(QC_FEATURE_SCHEMA)))
+    a = df.mapInPandas(make_qc_stage(langid_bc, ppl_bc), schema=out_schema)
 
     # try_divide: sr_hz=0 rows (sr_invalid) must not abort under ANSI mode
     sr = F.col("sr_hz").cast("double")
@@ -65,26 +70,15 @@ def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
         F.length(F.trim(F.col("transcript"))) < rules.MIN_TRANSCRIPT_CHARS
     )
 
-    audio_ok = ~(fail_dur | fail_sr | fail_codec | fail_decode | fail_trim | fail_clip)
-
-    # complexity features only where the row is still alive (gate the UDF
-    # input to NULL so dropped rows cost nothing in python)
-    gated_text = F.when(audio_ok & ~fail_tempty, F.col("transcript"))
-    a = a.withColumn("cx", complexity_features(gated_text))
-    fail_ent = F.col("cx.entropy") < rules.MIN_CHAR_ENTROPY_BITS
-    fail_run = F.col("cx.max_run") > rules.MAX_TOKEN_RUN
-    fail_top = (F.col("cx.n_tokens") >= rules.TOP_TOKEN_MIN_TOKENS) & (
-        F.col("cx.top_frac") > rules.MAX_TOP_TOKEN_FRAC
+    fail_ent = F.col("entropy") < rules.MIN_CHAR_ENTROPY_BITS
+    fail_run = F.col("max_run") > rules.MAX_TOKEN_RUN
+    fail_top = (F.col("n_tokens") >= rules.TOP_TOKEN_MIN_TOKENS) & (
+        F.col("top_frac") > rules.MAX_TOP_TOKEN_FRAC
     )
-    text_ok = ~(fail_tempty | fail_ent | fail_run | fail_top)
-
-    scores_udf = make_model_scores_udf(langid_bc, ppl_bc)
-    gated2 = F.when(audio_ok & text_ok, F.col("transcript"))
-    a = a.withColumn("ms", scores_udf(gated2))
-    fail_lang = (~F.col("ms.lang").isin(*rules.ALLOWED_LANGS)) | (
-        F.col("ms.lang_conf") < rules.LANGID_MIN_CONF
+    fail_lang = (~F.col("lang").isin(*rules.ALLOWED_LANGS)) | (
+        F.col("lang_conf") < rules.LANGID_MIN_CONF
     )
-    fail_ppl = F.col("ms.ppl") > rules.PPL_MAX
+    fail_ppl = F.col("ppl") > rules.PPL_MAX
 
     # canonical first-failing-rule verdict (rules.RULE_ORDER)
     drop_rule = (
@@ -180,7 +174,7 @@ def run_qc(
         .alias("dur_ms"),
         "codec",
         F.when(F.col("keep"), F.col("transcript_scrubbed")).alias("transcript"),
-        F.col("ms.lang").alias("lang"),
+        F.col("lang"),
         F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"),
     )
     out_path = f"{out_dir}/clips_qc"

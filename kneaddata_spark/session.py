@@ -27,6 +27,12 @@ def get_spark(app: str = "kneaddata_spark", master: str | None = None, cores: in
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config(
+            # small corpora must still split into >= cores tasks; at real
+            # scale the default 128m is right (overridable via env)
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = b.getOrCreate()

@@ -61,5 +61,5 @@ def annotated_pdf(spark, clips_path):
         "codec",
         "trim_start",
         "trim_end",
-        "ms.lang",
+        "lang",
     ).toPandas()

@@ -1,0 +1,174 @@
+"""Operator unit tests on tiny enumerated fixtures — the reference's
+merge*.fastq pattern (/root/reference/kneaddata/tests/basic_tests.py:32-48,
+expected sets in tests/cfg.py:20-21): row ids encode expected membership so
+every expected result is hand-enumerable.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kneaddata_spark.operators import dedup, pairs, sampling, setops
+from kneaddata_spark.operators.aggregates import overrepresented_ngrams, read_count_pivot
+
+
+@pytest.fixture(scope="module")
+def merge_frames(spark):
+    """Three sources; ids encode membership (all_files_*, file1_*, ...)."""
+
+    def mk(ids):
+        return spark.createDataFrame([(i,) for i in ids], ["read_id"])
+
+    f1 = mk(["all_files_1", "all_files_2", "file1_1", "file1_and_file2_1"])
+    f2 = mk(["all_files_1", "all_files_2", "file2_1", "file1_and_file2_1"])
+    f3 = mk(["all_files_1", "all_files_2", "file3_1"])
+    return f1, f2, f3
+
+
+def test_intersect_kway_expected_set(merge_frames):
+    f1, f2, f3 = merge_frames
+    got = sorted(r[0] for r in setops.intersect_kway(f1, [f2, f3]).collect())
+    assert got == ["all_files_1", "all_files_2"]
+
+
+def test_intersect_k1_identity(merge_frames):
+    f1, _, _ = merge_frames
+    assert setops.intersect_kway(f1, []).count() == 4
+
+
+def test_anti_join_and_clean_routing(merge_frames, spark):
+    f1, f2, _ = merge_frames
+    removed = setops.anti_join_ids(f1, f2)
+    assert sorted(r[0] for r in removed.collect()) == ["file1_1"]
+    clean, contam = setops.keep_only_clean(f1, f2)
+    assert sorted(r[0] for r in contam.collect()) == ["file1_1"]
+    assert clean.count() == 3
+
+
+def test_pair_policies(spark):
+    # cases: both aligned / neither / only m1 / only m2
+    rows = [
+        ("both", 1, 1), ("both", 2, 1),
+        ("none", 1, 0), ("none", 2, 0),
+        ("m1", 1, 1), ("m1", 2, 0),
+        ("m2", 1, 0), ("m2", 2, 1),
+    ]
+    df = spark.createDataFrame(rows, ["read_id", "mate", "aligned"])
+    strict = {
+        (r["read_id"], r["mate"]): r["pair_drop"]
+        for r in pairs.pair_verdict(df, "strict").collect()
+    }
+    assert strict[("m1", 2)] is True and strict[("m2", 1)] is True
+    assert strict[("none", 1)] is False and strict[("both", 1)] is True
+    lenient = {
+        (r["read_id"], r["mate"]): r["pair_drop"]
+        for r in pairs.pair_verdict(df, "lenient").collect()
+    }
+    assert lenient[("m1", 1)] is False and lenient[("both", 2)] is True
+    unpaired = {
+        (r["read_id"], r["mate"]): r["pair_drop"]
+        for r in pairs.pair_verdict(df, "unpaired").collect()
+    }
+    assert unpaired[("m1", 1)] is True and unpaired[("m1", 2)] is False
+
+
+def test_classify_pairs_routes(spark):
+    rows = [("p", 1, 1), ("p", 2, 0), ("o1", 1, 1)]
+    df = spark.createDataFrame(rows, ["read_id", "mate", "aligned"])
+    got = {r["read_id"]: r.asDict() for r in pairs.classify_pairs(df).collect()}
+    assert got["p"]["m1_aligned"] == 1 and got["p"]["m2_aligned"] == 0
+    assert got["o1"]["m2_n"] == 0  # orphan: no mate 2
+
+
+def test_first_occurrence_dedup(spark):
+    rows = [("a", 0, "first"), ("a", 1, "second"), ("b", 2, "only")]
+    df = spark.createDataFrame(rows, ["read_id", "pos", "val"])
+    got = {r["read_id"]: r["val"] for r in pairs.first_occurrence_dedup(df).collect()}
+    assert got == {"a": "first", "b": "only"}
+
+
+def test_deterministic_sampling_stability(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["k"])
+    s1 = sorted(r[0] for r in sampling.bernoulli_deterministic(df, "k", 0.2).collect())
+    s2 = sorted(
+        r[0]
+        for r in sampling.bernoulli_deterministic(df.repartition(7), "k", 0.2).collect()
+    )
+    assert s1 == s2 and 120 < len(s1) < 280
+    top = sampling.reservoir_deterministic(df, "k", 50)
+    assert top.count() == 50
+
+
+def test_exact_dedup_and_groups(spark):
+    rows = [(1, "xx"), (2, "xx"), (3, "yy"), (4, "xx")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(df, "doc_id", "text").collect())
+    assert kept == [1, 3]
+    groups = sorted(
+        (r["canonical_id"], r["dup_id"])
+        for r in dedup.exact_dup_groups(df, "doc_id", "text").collect()
+    )
+    assert groups == [(1, 2), (1, 4)]
+
+
+def test_jaccard_and_minhash_agree(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),        # near dup of 1
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert set(exact) == {(1, 2)}
+    mh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert mh == {(1, 2)}
+
+
+def test_simhash_identical_distance_zero(spark):
+    rows = [(1, "aaa bbb ccc ddd"), (2, "aaa bbb ccc ddd"), (3, "zzz yyy xxx www")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.simhash_signatures(df, "doc_id", "text")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(sigs, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_cosine_topk_planted_neighbor(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = {i: rng.standard_normal(16).astype("float32") for i in range(20)}
+    vecs[19] = vecs[0] + rng.standard_normal(16).astype("float32") * 0.01
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    from kneaddata_spark.operators.similarity import cosine_topk_bruteforce
+
+    out = cosine_topk_bruteforce(df, df.where("vec_id = 0"), k=1).collect()
+    assert out[0]["nbr_id"] == 19 and out[0]["cos"] > 0.99
+
+
+def test_overrepresented_ngrams(spark):
+    rows = [("the cat sat",), ("the cat ran",), ("a dog",)]
+    df = spark.createDataFrame(rows, ["text"])
+    got = {r["ngram"]: r["n_occ"] for r in overrepresented_ngrams(df, "text", n=2, min_frac=0.5).collect()}
+    assert got == {"the cat": 2}
+
+
+def test_read_count_pivot_na_fill(spark):
+    rows = [("s1", "raw", 10), ("s1", "final", 7), ("s2", "raw", 5)]
+    df = spark.createDataFrame(rows, ["sample", "stage", "count"])
+    p = read_count_pivot(df, stages=["raw", "trimmed", "final"]).na.fill("NA")
+    got = {r["sample"]: (r["raw"], r["trimmed"], r["final"]) for r in p.collect()}
+    assert got["s1"] == (10, None, 7) or got["s1"] == (10, "NA", 7)
+    assert got["s2"][0] == 5

@@ -69,7 +69,9 @@ def test_no_row_at_a_time_python_in_plan(spark, clips_path):
     ann = annotate(df, *broadcast_models(spark))
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" in plan and "MapInPandas" in plan
+    assert "MapInPandas" in plan
+    # exactly ONE python stage: the fused kernel (no chained Arrow hops)
+    assert plan.count("MapInPandas") == 1 and "ArrowEvalPython" not in plan
 
 
 def test_distributed_generator_matches_local(spark):
