@@ -2,127 +2,190 @@
 
 This is the Trimmomatic-analog compute kernel (reference invocation:
 /root/reference/kneaddata/run.py:372-450; SLIDINGWINDOW semantics
-config.py:44). It runs inside ``mapInPandas`` over Arrow batches — the only
-python in the hot path is a short per-row loop dispatching numpy kernels
-(``np.frombuffer`` decode, ``np.add.reduceat`` frame energies); all sample
-math is numpy. No row-at-a-time Python UDFs anywhere (BASELINE input_hint).
+config.py:44). It runs as an Arrow-batched scalar pandas UDF: the `bytes`
+column crosses JVM->Python ONCE (decode needs it) and only a small struct
+of features comes back — the trimmed payload is re-sliced JVM-side from
+the original column (pipeline.bytes_trimmed_col), so no binary data ever
+travels Python->JVM. No row-at-a-time Python UDFs anywhere (BASELINE
+input_hint).
+
+The kernel is bandwidth-bound, so all sample math happens in the INTEGER
+domain across whole concatenated chunks of rows (one frombuffer, one
+squared-cumsum per ~8M-sample chunk) instead of per-row float pipelines:
+frame energy sums over int16 samples are exact in int64, and the clipping
+threshold |x/32768| >= 0.999 is exactly |x| >= 32736 on int16 (the float
+thresholds are representable, so integer comparison is bit-equivalent to
+the float oracle). This cuts per-sample memory traffic ~3x, which is what
+sets both single-core throughput and the N->4N scaling ceiling on a
+shared memory bus.
 
 Independent from ``oracle.decode_pcm``/``oracle.trim_bounds`` (per-row,
-loop-based) — parity between the two is what the tests measure.
+loop-based, float) — parity between the two is what the tests measure.
 """
 
 from __future__ import annotations
 
 import struct
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import rules
 
 _S16 = 32768.0
 _U8 = 128.0
+_CLIP_S16 = 32736      # smallest int16 magnitude with |x|/32768 >= CLIP_SAMPLE_THRESH
+_CHUNK_SAMPLES = 8_000_000  # ~16 MB of s16 per vectorized chunk
 
-# appended by the audio stage
-AUDIO_FEATURE_SCHEMA = (
-    "decode_ok boolean, n_samples bigint, trim_start bigint, trim_end bigint, "
-    "clip_frac double, bytes_trimmed binary"
+AUDIO_STRUCT = T.StructType(
+    [
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("trim_start", T.LongType()),
+        T.StructField("trim_end", T.LongType()),
+        T.StructField("clip_frac", T.DoubleType()),
+    ]
 )
 
 
-def _decode(raw, codec: str):
-    """bytes -> float32 PCM or None. Vectorized numpy reinterpretation."""
+def _payload(raw, codec: str):
+    """Validate bytes per codec -> (memoryview of sample payload, kind) or
+    None. kind is 's16' (pcm_s16le and the fake containers) or 'u8'.
+    Mirrors oracle.decode_pcm's validity rules exactly."""
     if raw is None or len(raw) == 0:
         return None
+    mv = memoryview(raw)
     if codec == "pcm_s16le":
         if len(raw) & 1:
             return None
-        return np.frombuffer(raw, dtype="<i2").astype(np.float32) * (1.0 / _S16)
+        return mv, "s16"
     if codec == "pcm_u8":
-        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) * (1.0 / _U8)
+        return mv, "u8"
     magic = rules.FAKE_MAGIC.get(codec)
     if magic is not None:
-        if len(raw) < 8 or bytes(raw[:4]) != magic:
+        if len(raw) < 8 or bytes(mv[:4]) != magic:
             return None
-        plen = struct.unpack("<I", raw[4:8])[0]
+        plen = struct.unpack("<I", mv[4:8])[0]
         if plen != len(raw) - 8 or plen & 1 or plen == 0:
             return None
-        return np.frombuffer(raw, dtype="<i2", offset=8).astype(np.float32) * (1.0 / _S16)
+        return mv[8:], "s16"
     return None
 
 
-def _slice_bytes(raw, codec: str, start: int, end: int):
-    """Exact byte-level slice of the encoded payload at sample boundaries —
-    re-decoding the slice reproduces the trimmed PCM bit-for-bit (the SNR
-    invariant is exact by construction)."""
-    if codec == "pcm_s16le":
-        return bytes(raw[2 * start : 2 * end])
-    if codec == "pcm_u8":
-        return bytes(raw[start:end])
-    magic = rules.FAKE_MAGIC[codec]
-    payload = bytes(raw[8 + 2 * start : 8 + 2 * end])
-    return magic + struct.pack("<I", len(payload)) + payload
+def _flush_chunk(rows: list, kind: str, out: dict) -> None:
+    """Vectorized trim + clip screen over one concatenated chunk.
 
-
-def _trim_bounds_vec(pcm: np.ndarray, sr: int) -> tuple[int, int]:
-    """Frame-RMS silence trim via one reduceat over cumulative energy."""
-    w = max(1, int(round(rules.TRIM_WIN_MS * sr / 1000.0)))
-    n = len(pcm)
-    starts = np.arange(0, n, w)
-    sq = pcm.astype(np.float64)
-    sq *= sq
-    sums = np.add.reduceat(sq, starts)
-    lens = np.minimum(starts + w, n) - starts
-    db = 20.0 * np.log10(np.sqrt(sums / lens) + 1e-10)
-    loud = np.nonzero(db >= rules.TRIM_DB_FLOOR)[0]
-    if len(loud) == 0:
-        return 0, 0
-    return int(starts[loud[0]]), int(min(n, starts[loud[-1]] + w))
-
-
-def audio_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: pass rows through, append AUDIO_FEATURE_SCHEMA cols.
-
-    Rows whose codec is not decodable (or already structurally invalid) get
-    decode_ok=False and NULL features; the rule verdict is derived later in
-    Column algebra so the canonical rule ORDER lives in one place.
+    rows: list of (row_index, payload_memoryview, n_samples, frame_width).
+    Frame energies are exact integer sums gathered from one int64 cumsum;
+    per-row first/last loud frame come from searchsorted on the (sorted)
+    frame->row map — no per-row numpy passes over sample data.
     """
-    for pdf in batches:
-        m = len(pdf)
-        ok = np.zeros(m, dtype=bool)
-        nsamp = np.zeros(m, dtype=np.int64)
-        t0 = np.zeros(m, dtype=np.int64)
-        t1 = np.zeros(m, dtype=np.int64)
-        cfrac = np.full(m, np.nan)
-        sliced: list = [None] * m
-        raws = pdf["bytes"].to_numpy()
-        codecs = pdf["codec"].to_numpy()
-        srs = pdf["sr_hz"].to_numpy()
-        durs = pdf["dur_ms"].to_numpy()
-        for i in range(m):
-            codec = codecs[i]
-            if codec not in rules.VALID_CODECS or srs[i] not in rules.VALID_SR_HZ:
-                continue
-            pcm = _decode(raws[i], codec)
-            if pcm is None:
-                continue
-            n_exp = round(int(durs[i]) * int(srs[i]) / 1000.0)
-            if n_exp <= 0 or abs(len(pcm) - n_exp) > rules.DECODE_LEN_RTOL * n_exp:
-                continue
-            ok[i] = True
-            nsamp[i] = len(pcm)
-            a, b = _trim_bounds_vec(pcm, int(srs[i]))
-            t0[i], t1[i] = a, b
-            if b > a:
-                seg = np.abs(pcm[a:b])
-                cfrac[i] = float(np.mean(seg >= rules.CLIP_SAMPLE_THRESH))
-                sliced[i] = _slice_bytes(raws[i], codec, a, b)
-        out = pdf.copy()
-        out["decode_ok"] = ok
-        out["n_samples"] = nsamp
-        out["trim_start"] = t0
-        out["trim_end"] = t1
-        out["clip_frac"] = cfrac
-        out["bytes_trimmed"] = pd.Series(sliced, index=pdf.index, dtype=object)
-        yield out
+    if not rows:
+        return
+    buf = b"".join(r[1] for r in rows)
+    if kind == "s16":
+        x = np.frombuffer(buf, dtype="<i2")
+        sq = np.multiply(x, x, dtype=np.int32)
+        scale2 = _S16 * _S16
+    else:
+        x8 = np.frombuffer(buf, dtype=np.uint8)
+        v = x8.astype(np.int16)
+        v -= 128
+        x = v
+        sq = np.multiply(v, v, dtype=np.int32)
+        scale2 = _U8 * _U8
+    cs = np.cumsum(sq, dtype=np.int64)
+
+    ns = np.array([r[2] for r in rows], dtype=np.int64)
+    ws = np.array([r[3] for r in rows], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(ns)])
+    # global frame starts; rows adjoin, so starts are strictly increasing
+    starts = np.concatenate(
+        [np.arange(0, n, w, dtype=np.int64) + off for n, w, off in zip(ns, ws, offs)]
+    )
+    nf = (ns + ws - 1) // ws                      # frames per row
+    fb = np.cumsum(nf)                            # frame-index row boundaries
+    row_end = np.repeat(offs[1:], nf)             # per-frame row end (samples)
+    ends = np.minimum(starts + np.repeat(ws, nf), row_end)
+    sums = cs[ends - 1] - np.where(starts > 0, cs[starts - 1], 0)
+    lens = ends - starts
+    db = 20.0 * np.log10(np.sqrt(sums / (lens * scale2)) + 1e-10)
+
+    loud_idx = np.flatnonzero(db >= rules.TRIM_DB_FLOOR)
+    # loud_idx is sorted; map frames->rows, take first/last loud per row
+    row_of = np.searchsorted(fb, loud_idx, side="right")
+    present, first_pos = np.unique(row_of, return_index=True)
+    last_pos = len(row_of) - 1 - np.unique(row_of[::-1], return_index=True)[1]
+    frame_base = np.concatenate([[0], fb])[present]
+    a = (loud_idx[first_pos] - frame_base) * ws[present]
+    b = np.minimum(ns[present], (loud_idx[last_pos] - frame_base + 1) * ws[present])
+
+    for j, ri in enumerate(present):
+        i = rows[ri][0]
+        aj, bj = int(a[j]), int(b[j])
+        out["trim_start"][i] = aj
+        out["trim_end"][i] = bj
+        if bj > aj:
+            seg = x[offs[ri] + aj : offs[ri] + bj]
+            if kind == "s16":
+                n_clip = int(np.count_nonzero(np.abs(seg) >= _CLIP_S16))
+            else:
+                n_clip = int(np.count_nonzero(seg == -128))
+            out["clip_frac"][i] = n_clip / (bj - aj)
+    rows.clear()
+
+
+def audio_features_batch(
+    raws: np.ndarray, codecs: np.ndarray, srs: np.ndarray, durs: np.ndarray
+) -> pd.DataFrame:
+    """One Arrow batch of clips -> AUDIO_STRUCT feature frame.
+
+    Rows whose codec/sample-rate is structurally invalid skip decode
+    entirely (the reference's serial cascade, run.py:77-86: dead rows do
+    not reach later, costlier kernels); the rule verdict itself is derived
+    later in Column algebra so the canonical rule ORDER lives in one place.
+    """
+    m = len(raws)
+    out = {
+        "decode_ok": np.zeros(m, dtype=bool),
+        "n_samples": np.zeros(m, dtype=np.int64),
+        "trim_start": np.zeros(m, dtype=np.int64),
+        "trim_end": np.zeros(m, dtype=np.int64),
+        "clip_frac": np.full(m, np.nan),
+    }
+    pend: dict[str, list] = {"s16": [], "u8": []}
+    pend_samples = {"s16": 0, "u8": 0}
+    for i in range(m):
+        codec = codecs[i]
+        if codec not in rules.VALID_CODECS or srs[i] not in rules.VALID_SR_HZ:
+            continue
+        p = _payload(raws[i], codec)
+        if p is None:
+            continue
+        mv, kind = p
+        n = len(mv) >> 1 if kind == "s16" else len(mv)
+        n_exp = round(int(durs[i]) * int(srs[i]) / 1000.0)
+        if n_exp <= 0 or abs(n - n_exp) > rules.DECODE_LEN_RTOL * n_exp:
+            continue
+        out["decode_ok"][i] = True
+        out["n_samples"][i] = n
+        w = max(1, int(round(rules.TRIM_WIN_MS * int(srs[i]) / 1000.0)))
+        pend[kind].append((i, mv, n, w))
+        pend_samples[kind] += n
+        if pend_samples[kind] >= _CHUNK_SAMPLES:
+            _flush_chunk(pend[kind], kind, out)
+            pend_samples[kind] = 0
+    for kind in ("s16", "u8"):
+        _flush_chunk(pend[kind], kind, out)
+    return pd.DataFrame(out)
+
+
+@F.pandas_udf(AUDIO_STRUCT)
+def audio_features(
+    raw: pd.Series, codec: pd.Series, sr_hz: pd.Series, dur_ms: pd.Series
+) -> pd.DataFrame:
+    return audio_features_batch(
+        raw.to_numpy(), codec.to_numpy(), sr_hz.to_numpy(), dur_ms.to_numpy()
+    )

@@ -1,13 +1,15 @@
 """Vectorized text stage: complexity features + model scores + PII scrub.
 
-- ``complexity_features``: Arrow-batched struct UDF computing the TRF /
-  FastQC analogs (char entropy, max token run, top-token fraction;
+- ``make_text_features_udf``: ONE Arrow-batched struct UDF computing the
+  TRF / FastQC analogs (char entropy, max token run, top-token fraction;
   reference semantics: /root/reference/kneaddata/run.py:452-480 TRF
-  anti-join, utilities.py:1094-1164 overrepresented sequences).
-- ``model_scores``: Arrow-batched struct UDF scoring the two broadcast
-  "databases" (lang-ID profiles + hashed-bigram LM), the bowtie2/BMTagger
-  analog (run.py:53-185, 213-274). Models arrive via ``sc.broadcast``;
-  deserialized once per python worker on first access.
+  anti-join, utilities.py:1094-1164 overrepresented sequences) AND the two
+  broadcast-model scores (lang-ID profiles + hashed-bigram LM), the
+  bowtie2/BMTagger analog (run.py:53-185, 213-274). Models arrive via
+  ``sc.broadcast``; deserialized once per python worker on first access.
+  Model scoring is gated on the cheap complexity screens (the reference's
+  serial cascade, run.py:77-86, vectorized): rows already dead to an
+  earlier text rule skip the costlier scorers.
 - ``scrub_col``: pure Column-algebra regexp_replace chain (ILLUMINACLIP
   analog, config.py:42-43) — JVM-side, whole-stage-codegen'd, zero Python.
 """
@@ -22,17 +24,12 @@ from pyspark.sql import types as T
 
 from .. import rules
 
-COMPLEXITY_SCHEMA = T.StructType(
+TEXT_STRUCT = T.StructType(
     [
         T.StructField("entropy", T.DoubleType()),
         T.StructField("max_run", T.IntegerType()),
         T.StructField("top_frac", T.DoubleType()),
         T.StructField("n_tokens", T.IntegerType()),
-    ]
-)
-
-SCORES_SCHEMA = T.StructType(
-    [
         T.StructField("lang", T.StringType()),
         T.StructField("lang_conf", T.DoubleType()),
         T.StructField("ppl", T.DoubleType()),
@@ -71,30 +68,47 @@ def _entropy_batch(texts: pd.Series) -> pd.DataFrame:
     )
 
 
-@F.pandas_udf(COMPLEXITY_SCHEMA)
-def complexity_features(texts: pd.Series) -> pd.DataFrame:
-    return _entropy_batch(texts)
+def text_features_batch(texts: pd.Series, langid, pplm) -> pd.DataFrame:
+    """Complexity features for every row; model scores gated on the cheap
+    screens (same float64 arithmetic the Column verdict reproduces)."""
+    m = len(texts)
+    cx = _entropy_batch(texts)
+    tlen = texts.fillna("").str.strip().str.len().to_numpy()
+    alive = tlen >= rules.MIN_TRANSCRIPT_CHARS
+    cx_ok = (
+        (cx["entropy"].to_numpy() >= rules.MIN_CHAR_ENTROPY_BITS)
+        & (cx["max_run"].to_numpy() <= rules.MAX_TOKEN_RUN)
+        & ~(
+            (cx["n_tokens"].to_numpy() >= rules.TOP_TOKEN_MIN_TOKENS)
+            & (cx["top_frac"].to_numpy() > rules.MAX_TOP_TOKEN_FRAC)
+        )
+    )
+    score_mask = alive & cx_ok
+    langs = np.full(m, "und", dtype=object)
+    confs = np.zeros(m, dtype=np.float64)
+    ppls = np.full(m, np.nan)
+    idx = np.nonzero(score_mask)[0]
+    if len(idx):
+        sub = texts.to_numpy()[idx].tolist()
+        sl, sc = langid.score_batch(sub)
+        sp = pplm.ppl_batch(sub)
+        langs[idx] = sl
+        confs[idx] = sc
+        ppls[idx] = sp
+    cx["lang"] = langs
+    cx["lang_conf"] = confs
+    cx["ppl"] = ppls
+    return cx
 
 
-def make_model_scores_udf(langid_bc, ppl_bc):
+def make_text_features_udf(langid_bc, ppl_bc):
     """Struct pandas UDF closed over the two broadcast model artifacts."""
 
-    @F.pandas_udf(SCORES_SCHEMA)
-    def model_scores(texts: pd.Series) -> pd.DataFrame:
-        langid = langid_bc.value
-        pplm = ppl_bc.value
-        vals = texts.tolist()
-        langs, confs = langid.score_batch(vals)
-        ppls = pplm.ppl_batch(vals)
-        return pd.DataFrame(
-            {
-                "lang": pd.Series(langs, dtype=object),
-                "lang_conf": confs.astype(np.float64),
-                "ppl": ppls,
-            }
-        )
+    @F.pandas_udf(TEXT_STRUCT)
+    def text_features(texts: pd.Series) -> pd.DataFrame:
+        return text_features_batch(texts, langid_bc.value, ppl_bc.value)
 
-    return model_scores
+    return text_features
 
 
 def scrub_col(col: Column) -> Column:

@@ -9,10 +9,17 @@ Here every stage appends columns; the verdict is a single when-chain in
 partitioned tables plus a metrics table.
 
 Physical shape (the 100 TB argument):
- - the hot path is MAP-ONLY: scan -> ONE fused mapInPandas (audio decode/
-   trim + text complexity + broadcast model scores, functions/qc_kernel.py)
-   -> Column-algebra verdict -> partitioned write. Zero shuffles, one
+ - the hot path is MAP-ONLY: scan -> ONE ArrowEvalPython stage holding two
+   independent scalar pandas UDFs (audio decode/trim over `bytes`;
+   text complexity + broadcast model scores over `transcript`) ->
+   Column-algebra verdict -> partitioned write. Zero shuffles, one
    JVM<->Arrow round trip; metrics ride the write via observe().
+ - the Arrow boundary is ASYMMETRIC by design: the heavy `bytes` column
+   crosses JVM->Python once (decode needs it) but ONLY small feature
+   structs come back — the trimmed payload is re-sliced JVM-side from the
+   original column via binary substring/concat (bytes_trimmed_col). At
+   ~80 KB audio per row, echoing binaries Python->JVM measurably costs
+   more than the entire decode kernel; this plan never does it.
  - model artifacts are broadcast once (bowtie2-index analog).
  - binary column is pruned from the text-side expressions by Catalyst;
    the scan never reads columns a stage does not use.
@@ -27,11 +34,10 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from . import rules
-from .functions.qc_kernel import QC_FEATURE_SCHEMA, make_qc_stage
-from .functions.text import scrub_col
+from .functions.audio import audio_features
+from .functions.text import make_text_features_udf, scrub_col
 from .models import train_langid, train_perplexity
 
 
@@ -43,14 +49,55 @@ def broadcast_models(spark: SparkSession):
     return sc.broadcast(train_langid()), sc.broadcast(train_perplexity())
 
 
+def bytes_trimmed_col() -> F.Column:
+    """Trimmed payload re-sliced from the ORIGINAL `bytes` column, pure JVM
+    binary algebra (substring/concat/unhex) over the UDF's sample bounds —
+    re-decoding the slice reproduces the trimmed PCM bit-for-bit, so the
+    SNR invariant is exact by construction and no binary ever crosses
+    Python->JVM."""
+    pcm16 = F.expr("substring(bytes, 2*trim_start + 1, 2*(trim_end - trim_start))")
+    pcmu8 = F.expr("substring(bytes, trim_start + 1, trim_end - trim_start)")
+    # fake flac/opus/mp3 container: 4-byte magic + LE-u32 payload length +
+    # s16le payload (rules.FAKE_MAGIC; real codec libs absent here)
+    fake = F.expr(
+        """
+        concat(
+          substring(bytes, 1, 4),
+          unhex(concat(
+            lpad(hex((2*(trim_end - trim_start)) % 256), 2, '0'),
+            lpad(hex(((2*(trim_end - trim_start)) div 256) % 256), 2, '0'),
+            lpad(hex(((2*(trim_end - trim_start)) div 65536) % 256), 2, '0'),
+            lpad(hex(((2*(trim_end - trim_start)) div 16777216) % 256), 2, '0'))),
+          substring(bytes, 9 + 2*trim_start, 2*(trim_end - trim_start)))
+        """
+    )
+    return (
+        F.when(~F.col("decode_ok") | (F.col("trim_end") <= F.col("trim_start")), F.lit(None).cast("binary"))
+        .when(F.col("codec") == "pcm_s16le", pcm16)
+        .when(F.col("codec") == "pcm_u8", pcmu8)
+        .otherwise(fake)
+    )
+
+
 def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
     """Append every rule column + drop_rule + keep. Pure transformation.
 
-    ONE fused mapInPandas stage (functions/qc_kernel.py) emits all feature
-    columns — a single JVM<->Arrow round trip; the verdict below is pure
-    Column algebra over those features (whole-stage codegen)."""
-    out_schema = T.StructType(list(df.schema) + list(T.StructType.fromDDL(QC_FEATURE_SCHEMA)))
-    a = df.mapInPandas(make_qc_stage(langid_bc, ppl_bc), schema=out_schema)
+    ONE ArrowEvalPython stage evaluates both scalar pandas UDFs (audio over
+    `bytes`, text+models over `transcript`) in a single JVM<->Arrow round
+    trip returning only small structs; the verdict below is pure Column
+    algebra over those features (whole-stage codegen)."""
+    text_features = make_text_features_udf(langid_bc, ppl_bc)
+    a = (
+        df.withColumns(
+            {
+                "_af": audio_features("bytes", "codec", "sr_hz", "dur_ms"),
+                "_tf": text_features("transcript"),
+            }
+        )
+        .select("*", "_af.*", "_tf.*")
+        .drop("_af", "_tf")
+    )
+    a = a.withColumn("bytes_trimmed", bytes_trimmed_col())
 
     # try_divide: sr_hz=0 rows (sr_invalid) must not abort under ANSI mode
     sr = F.col("sr_hz").cast("double")
@@ -179,6 +226,9 @@ def run_qc(
     )
     out_path = f"{out_dir}/clips_qc"
     out.write.mode("overwrite").partitionBy("status").parquet(out_path)
+    # observe() sums are NULL over an empty input; normalize to 0 so callers
+    # can always do arithmetic on the counters (kneaddata's empty-file gate)
+    metrics = {k: (0 if v is None else v) for k, v in obs.get.items()}
     return QcResult(
-        out_path=out_path, kept_path=f"{out_path}/status=kept", metrics=dict(obs.get)
+        out_path=out_path, kept_path=f"{out_path}/status=kept", metrics=metrics
     )

@@ -10,6 +10,10 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app: str = "kneaddata_spark", master: str | None = None, cores: int | None = None) -> SparkSession:
+    # one python worker per core is the parallelism unit; BLAS/OpenMP fan-out
+    # inside numpy would oversubscribe and wreck N->4N scaling
+    for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(v, "1")
     if master is None:
         cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         master = f"local[{cores}]"

@@ -69,9 +69,11 @@ def test_no_row_at_a_time_python_in_plan(spark, clips_path):
     ann = annotate(df, *broadcast_models(spark))
     plan = ann._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plan
-    # exactly ONE python stage: the fused kernel (no chained Arrow hops)
-    assert plan.count("MapInPandas") == 1 and "ArrowEvalPython" not in plan
+    # exactly ONE python stage: both scalar pandas UDFs (audio + text) are
+    # planned into a single ArrowEvalPython node — one Arrow round trip,
+    # and the `bytes` column never travels Python->JVM (no MapInPandas echo)
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "MapInPandas" not in plan
 
 
 def test_distributed_generator_matches_local(spark):
