@@ -84,6 +84,62 @@ def lang_stopword_votes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return out.withColumn("pred_lang", F.when(best > 0, pred).otherwise("und"))
 
 
+def overrepresented_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, min_count: int = 30
+) -> DataFrame:
+    """FastQC overrepresented-sequence harvest (A6/F5 analog,
+    /root/reference/kneaddata/utilities.py:1094-1164): corpus-level n-gram
+    frequency aggregation; grams above min_count are 'adapters'."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
+        f"i -> array_join(slice(tokens, i, {n}), ' '))"
+    )
+    return (
+        df.select(toks.alias("tokens"))
+        .select(F.explode(grams).alias("ngram"))
+        .where(F.col("ngram") != "")
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n_occ"))
+        .where(F.col("n_occ") >= min_count)
+    )
+
+
+def adaptive_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_count: int = 30,
+    repl: str = "<DUP>",
+) -> DataFrame:
+    """F5 two-phase adaptive trim (--run-trim-repetitive,
+    /root/reference/kneaddata/utilities.py:1094-1164 + knead_data.py:519-532):
+    phase 1 aggregates corpus statistics (overrepresented n-grams), phase 2
+    rewrites every row with a plan PARAMETERIZED by those statistics — the
+    reference's 'statistics-dependent plan parameter' shape (FastQC report
+    -> adapter file -> re-trim), as one small agg job + one map job.
+
+    The harvested gram set is tiny by construction (count >= min_count
+    bounds it at |corpus tokens| / min_count) -> collected to the driver
+    and compiled into one alternation regex, longest-first so Java/RE2
+    leftmost-first alternation is deterministic and engine-portable."""
+    grams = [
+        r["ngram"]
+        for r in overrepresented_ngrams(df, text_col, n, min_count).collect()
+    ]
+    if not grams:
+        return df.select(F.col(id_col), F.lower(F.col(text_col)).alias("scrubbed"))
+    grams.sort(key=lambda g: (-len(g), g))
+    import re as _re
+
+    pat = "|".join(_re.escape(g) for g in grams)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.col(text_col)), pat, repl).alias("scrubbed"),
+    )
+
+
 def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Order-sensitive document fingerprint: position-weighted sum of
     portable token hashes mod 2^61 (rolling-hash flavor; deterministic and

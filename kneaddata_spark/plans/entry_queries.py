@@ -662,6 +662,31 @@ def doc_fingerprint_q(spark, sf):
     return textstats.doc_fingerprint(d, "doc_id", "text")
 
 
+@q(
+    "adaptive_scrub",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS tokens FROM documents),
+    g AS (
+      SELECT tokens[i] || ' ' || tokens[i+1] AS ngram
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 1, 0))) AS i)
+    ),
+    hot AS (SELECT ngram FROM g WHERE ngram <> '' GROUP BY ngram HAVING count(*) >= 40),
+    pat AS (SELECT string_agg(ngram, '|' ORDER BY length(ngram) DESC, ngram ASC) AS p FROM hot)
+    SELECT doc_id,
+           CASE WHEN (SELECT p FROM pat) IS NULL THEN lower(text)
+                ELSE regexp_replace(lower(text), (SELECT p FROM pat), '<DUP>', 'g')
+           END AS scrubbed
+    FROM t
+    """,
+)
+def adaptive_scrub_q(spark, sf):
+    """F5 two-phase adaptive trim: corpus-statistics harvest parameterizes
+    the scrub plan (the reference's FastQC -> adapter-file -> re-trim loop,
+    utilities.py:1094-1164)."""
+    d = _t(spark, sf, "documents")
+    return textstats.adaptive_scrub(d, "doc_id", "text", n=2, min_count=40)
+
+
 # --- dedup family ----------------------------------------------------------
 
 
@@ -848,6 +873,27 @@ def tumbling_window(spark, sf):
 
 
 # --- the domain pipeline (rows-only: binary audio semantics not in SQL) ----
+
+
+@q("qc_stream_counts")
+def qc_stream_counts(spark, sf):
+    """Structured Streaming QC demo (rows-only: streaming execution is not
+    ANSI-SQL-expressible; the pytest suite asserts stream==batch parity).
+    Stages a deterministic clip table as a file source, drains it with an
+    availableNow trigger through the SAME annotate() plan, and returns the
+    per-status counts from the streamed output table."""
+    import tempfile
+
+    from ..streaming import stream_qc
+    from ..streaming.qc_stream import status_counts
+    from ..synth import clips_spark_df
+
+    base = tempfile.mkdtemp(prefix="qc_stream_")
+    src, out, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    clips_spark_df(spark, 400, n_partitions=4).write.mode("overwrite").parquet(src)
+    q = stream_qc(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    return status_counts(spark, out)
 
 
 @q("qc_pipeline_clips")
