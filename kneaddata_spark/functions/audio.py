@@ -2,22 +2,24 @@
 
 This is the Trimmomatic-analog compute kernel (reference invocation:
 /root/reference/kneaddata/run.py:372-450; SLIDINGWINDOW semantics
-config.py:44). It runs as an Arrow-batched scalar pandas UDF: the `bytes`
-column crosses JVM->Python ONCE (decode needs it) and only a small struct
-of features comes back — the trimmed payload is re-sliced JVM-side from
-the original column (pipeline.bytes_trimmed_col), so no binary data ever
-travels Python->JVM. No row-at-a-time Python UDFs anywhere (BASELINE
+config.py:44). It runs as a native Arrow UDF (`F.arrow_udf`): the `bytes`
+column crosses JVM->Python ONCE as a pyarrow BinaryArray and is read
+ZERO-COPY from the Arrow buffers — no per-row Python `bytes` objects are
+ever materialized (~80 KB/row of object churn avoided). Only a small
+struct of features comes back; the trimmed payload is re-sliced JVM-side
+from the original column (pipeline.bytes_trimmed_col), so no binary data
+ever travels Python->JVM. No row-at-a-time Python UDFs anywhere (BASELINE
 input_hint).
 
 The kernel is bandwidth-bound, so all sample math happens in the INTEGER
-domain across whole concatenated chunks of rows (one frombuffer, one
-squared-cumsum per ~8M-sample chunk) instead of per-row float pipelines:
-frame energy sums over int16 samples are exact in int64, and the clipping
-threshold |x/32768| >= 0.999 is exactly |x| >= 32736 on int16 (the float
-thresholds are representable, so integer comparison is bit-equivalent to
-the float oracle). This cuts per-sample memory traffic ~3x, which is what
-sets both single-core throughput and the N->4N scaling ceiling on a
-shared memory bus.
+domain across whole concatenated chunks of rows (one squared int32
+multiply + one int64 cumsum per ~8M-sample chunk) instead of per-row float
+pipelines: frame energy sums over int16 samples are exact in int64, and
+the clipping threshold |x/32768| >= 0.999 is exactly |x| >= 32736 on int16
+(the float thresholds are representable, so integer comparison is
+bit-equivalent to the float oracle). This cuts per-sample memory traffic
+~3x, which is what sets both single-core throughput and the N->4N scaling
+ceiling on a shared memory bus.
 
 Independent from ``oracle.decode_pcm``/``oracle.trim_bounds`` (per-row,
 loop-based, float) — parity between the two is what the tests measure.
@@ -25,10 +27,9 @@ loop-based, float) — parity between the two is what the tests measure.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -50,56 +51,32 @@ AUDIO_STRUCT = T.StructType(
 )
 
 
-def _payload(raw, codec: str):
-    """Validate bytes per codec -> (memoryview of sample payload, kind) or
-    None. kind is 's16' (pcm_s16le and the fake containers) or 'u8'.
-    Mirrors oracle.decode_pcm's validity rules exactly."""
-    if raw is None or len(raw) == 0:
-        return None
-    mv = memoryview(raw)
-    if codec == "pcm_s16le":
-        if len(raw) & 1:
-            return None
-        return mv, "s16"
-    if codec == "pcm_u8":
-        return mv, "u8"
-    magic = rules.FAKE_MAGIC.get(codec)
-    if magic is not None:
-        if len(raw) < 8 or bytes(mv[:4]) != magic:
-            return None
-        plen = struct.unpack("<I", mv[4:8])[0]
-        if plen != len(raw) - 8 or plen & 1 or plen == 0:
-            return None
-        return mv[8:], "s16"
-    return None
-
-
-def _flush_chunk(rows: list, kind: str, out: dict) -> None:
+def _flush_chunk(rows: list, kind: str, data: np.ndarray, out: dict) -> None:
     """Vectorized trim + clip screen over one concatenated chunk.
 
-    rows: list of (row_index, payload_memoryview, n_samples, frame_width).
-    Frame energies are exact integer sums gathered from one int64 cumsum;
-    per-row first/last loud frame come from searchsorted on the (sorted)
+    rows: list of (row_index, payload_start, payload_end, n_samples,
+    frame_width) into `data` (the batch's shared uint8 buffer). Frame
+    energies are exact integer sums gathered from one int64 cumsum; per-row
+    first/last loud frame come from searchsorted on the (sorted)
     frame->row map — no per-row numpy passes over sample data.
     """
     if not rows:
         return
-    buf = b"".join(r[1] for r in rows)
+    buf = np.concatenate([data[r[1] : r[2]] for r in rows])
     if kind == "s16":
-        x = np.frombuffer(buf, dtype="<i2")
+        x = buf.view("<i2")
         sq = np.multiply(x, x, dtype=np.int32)
         scale2 = _S16 * _S16
     else:
-        x8 = np.frombuffer(buf, dtype=np.uint8)
-        v = x8.astype(np.int16)
+        v = buf.astype(np.int16)
         v -= 128
         x = v
         sq = np.multiply(v, v, dtype=np.int32)
         scale2 = _U8 * _U8
     cs = np.cumsum(sq, dtype=np.int64)
 
-    ns = np.array([r[2] for r in rows], dtype=np.int64)
-    ws = np.array([r[3] for r in rows], dtype=np.int64)
+    ns = np.array([r[3] for r in rows], dtype=np.int64)
+    ws = np.array([r[4] for r in rows], dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(ns)])
     # global frame starts; rows adjoin, so starts are strictly increasing
     starts = np.concatenate(
@@ -137,55 +114,161 @@ def _flush_chunk(rows: list, kind: str, out: dict) -> None:
     rows.clear()
 
 
-def audio_features_batch(
-    raws: np.ndarray, codecs: np.ndarray, srs: np.ndarray, durs: np.ndarray
-) -> pd.DataFrame:
-    """One Arrow batch of clips -> AUDIO_STRUCT feature frame.
+def audio_features_core(
+    data: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    codecs: np.ndarray,
+    srs: np.ndarray,
+    durs: np.ndarray,
+) -> dict:
+    """Batch kernel over a shared uint8 buffer + per-row [start, end) byte
+    bounds. Validation is vectorized (structural gates, container magic /
+    length checks mirror oracle.decode_pcm exactly); rows failing the
+    structural gates never reach the sample math (the reference's serial
+    cascade, run.py:77-86)."""
+    m = len(codecs)
+    nb = (ends - starts).astype(np.int64)
+    valid_struct = np.isin(codecs, rules.VALID_CODECS) & np.isin(
+        np.asarray(srs, dtype=np.int64), rules.VALID_SR_HZ
+    )
 
-    Rows whose codec/sample-rate is structurally invalid skip decode
-    entirely (the reference's serial cascade, run.py:77-86: dead rows do
-    not reach later, costlier kernels); the rule verdict itself is derived
-    later in Column algebra so the canonical rule ORDER lives in one place.
-    """
-    m = len(raws)
+    is_s16 = codecs == "pcm_s16le"
+    is_u8 = codecs == "pcm_u8"
+    pay_start = starts.astype(np.int64).copy()
+    n_samples = np.zeros(m, dtype=np.int64)
+    decodable = np.zeros(m, dtype=bool)
+
+    sel = valid_struct & is_s16 & (nb > 0) & (nb % 2 == 0)
+    decodable |= sel
+    n_samples[sel] = nb[sel] >> 1
+
+    sel = valid_struct & is_u8 & (nb > 0)
+    decodable |= sel
+    n_samples[sel] = nb[sel]
+
+    # fake flac/opus/mp3 containers: 4-byte magic + LE-u32 payload length
+    for codec, magic in rules.FAKE_MAGIC.items():
+        sel = valid_struct & (codecs == codec) & (nb >= 8)
+        if not sel.any():
+            continue
+        idx = np.nonzero(sel)[0]
+        s = starts[idx].astype(np.int64)
+        ok = np.ones(len(idx), dtype=bool)
+        for k in range(4):
+            ok &= data[s + k] == magic[k]
+        plen = (
+            data[s + 4].astype(np.int64)
+            | (data[s + 5].astype(np.int64) << 8)
+            | (data[s + 6].astype(np.int64) << 16)
+            | (data[s + 7].astype(np.int64) << 24)
+        )
+        ok &= (plen == nb[idx] - 8) & (plen % 2 == 0) & (plen > 0)
+        good = idx[ok]
+        decodable[good] = True
+        n_samples[good] = (nb[good] - 8) >> 1
+        pay_start[good] += 8
+
+    # decoded length must match dur_ms * sr_hz within tolerance
+    n_exp = np.round(durs.astype(np.float64) * srs.astype(np.float64) / 1000.0)
+    ok_rows = (
+        decodable
+        & (n_exp > 0)
+        & (np.abs(n_samples - n_exp) <= rules.DECODE_LEN_RTOL * n_exp)
+    )
+
     out = {
-        "decode_ok": np.zeros(m, dtype=bool),
-        "n_samples": np.zeros(m, dtype=np.int64),
+        "decode_ok": ok_rows,
+        "n_samples": np.where(ok_rows, n_samples, 0),
         "trim_start": np.zeros(m, dtype=np.int64),
         "trim_end": np.zeros(m, dtype=np.int64),
         "clip_frac": np.full(m, np.nan),
     }
-    pend: dict[str, list] = {"s16": [], "u8": []}
-    pend_samples = {"s16": 0, "u8": 0}
-    for i in range(m):
-        codec = codecs[i]
-        if codec not in rules.VALID_CODECS or srs[i] not in rules.VALID_SR_HZ:
-            continue
-        p = _payload(raws[i], codec)
-        if p is None:
-            continue
-        mv, kind = p
-        n = len(mv) >> 1 if kind == "s16" else len(mv)
-        n_exp = round(int(durs[i]) * int(srs[i]) / 1000.0)
-        if n_exp <= 0 or abs(n - n_exp) > rules.DECODE_LEN_RTOL * n_exp:
-            continue
-        out["decode_ok"][i] = True
-        out["n_samples"][i] = n
-        w = max(1, int(round(rules.TRIM_WIN_MS * int(srs[i]) / 1000.0)))
-        pend[kind].append((i, mv, n, w))
-        pend_samples[kind] += n
-        if pend_samples[kind] >= _CHUNK_SAMPLES:
-            _flush_chunk(pend[kind], kind, out)
-            pend_samples[kind] = 0
-    for kind in ("s16", "u8"):
-        _flush_chunk(pend[kind], kind, out)
-    return pd.DataFrame(out)
-
-
-@F.pandas_udf(AUDIO_STRUCT)
-def audio_features(
-    raw: pd.Series, codec: pd.Series, sr_hz: pd.Series, dur_ms: pd.Series
-) -> pd.DataFrame:
-    return audio_features_batch(
-        raw.to_numpy(), codec.to_numpy(), sr_hz.to_numpy(), dur_ms.to_numpy()
+    win = np.maximum(
+        1, np.round(rules.TRIM_WIN_MS * srs.astype(np.float64) / 1000.0).astype(np.int64)
     )
+    pend: dict[str, list] = {"s16": [], "u8": []}
+    pend_n = {"s16": 0, "u8": 0}
+    for i in np.nonzero(ok_rows)[0]:
+        kind = "u8" if is_u8[i] else "s16"
+        ps = int(pay_start[i])
+        n = int(n_samples[i])
+        pend[kind].append((int(i), ps, ps + (n if kind == "u8" else 2 * n), n, int(win[i])))
+        pend_n[kind] += n
+        if pend_n[kind] >= _CHUNK_SAMPLES:
+            _flush_chunk(pend[kind], kind, data, out)
+            pend_n[kind] = 0
+    for kind in ("s16", "u8"):
+        _flush_chunk(pend[kind], kind, data, out)
+    return out
+
+
+def _binary_bounds(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (data, starts, ends) view of a pyarrow Binary/LargeBinary
+    array (honoring slice offset). Null rows read as zero-length."""
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
+    o = arr.offset
+    starts = offs[o : o + len(arr)].astype(np.int64)
+    ends = offs[o + 1 : o + len(arr) + 1].astype(np.int64)
+    buf = arr.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)
+        if buf is not None and len(buf) > 0
+        else np.zeros(1, dtype=np.uint8)
+    )
+    return data, starts, ends
+
+
+@F.arrow_udf(AUDIO_STRUCT)
+def audio_features(
+    raw: pa.Array, codec: pa.Array, sr_hz: pa.Array, dur_ms: pa.Array
+) -> pa.Array:
+    data, starts, ends = _binary_bounds(raw)
+    out = audio_features_core(
+        data,
+        starts,
+        ends,
+        np.asarray(codec.to_pylist(), dtype=object),
+        sr_hz.to_numpy(zero_copy_only=False).astype(np.int64),
+        dur_ms.to_numpy(zero_copy_only=False).astype(np.int64),
+    )
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(out["decode_ok"]),
+            pa.array(out["n_samples"]),
+            pa.array(out["trim_start"]),
+            pa.array(out["trim_end"]),
+            pa.array(out["clip_frac"]),
+        ],
+        names=["decode_ok", "n_samples", "trim_start", "trim_end", "clip_frac"],
+    )
+
+
+def audio_features_batch(
+    raws: np.ndarray, codecs: np.ndarray, srs: np.ndarray, durs: np.ndarray
+) -> pd.DataFrame:
+    """Test/oracle adapter over Python bytes objects: concatenate into the
+    shared-buffer layout and run the same core."""
+    lens = np.array([0 if r is None else len(r) for r in raws], dtype=np.int64)
+    bounds = np.concatenate([[0], np.cumsum(lens)])
+    data = (
+        np.frombuffer(b"".join(bytes(r) for r in raws if r is not None), dtype=np.uint8)
+        if lens.sum()
+        else np.zeros(1, dtype=np.uint8)
+    )
+    # rebuild starts honoring None rows (zero-length)
+    starts = np.zeros(len(raws), dtype=np.int64)
+    ends = np.zeros(len(raws), dtype=np.int64)
+    pos = 0
+    for i, r in enumerate(raws):
+        starts[i] = pos
+        if r is not None:
+            pos += len(r)
+        ends[i] = pos
+    assert pos == bounds[-1]
+    out = audio_features_core(
+        data, starts, ends, np.asarray(codecs, dtype=object),
+        np.asarray(srs, dtype=np.int64), np.asarray(durs, dtype=np.int64)
+    )
+    return pd.DataFrame(out)

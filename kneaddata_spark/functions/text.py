@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -102,11 +103,27 @@ def text_features_batch(texts: pd.Series, langid, pplm) -> pd.DataFrame:
 
 
 def make_text_features_udf(langid_bc, ppl_bc):
-    """Struct pandas UDF closed over the two broadcast model artifacts."""
+    """Struct Arrow UDF closed over the two broadcast model artifacts.
 
-    @F.pandas_udf(TEXT_STRUCT)
-    def text_features(texts: pd.Series) -> pd.DataFrame:
-        return text_features_batch(texts, langid_bc.value, ppl_bc.value)
+    arrow_udf (not pandas_udf) so it shares ONE ArrowEvalPython node with
+    the audio kernel (same eval type -> Spark plans them together: one
+    JVM<->Python round trip for the whole feature stage)."""
+
+    @F.arrow_udf(TEXT_STRUCT)
+    def text_features(texts: pa.Array) -> pa.Array:
+        pdf = text_features_batch(texts.to_pandas(), langid_bc.value, ppl_bc.value)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(pdf["entropy"].to_numpy(), type=pa.float64()),
+                pa.array(pdf["max_run"].to_numpy(), type=pa.int32()),
+                pa.array(pdf["top_frac"].to_numpy(), type=pa.float64()),
+                pa.array(pdf["n_tokens"].to_numpy(), type=pa.int32()),
+                pa.array(pdf["lang"].to_numpy(), type=pa.string()),
+                pa.array(pdf["lang_conf"].to_numpy(), type=pa.float64()),
+                pa.array(pdf["ppl"].to_numpy(), type=pa.float64()),
+            ],
+            names=["entropy", "max_run", "top_frac", "n_tokens", "lang", "lang_conf", "ppl"],
+        )
 
     return text_features
 
