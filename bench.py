@@ -121,6 +121,17 @@ def main() -> None:
         "n_clips": n_clips,
         "cpus": CPUS,
     }
+    # attach the (separately measured) N vs 4N scaling evidence if present
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            s = json.load(f)
+        out["scaling"] = {
+            "pair": s.get("headline", {}).get("pair"),
+            "speedup_N_to_4N": s.get("headline", {}).get("speedup"),
+            "scaling_efficiency": s.get("headline", {}).get("scaling_efficiency"),
+            "throughput_curve_clips_per_sec": s.get("throughput_curve_clips_per_sec"),
+        }
     print(json.dumps(out))
     spark.stop()
 

@@ -505,6 +505,46 @@ def classify_pairs_q(spark, sf):
 
 
 @q(
+    "combine_pair_outputs",
+    """
+    SELECT DISTINCT a.l_orderkey, a.mate FROM
+      (SELECT l_orderkey, l_linenumber % 2 + 1 AS mate FROM lineitem WHERE l_quantity > 10) a
+    WHERE EXISTS (
+      SELECT 1 FROM (SELECT l_orderkey, l_linenumber % 2 + 1 AS mate
+                     FROM lineitem WHERE l_discount > 0.02) b
+      WHERE b.l_orderkey = a.l_orderkey AND b.mate = a.mate)
+    """,
+)
+def combine_pair_outputs_q(spark, sf):
+    """J2: per-mate k-way intersection (run.py:303-344) — a (key, mate)
+    pair survives only if present in every database's output."""
+    li = _t(spark, sf, "lineitem")
+    mate = (F.col("l_linenumber") % 2 + 1).alias("mate")
+    a = li.where("l_quantity > 10").select("l_orderkey", mate)
+    b = li.where("l_discount > 0.02").select("l_orderkey", mate)
+    out = setops.combine_pair_outputs([a, b], key="l_orderkey", mate_col="mate")
+    return out.distinct()
+
+
+@q(
+    "phred_mean",
+    """
+    SELECT doc_id, round(q.m - 33, 4) AS mean_phred FROM documents,
+    LATERAL (SELECT avg(ascii(c)) AS m
+             FROM unnest(string_split(substring(text, 1, 20), '')) AS t(c)) q
+    """,
+)
+def phred_mean_q(spark, sf):
+    """C8: phred33 mean quality of an ASCII quality string (config.py:52-53)
+    — demonstrated over a 20-char text prefix standing in for `qual`."""
+    from ..functions.scalars import phred33_mean
+
+    d = _t(spark, sf, "documents")
+    qual = F.substring("text", 1, 20)
+    return d.select("doc_id", F.round(phred33_mean(qual), 4).alias("mean_phred"))
+
+
+@q(
     "first_occurrence_dedup",
     """
     SELECT doc_id, lang, source FROM documents
