@@ -1,0 +1,58 @@
+"""Skew handling — the north_rule's "explicit salting for skewed
+language/codec buckets" as first-class operators.
+
+The clip corpus is deliberately skewed (en≈58% of langs, pcm_s16le≈52% of
+codecs; synth.py LANG_P/CODEC_P), mirroring real web corpora. Two tools:
+
+- ``salted_join``: equi-join a skewed fact table to a small dimension
+  without one reducer owning the hot key: the fact side gets a random-but-
+  deterministic salt in [0, n_salts); the dim side is exploded n_salts
+  ways; the join key becomes (key, salt), splitting each hot key across
+  n_salts reducers. Result identical to the plain join (oracle-checked).
+  At broadcast-able dim sizes prefer broadcast(dim) — salting is for when
+  BOTH the dim is too big to broadcast AND keys are skewed (else AQE's
+  skew-join handles sort-merge skew automatically; this operator is the
+  explicit, planner-independent form).
+- ``salted_group_count``: two-phase aggregation by a skewed key with an
+  explicit salt (partial per (key, salt), then final per key). Spark's
+  hash aggregation already does map-side partial combine; the explicit
+  form exists for parity with the north_rule and for aggregations where
+  partial combine is disabled (e.g. collect_list-style).
+
+Salt derivation is deterministic (xxhash64 of the row id) so reruns are
+idempotent — no rand() in the plan (rand breaks retry determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_src: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join fact⋈dim on `key`, splitting each (possibly hot) key across
+    n_salts partitions. `salt_src` is a high-cardinality fact column the
+    deterministic salt derives from (e.g. the row id)."""
+    f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
+    d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_group_count(
+    df: DataFrame, key: str, salt_src: str, n_salts: int = 8
+) -> DataFrame:
+    """count(*) by skewed `key` via explicit two-phase (salted) aggregation:
+    groupBy(key, salt) partials, then groupBy(key) final sum."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__n"))
+    return partial.groupBy(key).agg(F.sum("__n").alias("n"))

@@ -573,6 +573,45 @@ def reorder_emit(spark, sf):
     return li.select("l_orderkey", "l_linenumber").withColumn("rank", F.row_number().over(w))
 
 
+@q(
+    "salted_join_skew",
+    """
+    SELECT o.o_orderpriority, count(*) AS n, round(sum(l.l_extendedprice), 2) AS price
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_skew_q(spark, sf):
+    """Explicit skew-salting (north_rule): fact rows salted by a
+    deterministic hash, dim exploded n_salts ways; result identical to the
+    plain join — verified by the un-salted oracle."""
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_extendedprice")
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, key="l_orderkey", salt_src="l_linenumber", n_salts=4)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("price")
+    )
+
+
+@q(
+    "salted_group_count",
+    """
+    SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    """,
+)
+def salted_group_count_q(spark, sf):
+    """Two-phase salted aggregation over the skewed lang key; result equals
+    the plain groupBy (oracle)."""
+    from ..operators.skew import salted_group_count
+
+    d = _t(spark, sf, "documents")
+    return salted_group_count(d, key="lang", salt_src="doc_id", n_salts=4)
+
+
 # --- sampling (O4/O5) ------------------------------------------------------
 
 
