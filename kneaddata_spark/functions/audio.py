@@ -131,7 +131,11 @@ def _flush_chunk(rows: list, kind: str, data: np.ndarray, out: dict) -> None:
         if bj > aj:
             seg = x[offs[ri] + aj : offs[ri] + bj]
             if kind == "s16":
-                n_clip = int(np.count_nonzero(np.abs(seg) >= _CLIP_S16))
+                # NOT np.abs: int16 abs(-32768) overflows to -32768 and the
+                # loudest possible negative sample would escape the count
+                n_clip = int(
+                    np.count_nonzero((seg >= _CLIP_S16) | (seg <= -_CLIP_S16))
+                )
             else:
                 n_clip = int(np.count_nonzero(seg == -128))
             out["clip_frac"][i] = n_clip / (bj - aj)

@@ -1,0 +1,108 @@
+"""Property-based parity: the vectorized integer-domain audio kernel must
+agree with the per-row float oracle on ARBITRARY inputs, not just the
+synthetic corpus — random payloads, wrong magics, odd lengths, truncations,
+boundary sample values (the reference's robustness surface: kneaddata
+sniffs/validates its inputs, utilities.py:537-574)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kneaddata_spark import oracle, rules
+from kneaddata_spark.functions.audio import audio_features_batch
+
+CODECS = st.sampled_from(
+    ["pcm_s16le", "pcm_u8", "flac", "opus", "mp3", "bogus", "wav"]
+)
+SRS = st.sampled_from([0, 7, 8000, 16000, 22050, 44100, 48000, 96000])
+
+
+@st.composite
+def clip(draw):
+    codec = draw(CODECS)
+    sr = draw(SRS)
+    dur = draw(st.integers(0, 3000))
+    mode = draw(st.sampled_from(["consistent", "random", "empty", "truncated"]))
+    if mode == "empty":
+        raw = b""
+    elif mode == "random":
+        raw = draw(st.binary(min_size=0, max_size=400))
+    else:
+        n = max(0, round(dur * sr / 1000.0))
+        n = min(n, 20000)
+        # boundary-heavy samples: include exact clip-threshold neighborhoods
+        seed = draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(seed)
+        s16 = rng.choice(
+            np.asarray([-32768, -32736, -32735, -1, 0, 1, 5000, 32735, 32736, 32767]),
+            size=n,
+        )
+        payload = np.asarray(s16, dtype="<i2").tobytes()
+        if codec == "pcm_u8":
+            raw = (np.asarray(s16, dtype=np.int64) % 256).astype(np.uint8).tobytes()
+        elif codec == "pcm_s16le":
+            raw = payload
+        elif codec in rules.FAKE_MAGIC:
+            raw = rules.FAKE_MAGIC[codec] + struct.pack("<I", len(payload)) + payload
+        else:
+            raw = payload
+        if mode == "truncated":
+            raw = raw[: len(raw) * 2 // 3]
+    return {"codec": codec, "sr_hz": sr, "dur_ms": dur, "bytes": raw}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(clip(), min_size=1, max_size=12))
+def test_kernel_matches_oracle(rows):
+    feat = audio_features_batch(
+        np.asarray([r["bytes"] for r in rows], dtype=object),
+        np.asarray([r["codec"] for r in rows], dtype=object),
+        np.asarray([r["sr_hz"] for r in rows], dtype=np.int64),
+        np.asarray([r["dur_ms"] for r in rows], dtype=np.int64),
+    )
+    for i, r in enumerate(rows):
+        pcm = oracle.decode_pcm(r["bytes"], r["codec"])
+        ok = (
+            r["codec"] in rules.VALID_CODECS
+            and r["sr_hz"] in rules.VALID_SR_HZ
+            and pcm is not None
+        )
+        if ok:
+            n_exp = round(r["dur_ms"] * r["sr_hz"] / 1000.0)
+            ok = n_exp > 0 and abs(len(pcm) - n_exp) <= rules.DECODE_LEN_RTOL * n_exp
+        assert bool(feat["decode_ok"][i]) == ok, (i, r["codec"], r["sr_hz"], r["dur_ms"])
+        if not ok:
+            continue
+        a, b = oracle.trim_bounds(pcm, r["sr_hz"])
+        assert (feat["trim_start"][i], feat["trim_end"][i]) == (a, b), (i, r)
+        assert feat["n_samples"][i] == len(pcm)
+        if b > a:
+            seg = np.abs(pcm[a:b])
+            cf = float(np.mean(seg >= rules.CLIP_SAMPLE_THRESH))
+            assert feat["clip_frac"][i] == pytest.approx(cf, abs=1e-12), (i, r)
+
+
+PII_SAMPLES = [
+    "john.doe42@example.com",
+    "523-12-9876",
+    "4111 1111 1111 1111",
+    "+1 (415) 555-0133",
+    "192.168.10.44",
+]
+SAFE_TEXT = st.text(alphabet="abcdefghij klmnop", min_size=0, max_size=60)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.sampled_from(PII_SAMPLES), SAFE_TEXT, SAFE_TEXT)
+def test_scrub_removes_planted_pii(pii, prefix, suffix):
+    """Every seeded PII form is removed wherever it appears in safe text,
+    and the surrounding text survives (ILLUMINACLIP semantics: cut the
+    adapter, keep the read)."""
+    scrubbed = oracle.scrub_text(f"{prefix} {pii} {suffix}")
+    assert pii not in scrubbed
+    assert "<" in scrubbed  # some placeholder was inserted
