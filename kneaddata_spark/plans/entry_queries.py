@@ -954,6 +954,31 @@ def tumbling_window(spark, sf):
 # --- the domain pipeline (rows-only: binary audio semantics not in SQL) ----
 
 
+@q("multimodal_features")
+def multimodal_features_q(spark, sf):
+    """Multimodal binary-column plumbing (rows-only: crc/hash features are
+    engine-side): build a deterministic media table from documents (text
+    bytes stand in for image payloads), run the mapInPandas feature stage
+    and the frame-sampling UDTF shape, return stable per-media aggregates."""
+    from ..multimodal import extract_image_features, sample_frames
+
+    d = _t(spark, sf, "documents").where("doc_id < 100")
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.encode("text", "utf-8").alias("bytes"),
+        F.lit("image/fake").alias("mime"),
+        F.lit(64).cast("int").alias("width"),
+        F.lit(48).cast("int").alias("height"),
+    )
+    feats = extract_image_features(media).select("media_id", "n_bytes", "content_crc")
+    frames = (
+        sample_frames(media, every_n_bytes=64)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    return feats.join(frames, "media_id")
+
+
 @q("qc_stream_counts")
 def qc_stream_counts(spark, sf):
     """Structured Streaming QC demo (rows-only: streaming execution is not
