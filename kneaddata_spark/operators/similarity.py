@@ -114,6 +114,66 @@ def add_lsh_bucket(
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors with KMeans
+    (n_lists centroids, seeded -> deterministic), assign each vector to its
+    nearest centroid's list, and score each query only against its n_probe
+    nearest lists. The scale path: the centroid model is tiny (broadcast
+    via the ML transform); the candidate join is an equi-join on list id
+    (shuffle bounded by candidate lists), never a cross join. Recall tunes
+    with n_probe; n_lists ~ sqrt(corpus) at scale."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dense = vectors.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nbr_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(dense.select("features"))
+    centers = km.clusterCenters()
+
+    lists = km.transform(dense).select("nbr_id", "nbr_vec", F.col("prediction").alias("list_id"))
+
+    # query -> its n_probe nearest centroid lists (tiny driver-side math,
+    # centroids are the broadcastable model artifact)
+    import numpy as np
+
+    C = np.asarray(centers)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            d = ((C - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
+            out.append(np.argsort(d)[:n_probe].astype("int32").tolist())
+        return pd.Series(out)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    )
+    cand = lists.join(F.broadcast(q), "list_id").where(F.col("query_id") != F.col("nbr_id"))
+    cos = _dot("q_vec", "nbr_vec") / (_norm("q_vec") * _norm("nbr_vec"))
+    scored = cand.select("query_id", "nbr_id", cos.alias("cos"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -888,6 +888,12 @@ def ann_lsh_topk_q(spark, sf):
     return similarity.ann_lsh_topk(e, e.where("vec_id < 10"), dim=64, k=5)
 
 
+@q("ann_ivf_topk")  # KMeans coarse quantizer not SQL-expressible; rows-only
+def ann_ivf_topk_q(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return similarity.ann_ivf_topk(e, e.where("vec_id < 10"), k=5)
+
+
 # --- events: windows / sessionization ---------------------------------------
 
 

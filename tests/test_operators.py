@@ -172,3 +172,31 @@ def test_read_count_pivot_na_fill(spark):
     got = {r["sample"]: (r["raw"], r["trimmed"], r["final"]) for r in p.collect()}
     assert got["s1"] == (10, None, 7) or got["s1"] == (10, "NA", 7)
     assert got["s2"][0] == 5
+
+
+def test_ann_variants_recall(spark):
+    """LSH and IVF ANN must recover most of the brute-force top-k for a
+    clustered corpus (planted structure -> high recall expected)."""
+    import numpy as np
+
+    from kneaddata_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((6, 64)).astype(np.float32) * 3
+    rows = []
+    for i in range(240):
+        c = centers[i % 6]
+        rows.append((i, (c + rng.standard_normal(64).astype(np.float32) * 0.3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.where("vec_id < 6")
+    exact = {
+        (r["query_id"], r["nbr_id"])
+        for r in similarity.cosine_topk_bruteforce(df, q, k=5).collect()
+    }
+    for approx_df in (
+        similarity.ann_lsh_topk(df, q, dim=64, k=5, n_planes=6),
+        similarity.ann_ivf_topk(df, q, k=5, n_lists=6, n_probe=2),
+    ):
+        approx = {(r["query_id"], r["nbr_id"]) for r in approx_df.collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.7, recall
