@@ -232,3 +232,52 @@ def run_qc(
     return QcResult(
         out_path=out_path, kept_path=f"{out_path}/status=kept", metrics=metrics
     )
+
+
+def run_training_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    out_dir: str,
+    near_dup_threshold: float = 0.7,
+) -> dict:
+    """The full training-data shape end-to-end: QC -> exact transcript
+    dedup -> MinHash-LSH near-dup screen -> final corpus table.
+
+    Composition of the engine's stages exactly as a corpus build would run
+    them: kept clips from the QC pass feed the dedup family (the corpus-
+    level analog of the reference's per-sample pipeline, knead_data.py:
+    534-568, with FastQC's corpus screens promoted to first-class stages).
+    Near-dup policy: for each surviving pair (a < b), drop b — the
+    reference's keep-first-occurrence convention (utilities.py:519-520)
+    applied by id order. Returns stage counters (the READ COUNT ladder)."""
+    from .operators.dedup import dedup_exact, minhash_dedup_pairs
+    from .operators.setops import anti_join_ids
+
+    qc = run_qc(spark, clips, out_dir)
+    kept = spark.read.parquet(qc.out_path).where(F.col("status") == "kept").drop("status")
+
+    uniq = dedup_exact(kept, "clip_id", "transcript")
+    uniq_path = f"{out_dir}/clips_unique"
+    uniq.write.mode("overwrite").parquet(uniq_path)
+    uniq = spark.read.parquet(uniq_path)
+
+    near = minhash_dedup_pairs(
+        uniq, "clip_id", "transcript", n=2, threshold=near_dup_threshold
+    )
+    drop_ids = near.select(F.col("id_b").alias("clip_id")).distinct()
+    final = anti_join_ids(uniq, drop_ids, key="clip_id")
+    final_path = f"{out_dir}/clips_final"
+    final.write.mode("overwrite").parquet(final_path)
+
+    n_kept = int(qc.metrics["n_kept"])
+    n_uniq = spark.read.parquet(uniq_path).count()
+    n_final = spark.read.parquet(final_path).count()
+    return {
+        "n_rows": int(qc.metrics["n_rows"]),
+        "n_kept": n_kept,
+        "n_exact_unique": n_uniq,
+        "n_final": n_final,
+        "n_exact_dups_removed": n_kept - n_uniq,
+        "n_near_dups_removed": n_uniq - n_final,
+        "final_path": final_path,
+    }

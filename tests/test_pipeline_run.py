@@ -84,3 +84,37 @@ def test_distributed_generator_matches_local(spark):
     assert list(got["clip_id"]) == list(want["clip_id"])
     assert list(got["transcript"]) == list(want["transcript"])
     assert [bytes(b) for b in got["bytes"]] == [bytes(b) for b in want["bytes"]]
+
+
+def test_run_qc_with_write_partitions(spark, clips_path, tmp_path, oracle_labels):
+    """The salted-repartition write path must produce identical verdicts."""
+    from kneaddata_spark.pipeline import run_qc
+
+    df = spark.read.parquet(clips_path)
+    res = run_qc(spark, df, str(tmp_path / "outp"), write_partitions=4)
+    assert res.metrics["n_rows"] == df.count()
+    assert res.metrics["n_kept"] == int(oracle_labels["expect_keep"].sum())
+
+
+def test_training_pipeline_end_to_end(spark, tmp_path):
+    """QC -> exact dedup -> near-dup screen: planted duplicates must fall
+    out at the right stages."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.pipeline import run_training_pipeline
+    from kneaddata_spark.synth import write_clips_parquet
+
+    p = str(tmp_path / "clips.parquet")
+    write_clips_parquet(p, 400)
+    clips = spark.read.parquet(p)
+    # plant exact dups: 10 kept-looking clips re-appear under new ids
+    dupes = clips.limit(10).withColumn(
+        "clip_id", F.concat(F.lit("dup_"), F.col("clip_id"))
+    )
+    stats = run_training_pipeline(
+        spark, clips.unionByName(dupes), str(tmp_path / "tp")
+    )
+    assert stats["n_rows"] == 410
+    assert stats["n_exact_dups_removed"] >= 5      # kept dups collapse
+    assert stats["n_final"] <= stats["n_exact_unique"]
+    assert spark.read.parquet(stats["final_path"]).count() == stats["n_final"]
