@@ -38,11 +38,28 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ------------------------------------------------------------- shingles --
 
 
+# Auto skew-guard parameters (VERDICT r1 #3: the guard must be ON by
+# default — one corpus-scale stop-shingle makes the shingle self-join
+# quadratic in that key's document frequency). A shingle present in more
+# than max(AUTO_DF_MIN, n_docs div AUTO_DF_DIV) documents is dropped: it
+# carries no near-dup signal and is the classic LSH hot key. Integer
+# arithmetic only (div, not float cast) so the DuckDB oracle can mirror it
+# exactly (Spark casts double->int by truncation, DuckDB by rounding).
+AUTO_DF_MIN = 5
+AUTO_DF_DIV = 100  # ceiling = 1% of corpus size
+
+
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, max_df: int | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
-    """Distinct (id, shingle) word n-grams. max_df drops shingles appearing
-    in more than max_df docs (skew guard / stop-shingles)."""
+    """Distinct (id, shingle) word n-grams with the stop-shingle skew guard
+    ON by default: max_df='auto' drops shingles whose document frequency
+    exceeds max(AUTO_DF_MIN, n_docs div AUTO_DF_DIV); an int caps df
+    absolutely; None disables the guard (tests/micro corpora only)."""
     toks = F.split(F.lower(F.col(text_col)), "\\s+")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
@@ -53,15 +70,22 @@ def word_shingles(
         .select("id", F.explode(grams).alias("shingle"))
         .distinct()
     )
-    if max_df is not None:
+    if max_df is None:
+        return sh
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if max_df == "auto":
+        # corpus size enters the plan as a broadcast 1-row frame — no
+        # driver-side count job, the ceiling is computed inside the plan
+        n_docs = df.select(F.count("*").alias("__nd"))
         hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_df)
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .where(F.col("df") > F.greatest(F.lit(AUTO_DF_MIN), F.expr(f"__nd div {AUTO_DF_DIV}")))
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    return sh
+    else:
+        hot = dfreq.where(F.col("df") > int(max_df)).select("shingle")
+    # the hot set is tiny by construction (<= |occurrences| / ceiling)
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -70,7 +94,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -168,8 +192,8 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.5,
     num_hashes: int = 64,
-    bands: int = 16,
-    max_df: int | None = None,
+    bands: int = 32,
+    max_df: int | str | None = "auto",
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle -> signature -> band candidates
     -> exact-Jaccard verification of candidates only. At corpus scale the

@@ -200,3 +200,35 @@ def test_ann_variants_recall(spark):
         approx = {(r["query_id"], r["nbr_id"]) for r in approx_df.collect()}
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.7, recall
+
+
+def test_global_rank_no_global_window(spark):
+    """pairs.global_rank == row_number over a global sort, with NO
+    empty-partition-spec Window in the plan (VERDICT r1 #2)."""
+    from tools.audit_plans import global_window_lines
+
+    rows = [(i % 17, i // 17, i) for i in range(201)]
+    df = spark.createDataFrame(rows, ["a", "b", "payload"]).repartition(7)
+    ranked = pairs.global_rank(df, ["a", "b"], num_partitions=5)
+    assert global_window_lines(ranked) == []
+    got = [(r["a"], r["b"], r["rank"]) for r in ranked.orderBy("rank").collect()]
+    want = sorted([(a, b) for a, b, _ in rows])
+    assert [(a, b) for a, b, _ in got] == want
+    assert [r for _, _, r in got] == list(range(1, 202))
+
+
+def test_no_global_window_in_driver_queries(spark):
+    """Sweep every driver query plan for single-partition Windows
+    (scale-killer guard; streaming query excluded — building it executes)."""
+    from kneaddata_spark.plans.entry_queries import QUERIES
+    from tools.audit_plans import global_window_lines
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name == "qc_stream_counts":
+            continue
+        gw = global_window_lines(fn(spark, sf))
+        if gw:
+            bad[name] = gw[0][:160]
+    assert bad == {}, bad

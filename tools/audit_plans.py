@@ -36,6 +36,39 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def global_window_lines(df) -> list[str]:
+    """Lines of the optimized plan containing a Window with an EMPTY
+    partition spec (single-partition global window — a scale-killer: every
+    row flows through one task). A partitioned Window prints three
+    top-level bracket groups `[exprs], [partSpec], [orderSpec]`; a global
+    one prints only two."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = []
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups, depth, cur = [], 0, []
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+            if depth > 0 and not (depth == 1 and ch == "["):
+                cur.append(ch)
+        # three groups = [exprs], [partSpec], [orderSpec] -> partitioned.
+        # two groups whose LAST is a sort spec (ASC/DESC) = ordered window
+        # with NO partition spec -> global. Two groups ending in a plain
+        # column list = partitionBy with no orderBy -> fine.
+        if len(groups) < 3 and groups and re.search(r" (ASC|DESC)\b", groups[-1]):
+            bad.append(line.strip())
+    return bad
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from kneaddata_spark.pipeline import annotate, broadcast_models
@@ -82,6 +115,22 @@ def main() -> None:
         codegen_ids = {m for m in re.findall(r"codegen id : (\d+)", p)}
         checks.append(f"WholeStageCodegen spans: {len(codegen_ids)}")
         sections.append((name, p, checks))
+
+    # every driver query: no single-partition global Window anywhere
+    # (qc_stream_counts excluded — building it executes a streaming query)
+    n_gw = 0
+    for name, fn in QUERIES.items():
+        if name == "qc_stream_counts":
+            continue
+        gw = global_window_lines(fn(spark, sf))
+        if gw:
+            n_gw += 1
+            problems.append(f"{name}: global (empty-partition-spec) Window: {gw[0][:120]}")
+    sections.insert(0, (
+        "global-window sweep",
+        f"scanned {len(QUERIES) - 1} driver queries; {n_gw} with a global Window",
+        ["want 0 — a Window with no PARTITION BY funnels every row through one task"],
+    ))
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "PLANS.md"), "w") as f:
