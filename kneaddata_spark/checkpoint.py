@@ -45,22 +45,49 @@ def load_manifest(out_dir: str) -> dict[int, dict]:
     return done
 
 
+def _staging_fingerprint(clips: DataFrame, n_buckets: int) -> str:
+    """Identity of a staged corpus: bucket count + input schema + source
+    files (no job needed); in-memory inputs (no files) fall back to a row
+    count. Guards resume against a silently different n_buckets or input
+    (ADVICE r1: staged-at-K=8, rerun-with-K=4 would loop only buckets 0-3
+    and never read 4-7 — silent data loss committed to the manifest)."""
+    import hashlib
+
+    files = sorted(clips.inputFiles())
+    basis = json.dumps(
+        {
+            "n_buckets": n_buckets,
+            "schema": clips.schema.simpleString(),
+            "files": files if files else f"rows={clips.count()}",
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(basis.encode()).hexdigest()
+
+
 def stage_bucketed(
     clips: DataFrame, staging_dir: str, n_buckets: int
-) -> str:
+) -> tuple[str, bool]:
     """One pass: hash-bucket the corpus and write partitionBy(bucket).
-    Idempotent (skipped if the _SUCCESS marker exists)."""
-    if not os.path.exists(os.path.join(staging_dir, "_SUCCESS")):
-        (
-            clips.withColumn(
-                "bucket", F.pmod(F.xxhash64("clip_id"), F.lit(n_buckets))
-            )
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staging_dir)
-        )
-    return staging_dir
+    Idempotent: skipped only when _SUCCESS exists AND the recorded staging
+    fingerprint (n_buckets + input identity) matches; any mismatch
+    restages. Returns (path, restaged)."""
+    meta_path = os.path.join(staging_dir, "_staging_meta.json")
+    fp = _staging_fingerprint(clips, n_buckets)
+    if os.path.exists(os.path.join(staging_dir, "_SUCCESS")) and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("fingerprint") == fp:
+                return staging_dir, False
+    (
+        clips.withColumn("bucket", F.pmod(F.xxhash64("clip_id"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging_dir)
+    )
+    with open(meta_path, "w") as f:
+        json.dump({"n_buckets": n_buckets, "fingerprint": fp}, f)
+    return staging_dir, True
 
 
 def run_checkpointed(
@@ -76,7 +103,15 @@ def run_checkpointed(
     os.makedirs(out_dir, exist_ok=True)
     langid_bc, ppl_bc = broadcast_models(spark)
     done = load_manifest(out_dir)
-    staging = stage_bucketed(clips, os.path.join(out_dir, "_staged"), n_buckets)
+    staging, restaged = stage_bucketed(
+        clips, os.path.join(out_dir, "_staged"), n_buckets
+    )
+    if restaged and done:
+        # the staged corpus changed (different input or n_buckets): every
+        # previously committed bucket refers to stale data — invalidate the
+        # manifest rather than resuming against the wrong lineage
+        os.remove(_manifest_path(out_dir))
+        done = {}
     for b in range(n_buckets):
         if b in done:
             continue

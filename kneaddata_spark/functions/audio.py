@@ -43,15 +43,22 @@ _CHUNK_SAMPLES = 2_000_000  # ~4 MB of s16 per vectorized chunk
 # Per-worker reusable scratch (python workers are long-lived): repeatedly
 # malloc/free-ing ~100 MB per chunk causes allocator/page-fault stalls under
 # memory pressure — measured 100x batch-to-batch kernel variance without
-# reuse. Capped at _CHUNK_SAMPLES-sized arrays (~40 MB total per worker).
+# reuse. A chunk flush triggers only BETWEEN rows, so one oversized row can
+# push a buffer past _CHUNK_SAMPLES; buffers beyond _SCRATCH_KEEP_ELEMS are
+# served but NOT retained (ADVICE r1: an unbounded cache would pin ~8x that
+# row's sample count in every long-lived worker forever).
 _SCRATCH: dict = {}
+_SCRATCH_KEEP_ELEMS = 4 * _CHUNK_SAMPLES  # > worst legit batch (~3.5M elems)
 
 
 def _scratch(name: str, n: int, dtype) -> np.ndarray:
     arr = _SCRATCH.get(name)
     if arr is None or arr.size < n:
         arr = np.empty(max(n, _CHUNK_SAMPLES + 64), dtype=dtype)
-        _SCRATCH[name] = arr
+        if arr.size <= _SCRATCH_KEEP_ELEMS:
+            _SCRATCH[name] = arr
+        else:
+            _SCRATCH.pop(name, None)
     return arr[:n]
 
 AUDIO_STRUCT = T.StructType(
@@ -233,12 +240,20 @@ def audio_features_core(
 
 def _binary_bounds(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Zero-copy (data, starts, ends) view of a pyarrow Binary/LargeBinary
-    array (honoring slice offset). Null rows read as zero-length."""
+    array (honoring slice offset). Null rows read as zero-length — masked
+    via the VALIDITY BITMAP, not inferred from zero offset extents (ADVICE
+    r1: Arrow permits null slots with non-zero, undefined extents)."""
     off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
     offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)
     o = arr.offset
     starts = offs[o : o + len(arr)].astype(np.int64)
     ends = offs[o + 1 : o + len(arr) + 1].astype(np.int64)
+    vbuf = arr.buffers()[0]
+    if arr.null_count and vbuf is not None:
+        valid = np.unpackbits(
+            np.frombuffer(vbuf, dtype=np.uint8), bitorder="little"
+        )[o : o + len(arr)].astype(bool)
+        ends = np.where(valid, ends, starts)
     buf = arr.buffers()[2]
     data = (
         np.frombuffer(buf, dtype=np.uint8)

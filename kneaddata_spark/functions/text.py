@@ -69,9 +69,14 @@ def _entropy_batch(texts: pd.Series) -> pd.DataFrame:
     )
 
 
-def text_features_batch(texts: pd.Series, langid, pplm) -> pd.DataFrame:
+def text_features_batch(
+    texts: pd.Series, langid, pplm, audio_alive: "np.ndarray | None" = None
+) -> pd.DataFrame:
     """Complexity features for every row; model scores gated on the cheap
-    screens (same float64 arithmetic the Column verdict reproduces)."""
+    screens (same float64 arithmetic the Column verdict reproduces) AND on
+    the optional audio structural-alive mask (pipeline.structural_alive_col
+    — rows already dead to the audio cascade skip the costlier scorers and
+    report lang='und', ADVICE r1)."""
     m = len(texts)
     cx = _entropy_batch(texts)
     tlen = texts.fillna("").str.strip().str.len().to_numpy()
@@ -85,6 +90,8 @@ def text_features_batch(texts: pd.Series, langid, pplm) -> pd.DataFrame:
         )
     )
     score_mask = alive & cx_ok
+    if audio_alive is not None:
+        score_mask &= np.asarray(audio_alive, dtype=bool)
     langs = np.full(m, "und", dtype=object)
     confs = np.zeros(m, dtype=np.float64)
     ppls = np.full(m, np.nan)
@@ -110,8 +117,11 @@ def make_text_features_udf(langid_bc, ppl_bc):
     JVM<->Python round trip for the whole feature stage)."""
 
     @F.arrow_udf(TEXT_STRUCT)
-    def text_features(texts: pa.Array) -> pa.Array:
-        pdf = text_features_batch(texts.to_pandas(), langid_bc.value, ppl_bc.value)
+    def text_features(texts: pa.Array, audio_alive: pa.Array) -> pa.Array:
+        mask = audio_alive.fill_null(False).to_numpy(zero_copy_only=False)
+        pdf = text_features_batch(
+            texts.to_pandas(), langid_bc.value, ppl_bc.value, audio_alive=mask
+        )
         return pa.StructArray.from_arrays(
             [
                 pa.array(pdf["entropy"].to_numpy(), type=pa.float64()),

@@ -223,16 +223,50 @@ def minhash_dedup_pairs(
 
 # -------------------------------------------------------------- simhash --
 
+# Portable token-hash mixing constants (shared with the generated DuckDB
+# oracle in plans/entry_queries.py — keep in lockstep). Two independent
+# linear mixes over (length, first, second, last, second-to-last code
+# points): lo is 32 bits, hi 31 bits -> a 63-bit hash (bit 63 always 0,
+# which contributes a constant simhash bit — harmless for hamming).
+PORTABLE_HASH_COEFFS = {
+    "lo": (2654435761, 1315423911, 2246822519, 3266489917, 668265263),
+    "hi": (374761393, 3130571291, 4053974081, 2869860233, 1541459225),
+}
+_M32_ = 1 << 32
+_M31_ = 1 << 31
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+
+def portable_token_hash64(tok) -> F.Column:
+    """63-bit token hash computable identically in Spark Column algebra and
+    ANSI SQL (verified: length/ascii/substring semantics agree between
+    Spark and DuckDB on empty, 1-char and multibyte tokens). Weaker
+    dispersion than xxhash64 — it exists so the driver's DuckDB oracle can
+    reproduce SimHash exactly; production paths keep xxhash64."""
+    feats = [
+        F.length(tok).cast("long"),
+        F.ascii(tok).cast("long"),
+        F.ascii(F.substring(tok, 2, 1)).cast("long"),
+        F.ascii(F.substring(tok, -1, 1)).cast("long"),
+        F.ascii(F.substring(tok, -2, 1)).cast("long"),
+    ]
+    lo = sum(f * F.lit(c) for f, c in zip(feats, PORTABLE_HASH_COEFFS["lo"])) % F.lit(_M32_)
+    hi = sum(f * F.lit(c) for f, c in zip(feats, PORTABLE_HASH_COEFFS["hi"])) % F.lit(_M31_)
+    return hi * F.lit(_M32_) + lo
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, token_hash=None
+) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side: explode tokens,
-    xxhash64 each, per-bit +/-1 sums via 64 conditional aggregates (map-side
-    combined), sign -> bit. One shuffle of |ids| x 64 longs."""
+    hash each (xxhash64 by default; pass ``portable_token_hash64`` for the
+    SQL-oracle-reproducible variant), per-bit +/-1 sums via 64 conditional
+    aggregates (map-side combined), sign -> bit. One shuffle of
+    |ids| x 64 longs."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    h = token_hash(F.col("tok")) if token_hash is not None else F.xxhash64("tok")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

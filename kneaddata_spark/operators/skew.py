@@ -39,7 +39,18 @@ def salted_join(
 ) -> DataFrame:
     """Join fact⋈dim on `key`, splitting each (possibly hot) key across
     n_salts partitions. `salt_src` is a high-cardinality fact column the
-    deterministic salt derives from (e.g. the row id)."""
+    deterministic salt derives from (e.g. the row id).
+
+    Only fact-preserving joins are equivalence-preserving: the dim side is
+    exploded n_salts ways, so a right/full outer join would emit every
+    UNMATCHED dim row n_salts times (ADVICE r1)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving — unmatched dim "
+            f"rows would be duplicated n_salts times; use one of {sorted(allowed)}"
+        )
     f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)))
     d = dim.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     out = f.join(d, [key, "__salt"], how)

@@ -79,6 +79,76 @@ def bytes_trimmed_col() -> F.Column:
     )
 
 
+def structural_alive_col() -> F.Column:
+    """JVM-side replica of the audio kernel's structural decode gate
+    (dur/sr/codec whitelists + payload-shape + length-tolerance checks) —
+    pure Column algebra over (bytes, codec, sr_hz, dur_ms), no UDF.
+
+    Passed into the text UDF as the model-scoring alive mask (ADVICE r1):
+    rows that are structurally dead to the audio cascade skip langid/ppl
+    scoring entirely (wasted model compute on dirty corpora) and emit
+    lang='und', matching the oracle's first-failing-rule semantics for
+    those classes. It must never be False for a row the kernel decodes
+    (that would flip a kept row's langid verdict), so every predicate is
+    exactly the kernel's integer math: n_exp uses round-half-EVEN emulated
+    with integer div/mod (np.round semantics; Spark round() is HALF_UP and
+    would disagree at r==500), and the little-endian u32 payload length is
+    decoded with byte-reversed hex -> conv. Rows dropped later by the
+    kernel's own rules (post_trim_short / clipping) are still scored —
+    their trim bounds exist only inside the UDF stage; `lang` is
+    meaningful only on kept rows (parity-tested there)."""
+    nb = F.length("bytes").cast("long")
+    dur_ok = F.col("dur_ms").between(rules.MIN_DUR_MS, rules.MAX_DUR_MS)
+    sr_ok = F.col("sr_hz").isin(*rules.VALID_SR_HZ)
+    codec_ok = F.col("codec").isin(*rules.VALID_CODECS)
+
+    plen = F.conv(
+        F.hex(
+            F.concat(
+                F.expr("substring(bytes, 8, 1)"),
+                F.expr("substring(bytes, 7, 1)"),
+                F.expr("substring(bytes, 6, 1)"),
+                F.expr("substring(bytes, 5, 1)"),
+            )
+        ),
+        16,
+        10,
+    ).cast("long")
+    fake_ok = (
+        (nb >= 8)
+        & (plen == nb - 8)
+        & (plen % 2 == 0)
+        & (plen > 0)
+        & F.coalesce(
+            *[
+                F.when(F.col("codec") == c, F.expr("substring(bytes, 1, 4)") == F.lit(m))
+                for c, m in rules.FAKE_MAGIC.items()
+            ]
+        )
+    )
+    n_samples = (
+        F.when(F.col("codec") == "pcm_s16le", F.when((nb > 0) & (nb % 2 == 0), F.expr("cast(length(bytes) as bigint) div 2")))
+        .when(F.col("codec") == "pcm_u8", F.when(nb > 0, nb))
+        .otherwise(F.when(fake_ok, F.expr("(cast(length(bytes) as bigint) - 8) div 2")))
+    )
+
+    # banker's rounding of dur_ms*sr_hz/1000 in exact integer arithmetic
+    ds = F.col("dur_ms").cast("long") * F.col("sr_hz").cast("long")
+    q = F.expr("(cast(dur_ms as bigint) * cast(sr_hz as bigint)) div 1000")
+    r = ds % 1000
+    n_exp = q + (
+        F.when(r > 500, 1)
+        .when((r == 500) & (q % 2 == 1), 1)
+        .otherwise(0)
+    )
+    len_ok = (n_exp > 0) & (
+        F.abs(n_samples - n_exp) <= F.lit(rules.DECODE_LEN_RTOL) * n_exp
+    )
+    return F.coalesce(
+        dur_ok & sr_ok & codec_ok & n_samples.isNotNull() & len_ok, F.lit(False)
+    )
+
+
 def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
     """Append every rule column + drop_rule + keep. Pure transformation.
 
@@ -91,7 +161,9 @@ def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
         df.withColumns(
             {
                 "_af": audio_features("bytes", "codec", "sr_hz", "dur_ms"),
-                "_tf": text_features("transcript"),
+                # the alive mask is a Column EXPRESSION input (not a UDF
+                # dependency), so both UDFs still share one ArrowEvalPython
+                "_tf": text_features("transcript", structural_alive_col()),
             }
         )
         .select("*", "_af.*", "_tf.*")

@@ -118,3 +118,23 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     assert stats["n_exact_dups_removed"] >= 5      # kept dups collapse
     assert stats["n_final"] <= stats["n_exact_unique"]
     assert spark.read.parquet(stats["final_path"]).count() == stats["n_final"]
+
+
+def test_structural_alive_mask_exact(spark, clips_path):
+    """pipeline.structural_alive_col (the JVM-side model-scoring gate) must
+    be bit-exact with kernel decode_ok AND the dur rule: a False on any
+    kept row would flip its langid verdict (ADVICE r1 fix)."""
+    from kneaddata_spark import rules
+    from kneaddata_spark.pipeline import annotate, broadcast_models, structural_alive_col
+
+    df = spark.read.parquet(clips_path)
+    ann = annotate(df, *broadcast_models(spark)).withColumn(
+        "alive", structural_alive_col()
+    )
+    expect = F.col("decode_ok") & F.col("dur_ms").between(
+        rules.MIN_DUR_MS, rules.MAX_DUR_MS
+    )
+    assert ann.where(F.col("alive") != expect).count() == 0
+    assert ann.where(F.col("keep") & ~F.col("alive")).count() == 0
+    # structurally-dead rows are not model-scored: lang must be 'und'
+    assert ann.where(~F.col("alive") & (F.col("lang") != "und")).count() == 0
