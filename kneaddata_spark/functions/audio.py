@@ -27,6 +27,9 @@ loop-based, float) — parity between the two is what the tests measure.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+from typing import Callable
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -34,6 +37,42 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import rules
+
+# --------------------------------------------------------- codec registry --
+# VERDICT r1 next-round #5: the decode step is a pluggable seam so a real
+# flac/opus/mp3 decoder (soundfile/ffmpeg — absent in this container) drops
+# in without touching the plan. Built-in kinds stay on the zero-copy
+# vectorized path; kind="python" routes through a per-row decode callable
+# whose output joins the SAME vectorized trim/clip math (the reference
+# precedent is dependency-skipping when a tool binary is missing,
+# /root/reference/kneaddata/tests/functional_tests.py:12-17).
+
+
+@dataclass(frozen=True)
+class CodecSpec:
+    kind: str                     # "pcm_s16" | "pcm_u8" | "container_s16" | "python"
+    magic: bytes | None = None    # container_s16: 4-byte magic prefix
+    decode: Callable[[bytes], "np.ndarray | None"] | None = None  # python kind
+
+
+CODECS: dict[str, CodecSpec] = {
+    "pcm_s16le": CodecSpec("pcm_s16"),
+    "pcm_u8": CodecSpec("pcm_u8"),
+    # deterministic fake containers (magic + LE-u32 length + s16 payload):
+    # the test double standing in for real codec libs (rules.FAKE_MAGIC)
+    **{c: CodecSpec("container_s16", magic=m) for c, m in rules.FAKE_MAGIC.items()},
+}
+
+
+def register_codec(name: str, decode: Callable[[bytes], "np.ndarray | None"]) -> None:
+    """Register a real decoder: decode(raw bytes) -> int16 PCM array, or
+    None if undecodable. The row then flows through the same vectorized
+    trim/clip kernel. Note: (a) add the codec to rules.VALID_CODECS or the
+    codec whitelist drops it first; (b) JVM-side trimmed-byte re-slicing
+    (pipeline.bytes_trimmed_col) supports pcm/container layouts only — a
+    compressed codec needs re-encoding downstream (QC verdicts and
+    features are complete either way)."""
+    CODECS[name] = CodecSpec("python", decode=decode)
 
 _S16 = 32768.0
 _U8 = 128.0
@@ -168,41 +207,52 @@ def audio_features_core(
         np.asarray(srs, dtype=np.int64), rules.VALID_SR_HZ
     )
 
-    is_s16 = codecs == "pcm_s16le"
     is_u8 = codecs == "pcm_u8"
     pay_start = starts.astype(np.int64).copy()
     n_samples = np.zeros(m, dtype=np.int64)
     decodable = np.zeros(m, dtype=bool)
+    py_decoded: dict[int, np.ndarray] = {}  # kind="python" rows
 
-    sel = valid_struct & is_s16 & (nb > 0) & (nb % 2 == 0)
-    decodable |= sel
-    n_samples[sel] = nb[sel] >> 1
-
-    sel = valid_struct & is_u8 & (nb > 0)
-    decodable |= sel
-    n_samples[sel] = nb[sel]
-
-    # fake flac/opus/mp3 containers: 4-byte magic + LE-u32 payload length
-    for codec, magic in rules.FAKE_MAGIC.items():
-        sel = valid_struct & (codecs == codec) & (nb >= 8)
-        if not sel.any():
+    for codec, spec in CODECS.items():
+        cmask = valid_struct & (codecs == codec)
+        if not cmask.any():
             continue
-        idx = np.nonzero(sel)[0]
-        s = starts[idx].astype(np.int64)
-        ok = np.ones(len(idx), dtype=bool)
-        for k in range(4):
-            ok &= data[s + k] == magic[k]
-        plen = (
-            data[s + 4].astype(np.int64)
-            | (data[s + 5].astype(np.int64) << 8)
-            | (data[s + 6].astype(np.int64) << 16)
-            | (data[s + 7].astype(np.int64) << 24)
-        )
-        ok &= (plen == nb[idx] - 8) & (plen % 2 == 0) & (plen > 0)
-        good = idx[ok]
-        decodable[good] = True
-        n_samples[good] = (nb[good] - 8) >> 1
-        pay_start[good] += 8
+        if spec.kind == "pcm_s16":
+            sel = cmask & (nb > 0) & (nb % 2 == 0)
+            decodable |= sel
+            n_samples[sel] = nb[sel] >> 1
+        elif spec.kind == "pcm_u8":
+            sel = cmask & (nb > 0)
+            decodable |= sel
+            n_samples[sel] = nb[sel]
+        elif spec.kind == "container_s16":
+            # vectorized: 4-byte magic + LE-u32 payload length + s16 payload
+            idx = np.nonzero(cmask & (nb >= 8))[0]
+            if not len(idx):
+                continue
+            s = starts[idx].astype(np.int64)
+            ok = np.ones(len(idx), dtype=bool)
+            for k in range(4):
+                ok &= data[s + k] == spec.magic[k]
+            plen = (
+                data[s + 4].astype(np.int64)
+                | (data[s + 5].astype(np.int64) << 8)
+                | (data[s + 6].astype(np.int64) << 16)
+                | (data[s + 7].astype(np.int64) << 24)
+            )
+            ok &= (plen == nb[idx] - 8) & (plen % 2 == 0) & (plen > 0)
+            good = idx[ok]
+            decodable[good] = True
+            n_samples[good] = (nb[good] - 8) >> 1
+            pay_start[good] += 8
+        else:  # "python": registered real decoder, per-row by necessity
+            for i in np.nonzero(cmask & (nb > 0))[0]:
+                pcm = spec.decode(bytes(data[starts[i] : ends[i]]))
+                if pcm is None or pcm.dtype != np.int16 or len(pcm) == 0:
+                    continue
+                py_decoded[int(i)] = pcm
+                decodable[i] = True
+                n_samples[i] = len(pcm)
 
     # decoded length must match dur_ms * sr_hz within tolerance
     n_exp = np.round(durs.astype(np.float64) * srs.astype(np.float64) / 1000.0)
@@ -224,17 +274,29 @@ def audio_features_core(
     )
     pend: dict[str, list] = {"s16": [], "u8": []}
     pend_n = {"s16": 0, "u8": 0}
+    py_rows, py_bufs, py_pos = [], [], 0
     for i in np.nonzero(ok_rows)[0]:
+        ii = int(i)
+        if ii in py_decoded:
+            # registered-decoder output lives outside the Arrow buffer:
+            # gather into a side buffer, same vectorized trim math
+            pcm = np.ascontiguousarray(py_decoded[ii])
+            py_rows.append((ii, py_pos, py_pos + 2 * len(pcm), len(pcm), int(win[i])))
+            py_bufs.append(pcm.view(np.uint8))
+            py_pos += 2 * len(pcm)
+            continue
         kind = "u8" if is_u8[i] else "s16"
         ps = int(pay_start[i])
         n = int(n_samples[i])
-        pend[kind].append((int(i), ps, ps + (n if kind == "u8" else 2 * n), n, int(win[i])))
+        pend[kind].append((ii, ps, ps + (n if kind == "u8" else 2 * n), n, int(win[i])))
         pend_n[kind] += n
         if pend_n[kind] >= _CHUNK_SAMPLES:
             _flush_chunk(pend[kind], kind, data, out)
             pend_n[kind] = 0
     for kind in ("s16", "u8"):
         _flush_chunk(pend[kind], kind, data, out)
+    if py_rows:
+        _flush_chunk(py_rows, "s16", np.concatenate(py_bufs), out)
     return out
 
 

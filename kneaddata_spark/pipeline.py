@@ -129,8 +129,12 @@ def structural_alive_col() -> F.Column:
     n_samples = (
         F.when(F.col("codec") == "pcm_s16le", F.when((nb > 0) & (nb % 2 == 0), F.expr("cast(length(bytes) as bigint) div 2")))
         .when(F.col("codec") == "pcm_u8", F.when(nb > 0, nb))
-        .otherwise(F.when(fake_ok, F.expr("(cast(length(bytes) as bigint) - 8) div 2")))
+        .when(F.col("codec").isin(*rules.FAKE_MAGIC), F.when(fake_ok, F.expr("(cast(length(bytes) as bigint) - 8) div 2")))
     )
+    # codecs handled by a REGISTERED python decoder (functions.audio.
+    # register_codec) have no JVM-side shape model: treat as alive
+    # (conservative — wasted scoring at worst, never a flipped verdict)
+    builtin = ("pcm_s16le", "pcm_u8", *rules.FAKE_MAGIC)
 
     # banker's rounding of dur_ms*sr_hz/1000 in exact integer arithmetic
     ds = F.col("dur_ms").cast("long") * F.col("sr_hz").cast("long")
@@ -144,9 +148,10 @@ def structural_alive_col() -> F.Column:
     len_ok = (n_exp > 0) & (
         F.abs(n_samples - n_exp) <= F.lit(rules.DECODE_LEN_RTOL) * n_exp
     )
-    return F.coalesce(
-        dur_ok & sr_ok & codec_ok & n_samples.isNotNull() & len_ok, F.lit(False)
-    )
+    shape_ok = F.when(
+        F.col("codec").isin(*builtin), n_samples.isNotNull() & len_ok
+    ).otherwise(F.lit(True))
+    return F.coalesce(dur_ok & sr_ok & codec_ok & shape_ok, F.lit(False))
 
 
 def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:

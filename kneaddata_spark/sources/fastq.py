@@ -92,11 +92,51 @@ def fastq_to_fasta(df: DataFrame) -> DataFrame:
     )
 
 
-def sam_to_fastq(sam: DataFrame) -> DataFrame:
+def sam_to_fastq(sam: DataFrame, keep_pos: bool = False) -> DataFrame:
     """S6: project SAM cols (read_id, seq, qual), dedup by id keeping the
-    first occurrence in file order (utilities.py:490-520)."""
+    first occurrence in file order (utilities.py:490-520). keep_pos=True
+    retains the ordinal for ordered emission (write_fastq)."""
     proj = sam.select("read_id", "seq", "qual", "pos")
-    return first_occurrence_dedup(proj, key="read_id", pos_col="pos").drop("pos")
+    out = first_occurrence_dedup(proj, key="read_id", pos_col="pos")
+    return out if keep_pos else out.drop("pos")
+
+
+def write_fastq(
+    df: DataFrame,
+    path: str,
+    order_cols: tuple[str, ...] = ("src", "pos"),
+    single_file: bool = False,
+) -> str:
+    """Byte-exact 4-line FASTQ emission sink (VERDICT r1 next-round #6;
+    reference golden-file parity: tests/basic_tests.py:94-108 byte-compares
+    sam_to_fastq output with filecmp).
+
+    The record is built as ONE string column (@id\\nseq\\n+\\nqual) and
+    written with the text sink after a global orderBy — a range-partitioned
+    sort, so every task writes its ordered slice (no single-partition
+    funnel); part-file index order IS record order. single_file=True
+    additionally concatenates the ordered parts into `path + '.fastq'`
+    (driver-side file append — bounded by part count, used for
+    golden-file byte comparison in tests)."""
+    rec = F.concat_ws(
+        "\n",
+        F.concat(F.lit("@"), F.col("read_id")),
+        F.col("seq"),
+        F.lit("+"),
+        F.col("qual"),
+    )
+    ordered = df.orderBy(*[F.col(c).asc() for c in order_cols]).select(rec.alias("value"))
+    ordered.write.mode("overwrite").text(path)
+    if not single_file:
+        return path
+    import glob
+
+    out = path.rstrip("/") + ".fastq"
+    with open(out, "wb") as w:
+        for p in sorted(glob.glob(f"{path}/part-*")):
+            with open(p, "rb") as r:
+                w.write(r.read())
+    return out
 
 
 def split_mates_by_suffix(df: DataFrame, id_col: str = "read_id") -> DataFrame:

@@ -138,3 +138,26 @@ def test_structural_alive_mask_exact(spark, clips_path):
     assert ann.where(F.col("keep") & ~F.col("alive")).count() == 0
     # structurally-dead rows are not model-scored: lang must be 'und'
     assert ann.where(~F.col("alive") & (F.col("lang") != "und")).count() == 0
+
+
+def test_write_repartition_balance(spark, clips_path):
+    """north_rule salting evidence: the write path repartitions on uniform
+    xxhash64(clip_id); under the deliberately skewed codec corpus the
+    resulting partitions stay balanced, while keying by the skewed codec
+    column (pcm_s16le ~52%) funnels most rows into few partitions."""
+    df = spark.read.parquet(clips_path)
+
+    def sizes(rep):
+        rows = (
+            rep.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return [r["count"] for r in rows]
+
+    by_hash = sizes(df.repartition(8, F.xxhash64("clip_id")))
+    mean = sum(by_hash) / 8
+    assert len(by_hash) == 8 and max(by_hash) <= 1.5 * mean, by_hash
+    by_codec = sizes(df.repartition(8, "codec"))
+    assert max(by_codec) >= 2 * mean, by_codec  # the skew the salt avoids

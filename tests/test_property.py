@@ -106,3 +106,39 @@ def test_scrub_removes_planted_pii(pii, prefix, suffix):
     scrubbed = oracle.scrub_text(f"{prefix} {pii} {suffix}")
     assert pii not in scrubbed
     assert "<" in scrubbed  # some placeholder was inserted
+
+
+def test_codec_registry_python_decoder():
+    """register_codec seam: a registered per-row decoder (here a toy
+    big-endian s16 'codec') must flow through the same vectorized trim/clip
+    math and agree with the built-in little-endian path on the same PCM."""
+    from kneaddata_spark.functions import audio
+
+    def decode_s16be(raw: bytes):
+        if len(raw) % 2 or not raw:
+            return None
+        return np.frombuffer(raw, dtype=">i2").astype(np.int16)
+
+    audio.register_codec("s16be", decode_s16be)
+    old_valid = rules.VALID_CODECS
+    rules.VALID_CODECS = old_valid + ("s16be",)
+    try:
+        rng = np.random.default_rng(3)
+        sr, dur = 16000, 1000
+        n = sr * dur // 1000
+        pcm = (rng.standard_normal(n) * 8000).astype(np.int16)
+        pcm[:3000] = 0  # leading silence -> nontrivial trim
+        le, be = pcm.tobytes(), pcm.astype(">i2").tobytes()
+        feat = audio.audio_features_batch(
+            np.asarray([le, be], dtype=object),
+            np.asarray(["pcm_s16le", "s16be"], dtype=object),
+            np.asarray([sr, sr], dtype=np.int64),
+            np.asarray([dur, dur], dtype=np.int64),
+        )
+        assert bool(feat["decode_ok"][0]) and bool(feat["decode_ok"][1])
+        assert feat["trim_start"][0] == feat["trim_start"][1]
+        assert feat["trim_end"][0] == feat["trim_end"][1]
+        assert feat["clip_frac"][0] == feat["clip_frac"][1]
+    finally:
+        rules.VALID_CODECS = old_valid
+        audio.CODECS.pop("s16be", None)

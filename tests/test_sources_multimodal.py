@@ -125,3 +125,29 @@ def test_frame_sampling_fanout(spark):
     frames = sample_frames(df, every_n_bytes=1024).collect()
     assert len(frames) == 5  # 5120 bytes -> 5 frames
     assert sorted(r["frame_idx"] for r in frames) == [0, 1, 2, 3, 4]
+
+
+def test_write_fastq_golden_roundtrip(spark, tmp_path, fastq_file):
+    """Golden-file parity (reference basic_tests.py:94-108 filecmp):
+    read_fastq -> write_fastq must reproduce the input BYTE-EXACTLY."""
+    from kneaddata_spark.sources.fastq import read_fastq, write_fastq
+
+    df = read_fastq(spark, fastq_file)
+    out = write_fastq(df, str(tmp_path / "emit"), single_file=True)
+    assert open(out, "rb").read() == open(fastq_file, "rb").read()
+
+
+def test_write_fastq_sam_pipeline_golden(spark, tmp_path):
+    """sam_to_fastq -> write_fastq golden: first occurrence per id, input
+    order — the reference's sam-to-fastq byte comparison, multi-partition."""
+    from kneaddata_spark.sources.fastq import sam_to_fastq, write_fastq
+
+    rows = []
+    for i in range(50):
+        rid = f"r{i % 20}"  # ids repeat: only first occurrence survives
+        rows.append((rid, "ACGT" + str(i % 20), "IIII" + str(i % 20), i))
+    sam = spark.createDataFrame(rows, "read_id string, seq string, qual string, pos bigint").repartition(7)
+    fq = sam_to_fastq(sam, keep_pos=True)
+    out = write_fastq(fq, str(tmp_path / "sam_emit"), order_cols=("pos",), single_file=True)
+    want = "".join(f"@r{i}\nACGT{i}\n+\nIIII{i}\n" for i in range(20))
+    assert open(out).read() == want
