@@ -61,13 +61,16 @@ def overrepresented_ngrams(
                 )
             ).alias("ngram")
         )
-    exploded = grams
-    total = df.count()
+    # corpus size enters the plan as a broadcast 1-row aggregate — no eager
+    # df.count() job at plan-build time (VERDICT r1 minor #4)
+    total = df.select(F.count("*").alias("__total"))
     return (
-        exploded.where(F.col("ngram") != "")
+        grams.where(F.col("ngram") != "")
         .groupBy("ngram")
         .agg(F.count("*").alias("n_occ"))
-        .where((F.col("n_occ") >= min_count) & (F.col("n_occ") >= min_frac * total))
+        .crossJoin(F.broadcast(total))
+        .where((F.col("n_occ") >= min_count) & (F.col("n_occ") >= min_frac * F.col("__total")))
+        .drop("__total")
     )
 
 

@@ -1058,12 +1058,22 @@ def tumbling_window(spark, sf):
 # --- the domain pipeline (rows-only: binary audio semantics not in SQL) ----
 
 
-@q("multimodal_features")
+@q(
+    "multimodal_features",
+    """
+    SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           greatest(1, octet_length(encode(text)) // 64) AS n_frames
+    FROM documents WHERE doc_id < 100
+    """,
+)
 def multimodal_features_q(spark, sf):
-    """Multimodal binary-column plumbing (rows-only: crc/hash features are
-    engine-side): build a deterministic media table from documents (text
-    bytes stand in for image payloads), run the mapInPandas feature stage
-    and the frame-sampling UDTF shape, return stable per-media aggregates."""
+    """Multimodal binary-column plumbing: build a deterministic media table
+    from documents (text bytes stand in for image payloads), run the
+    mapInPandas feature stage and the frame-sampling UDTF fan-out, return
+    per-media (n_bytes, n_frames) — both produced INSIDE the Python stages,
+    both SQL-checkable. The crc32 content fingerprint is engine-side only
+    and exact-value-tested in pytest (tests/test_sources_multimodal.py)."""
     from ..multimodal import extract_image_features, sample_frames
 
     d = _t(spark, sf, "documents").where("doc_id < 100")
@@ -1074,11 +1084,11 @@ def multimodal_features_q(spark, sf):
         F.lit(64).cast("int").alias("width"),
         F.lit(48).cast("int").alias("height"),
     )
-    feats = extract_image_features(media).select("media_id", "n_bytes", "content_crc")
+    feats = extract_image_features(media).select("media_id", "n_bytes")
     frames = (
         sample_frames(media, every_n_bytes=64)
         .groupBy("media_id")
-        .agg(F.count("*").alias("n_frames"))
+        .agg(F.count("*").cast("long").alias("n_frames"))
     )
     return feats.join(frames, "media_id")
 
