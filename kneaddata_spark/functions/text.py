@@ -99,9 +99,10 @@ def text_features_batch(
 ) -> pd.DataFrame:
     """Complexity features for every row; model scores gated on the cheap
     screens (same float64 arithmetic the Column verdict reproduces) AND on
-    the optional audio structural-alive mask (pipeline.structural_alive_col
-    — rows already dead to the audio cascade skip the costlier scorers and
-    report lang='und', ADVICE r1)."""
+    the optional metadata gate (pipeline.scoring_gate_col — rows already
+    dead to the dur/sr/codec whitelists skip the scorers, ADVICE r1; final
+    lang/conf/ppl oracle parity is enforced downstream by annotate()'s
+    verdict-stage masking)."""
     m = len(texts)
     cx = _entropy_batch(texts)
     tlen = texts.fillna("").str.strip().str.len().to_numpy()

@@ -79,79 +79,23 @@ def bytes_trimmed_col() -> F.Column:
     )
 
 
-def structural_alive_col() -> F.Column:
-    """JVM-side replica of the audio kernel's structural decode gate
-    (dur/sr/codec whitelists + payload-shape + length-tolerance checks) —
-    pure Column algebra over (bytes, codec, sr_hz, dur_ms), no UDF.
-
-    Passed into the text UDF as the model-scoring alive mask (ADVICE r1):
-    rows that are structurally dead to the audio cascade skip langid/ppl
-    scoring entirely (wasted model compute on dirty corpora) and emit
-    lang='und', matching the oracle's first-failing-rule semantics for
-    those classes. It must never be False for a row the kernel decodes
-    (that would flip a kept row's langid verdict), so every predicate is
-    exactly the kernel's integer math: n_exp uses round-half-EVEN emulated
-    with integer div/mod (np.round semantics; Spark round() is HALF_UP and
-    would disagree at r==500), and the little-endian u32 payload length is
-    decoded with byte-reversed hex -> conv. Rows dropped later by the
-    kernel's own rules (post_trim_short / clipping) are still scored —
-    their trim bounds exist only inside the UDF stage; `lang` is
-    meaningful only on kept rows (parity-tested there)."""
-    nb = F.length("bytes").cast("long")
+def scoring_gate_col() -> F.Column:
+    """Cheap metadata-only model-scoring gate (ADVICE r1): rows failing the
+    dur/sr/codec whitelists or with a zero expected sample count skip the
+    langid/ppl scorers inside the text UDF. Integer/whitelist algebra only
+    — measured ~free in codegen, unlike a full JVM byte-shape replica of
+    the decode gate (measured at ~8% of pipeline wall: per-row binary
+    hex/conv dominates any model-compute saving now that the scorers are
+    vectorized). Rows that pass this gate but die later in the audio
+    cascade still get scored; their OUTPUT columns are masked to the
+    oracle's first-failing-rule semantics in annotate() (lang='und',
+    conf=0, ppl=NaN), which is exact for every drop class — including
+    post_trim/clipping, which no pre-UDF mask can see."""
     dur_ok = F.col("dur_ms").between(rules.MIN_DUR_MS, rules.MAX_DUR_MS)
     sr_ok = F.col("sr_hz").isin(*rules.VALID_SR_HZ)
     codec_ok = F.col("codec").isin(*rules.VALID_CODECS)
-
-    plen = F.conv(
-        F.hex(
-            F.concat(
-                F.expr("substring(bytes, 8, 1)"),
-                F.expr("substring(bytes, 7, 1)"),
-                F.expr("substring(bytes, 6, 1)"),
-                F.expr("substring(bytes, 5, 1)"),
-            )
-        ),
-        16,
-        10,
-    ).cast("long")
-    fake_ok = (
-        (nb >= 8)
-        & (plen == nb - 8)
-        & (plen % 2 == 0)
-        & (plen > 0)
-        & F.coalesce(
-            *[
-                F.when(F.col("codec") == c, F.expr("substring(bytes, 1, 4)") == F.lit(m))
-                for c, m in rules.FAKE_MAGIC.items()
-            ]
-        )
-    )
-    n_samples = (
-        F.when(F.col("codec") == "pcm_s16le", F.when((nb > 0) & (nb % 2 == 0), F.expr("cast(length(bytes) as bigint) div 2")))
-        .when(F.col("codec") == "pcm_u8", F.when(nb > 0, nb))
-        .when(F.col("codec").isin(*rules.FAKE_MAGIC), F.when(fake_ok, F.expr("(cast(length(bytes) as bigint) - 8) div 2")))
-    )
-    # codecs handled by a REGISTERED python decoder (functions.audio.
-    # register_codec) have no JVM-side shape model: treat as alive
-    # (conservative — wasted scoring at worst, never a flipped verdict)
-    builtin = ("pcm_s16le", "pcm_u8", *rules.FAKE_MAGIC)
-
-    # banker's rounding of dur_ms*sr_hz/1000 in exact integer arithmetic
-    ds = F.col("dur_ms").cast("long") * F.col("sr_hz").cast("long")
-    q = F.expr("(cast(dur_ms as bigint) * cast(sr_hz as bigint)) div 1000")
-    r = ds % 1000
-    n_exp = q + (
-        F.when(r > 500, 1)
-        .when((r == 500) & (q % 2 == 1), 1)
-        .otherwise(0)
-    )
-    len_ok = (n_exp > 0) & (
-        F.abs(n_samples - n_exp) <= F.lit(rules.DECODE_LEN_RTOL) * n_exp
-    )
-    shape_ok = F.when(
-        F.col("codec").isin(*builtin), n_samples.isNotNull() & len_ok
-    ).otherwise(F.lit(True))
-    return F.coalesce(dur_ok & sr_ok & codec_ok & shape_ok, F.lit(False))
+    n_exp_pos = F.col("dur_ms").cast("long") * F.col("sr_hz").cast("long") >= 500
+    return F.coalesce(dur_ok & sr_ok & codec_ok & n_exp_pos, F.lit(False))
 
 
 def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
@@ -166,9 +110,9 @@ def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
         df.withColumns(
             {
                 "_af": audio_features("bytes", "codec", "sr_hz", "dur_ms"),
-                # the alive mask is a Column EXPRESSION input (not a UDF
+                # the gate is a Column EXPRESSION input (not a UDF
                 # dependency), so both UDFs still share one ArrowEvalPython
-                "_tf": text_features("transcript", structural_alive_col()),
+                "_tf": text_features("transcript", scoring_gate_col()),
             }
         )
         .select("*", "_af.*", "_tf.*")
@@ -221,6 +165,21 @@ def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
         .otherwise(F.lit(None).cast("string"))
     )
     a = a.withColumn("drop_rule", drop_rule).withColumn("keep", F.col("drop_rule").isNull())
+    # Exact oracle parity for the model-score columns on EVERY row (not
+    # just kept ones): the oracle assigns lang/conf only when a row reaches
+    # the langid stage and ppl only at the perplexity stage
+    # (oracle.label_row's first-failing-rule cascade); mask the scored
+    # values with the verdict accordingly. The verdict itself was computed
+    # from the RAW scores above, so this cannot flip any keep/drop.
+    reaches_lang = F.col("drop_rule").isNull() | F.col("drop_rule").isin(
+        "langid", "perplexity"
+    )
+    reaches_ppl = F.col("drop_rule").isNull() | (F.col("drop_rule") == "perplexity")
+    a = (
+        a.withColumn("lang", F.when(reaches_lang, F.col("lang")).otherwise("und"))
+        .withColumn("lang_conf", F.when(reaches_lang, F.col("lang_conf")).otherwise(F.lit(0.0)))
+        .withColumn("ppl", F.when(reaches_ppl, F.col("ppl")).otherwise(F.lit(float("nan"))))
+    )
     a = a.withColumn(
         "transcript_scrubbed",
         F.when(F.col("keep"), scrub_col(F.col("transcript"))),

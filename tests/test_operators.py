@@ -232,3 +232,29 @@ def test_no_global_window_in_driver_queries(spark):
         if gw:
             bad[name] = gw[0][:160]
     assert bad == {}, bad
+
+
+def test_shingle_skew_guard_default_on(spark):
+    """VERDICT r1 #3: a stop-shingle planted in half the corpus must be
+    dropped by the DEFAULT max_df='auto' guard — the (id,shingle) frame
+    stays linear in docs and the self-join stays sub-quadratic, instead of
+    one hot key contributing O((n/2)^2) joined rows."""
+    n = 600
+    hot = "the quick fox"  # a full 3-gram planted in 50% of docs
+    rows = [
+        (i, (hot + f" unique{i} token{i} filler{i}") if i % 2 == 0
+            else f"solo{i} words{i} here{i} more{i} stuff{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.word_shingles(df, "doc_id", "text", n=3)  # default guard
+    shingles = {r["shingle"] for r in sh.select("shingle").distinct().collect()}
+    assert hot not in shingles  # df=300 > max(5, 600 div 100)=6 -> dropped
+    # shingle frame stays ~linear in docs (no hot-key blowup downstream)
+    assert sh.count() <= 6 * n
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    assert pairs.count() == 0  # unique fillers dominate once the stop-shingle is gone
+    # guard OFF: the hot key alone would feed 300*299/2 (~45k) join rows
+    sh_off = dedup.word_shingles(df, "doc_id", "text", n=3, max_df=None)
+    hot_df = sh_off.groupBy("shingle").count().where(F.col("shingle") == hot).collect()
+    assert hot_df and hot_df[0]["count"] == n // 2

@@ -120,24 +120,35 @@ def test_training_pipeline_end_to_end(spark, tmp_path):
     assert spark.read.parquet(stats["final_path"]).count() == stats["n_final"]
 
 
-def test_structural_alive_mask_exact(spark, clips_path):
-    """pipeline.structural_alive_col (the JVM-side model-scoring gate) must
-    be bit-exact with kernel decode_ok AND the dur rule: a False on any
-    kept row would flip its langid verdict (ADVICE r1 fix)."""
-    from kneaddata_spark import rules
-    from kneaddata_spark.pipeline import annotate, broadcast_models, structural_alive_col
+def test_lang_parity_all_rows(spark, clips_path, oracle_labels):
+    """Model-score columns match the oracle's first-failing-rule semantics
+    on EVERY row (ADVICE r1): lang equals oracle expect_lang everywhere
+    (scored value when the row reaches the langid stage, 'und' otherwise);
+    ppl is NaN before the perplexity stage. The cheap metadata scoring
+    gate (pipeline.scoring_gate_col) must never suppress scoring on a row
+    that reaches langid."""
+    import math
+
+    from kneaddata_spark.pipeline import annotate, broadcast_models, scoring_gate_col
 
     df = spark.read.parquet(clips_path)
     ann = annotate(df, *broadcast_models(spark)).withColumn(
-        "alive", structural_alive_col()
+        "gate", scoring_gate_col()
     )
-    expect = F.col("decode_ok") & F.col("dur_ms").between(
-        rules.MIN_DUR_MS, rules.MAX_DUR_MS
-    )
-    assert ann.where(F.col("alive") != expect).count() == 0
-    assert ann.where(F.col("keep") & ~F.col("alive")).count() == 0
-    # structurally-dead rows are not model-scored: lang must be 'und'
-    assert ann.where(~F.col("alive") & (F.col("lang") != "und")).count() == 0
+    got = {r["clip_id"]: r for r in ann.select("clip_id", "lang", "ppl", "drop_rule", "gate").collect()}
+    mismatches = []
+    for _, o in oracle_labels.iterrows():
+        g = got[o["clip_id"]]
+        if g["lang"] != o["expect_lang"]:
+            mismatches.append((o["clip_id"], g["lang"], o["expect_lang"], g["drop_rule"]))
+    assert mismatches == [], mismatches[:10]
+    # ppl masked to NaN unless the row reached the perplexity stage
+    for cid, g in got.items():
+        if g["drop_rule"] not in (None, "perplexity"):
+            assert math.isnan(g["ppl"]), (cid, g)
+        # the gate is a superset of "reaches langid"
+        if g["drop_rule"] in (None, "langid", "perplexity"):
+            assert g["gate"], (cid, g)
 
 
 def test_write_repartition_balance(spark, clips_path):
