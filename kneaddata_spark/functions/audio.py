@@ -116,8 +116,13 @@ def _flush_chunk(rows: list, kind: str, data: np.ndarray, out: dict) -> None:
 
     rows: list of (row_index, payload_start, payload_end, n_samples,
     frame_width) into `data` (the batch's shared uint8 buffer). Frame
-    energies are exact integer sums gathered from one int64 cumsum; per-row
-    first/last loud frame come from searchsorted on the (sorted)
+    energies are exact integer sums from ONE np.add.reduceat over the
+    squared samples (rows adjoin and frames tile each row, so consecutive
+    global frame starts delimit exactly the frame extents; int64
+    accumulation, no overflow). This reads the int32 squares once and
+    writes only per-frame sums — about half the memory traffic of the
+    previous int64-cumsum formulation, which wrote+read 12 bytes/sample.
+    Per-row first/last loud frame come from searchsorted on the (sorted)
     frame->row map — no per-row numpy passes over sample data.
     """
     if not rows:
@@ -142,13 +147,11 @@ def _flush_chunk(rows: list, kind: str, data: np.ndarray, out: dict) -> None:
         sq = _scratch("sq", len(v), np.int32)
         np.multiply(v, v, out=sq, dtype=np.int32)
         scale2 = _U8 * _U8
-    cs = _scratch("cs", len(sq), np.int64)
-    np.cumsum(sq, out=cs)
-
     ns = np.array([r[3] for r in rows], dtype=np.int64)
     ws = np.array([r[4] for r in rows], dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(ns)])
     # global frame starts; rows adjoin, so starts are strictly increasing
+    # and consecutive starts delimit exactly the frame extents
     starts = np.concatenate(
         [np.arange(0, n, w, dtype=np.int64) + off for n, w, off in zip(ns, ws, offs)]
     )
@@ -156,7 +159,7 @@ def _flush_chunk(rows: list, kind: str, data: np.ndarray, out: dict) -> None:
     fb = np.cumsum(nf)                            # frame-index row boundaries
     row_end = np.repeat(offs[1:], nf)             # per-frame row end (samples)
     ends = np.minimum(starts + np.repeat(ws, nf), row_end)
-    sums = cs[ends - 1] - np.where(starts > 0, cs[starts - 1], 0)
+    sums = np.add.reduceat(sq, starts, dtype=np.int64)
     lens = ends - starts
     db = 20.0 * np.log10(np.sqrt(sums / (lens * scale2)) + 1e-10)
 

@@ -149,14 +149,20 @@ def minhash_signatures(
 
     One shuffle: groupBy(id) with num_hashes min() partial aggregates —
     map-side combine keeps the shuffle at |ids| x num_hashes, independent
-    of shingle count. Permutations are (a*x + b) mod p over xxhash64."""
+    of shingle count. Permutations are (a*x + b) mod p over xxhash64.
+
+    The base hash is MATERIALIZED in a projection before the aggregate:
+    referencing the xxhash64 expression inside all num_hashes aggregates
+    would re-evaluate it num_hashes times per row (codegen duplicates
+    subtrees per use — measured 64x hash work without this)."""
     a, b = _perm_coeffs(num_hashes, seed)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("__x"))
+    x = F.col("__x")
     mins = [
         F.min((x * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(_P)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    agg = sh.groupBy("id").agg(*mins)
+    agg = hashed.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
@@ -266,14 +272,19 @@ def simhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
     ).where(F.col("tok") != "")
-    h = token_hash(F.col("tok")) if token_hash is not None else F.xxhash64("tok")
+    # materialize the token hash ONCE per row before the 64 aggregates —
+    # referencing the hash expression inside each bit-sum would re-evaluate
+    # it 64x per token (codegen duplicates subtrees per use)
+    hexpr = token_hash(F.col("tok")) if token_hash is not None else F.xxhash64("tok")
+    hashed = toks.select("id", hexpr.alias("__h"))
+    h = F.col("__h")
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
-    agg = toks.groupBy("id").agg(*bit_sums)
+    agg = hashed.groupBy("id").agg(*bit_sums)
     sig = None
     for i in range(64):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -313,3 +324,59 @@ def simhash_near_dup_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --------------------------------------------- duplicate-cluster resolve --
+
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster_id)
+    where cluster_id = min id in the component — the transitive closure the
+    pairwise screens (jaccard/minhash/simhash/cosine) need before a
+    keep-one-per-cluster policy (dropping id_b per PAIR mis-handles chains
+    a~b~c).
+
+    Iterative min-label propagation, one shuffle join + one aggregate per
+    round, converging in O(component diameter) rounds — near-dup components
+    are tiny cliques/chains, so a handful. Each round's frame is
+    localCheckpoint()ed: at 10^12 scale an unbroken 20-round lineage would
+    re-execute the whole chain on any retry and blow up plan compilation.
+    The per-round convergence check is ONE scalar count action
+    (documented driver round-trip, bounded by max_iter).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -283,10 +283,12 @@ def run_training_pipeline(
     them: kept clips from the QC pass feed the dedup family (the corpus-
     level analog of the reference's per-sample pipeline, knead_data.py:
     534-568, with FastQC's corpus screens promoted to first-class stages).
-    Near-dup policy: for each surviving pair (a < b), drop b — the
+    Near-dup policy: resolve the pair graph into connected components
+    (dedup.dup_clusters) and keep the min-id row per CLUSTER — the
     reference's keep-first-occurrence convention (utilities.py:519-520)
-    applied by id order. Returns stage counters (the READ COUNT ladder)."""
-    from .operators.dedup import dedup_exact, minhash_dedup_pairs
+    made transitive (a per-PAIR drop of id_b mangles chains a~b~c).
+    Returns stage counters (the READ COUNT ladder)."""
+    from .operators.dedup import dedup_exact, dup_clusters, minhash_dedup_pairs
     from .operators.setops import anti_join_ids
 
     qc = run_qc(spark, clips, out_dir)
@@ -300,7 +302,11 @@ def run_training_pipeline(
     near = minhash_dedup_pairs(
         uniq, "clip_id", "transcript", n=2, threshold=near_dup_threshold
     )
-    drop_ids = near.select(F.col("id_b").alias("clip_id")).distinct()
+    clusters = dup_clusters(near)
+    drop_ids = (
+        clusters.where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias("clip_id"))
+    )
     final = anti_join_ids(uniq, drop_ids, key="clip_id")
     final_path = f"{out_dir}/clips_final"
     final.write.mode("overwrite").parquet(final_path)

@@ -906,6 +906,36 @@ def simhash_near_dups_q(spark, sf):
     return dedup.simhash_near_dup_pairs(sigs, max_hamming=3)
 
 
+@q(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({_JACCARD_SQL}) j),
+    e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+    reach(src, dst) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e)
+    SELECT n.id, least(n.id, min(r.dst)) AS cluster_id
+    FROM nodes n JOIN reach r ON r.src = n.id
+    GROUP BY n.id
+    """,
+)
+def dup_clusters_q(spark, sf):
+    """Connected components over the exact-Jaccard near-dup graph:
+    (id, cluster_id = min id in component). Spark side is iterative
+    min-label propagation (dedup.dup_clusters — one join+agg per round);
+    the oracle is the transitive closure as a DuckDB recursive CTE.
+    Proves the keep-one-per-CLUSTER policy handles chains a~b~c that a
+    per-pair drop mangles."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf), "doc_id", "text", n=3, threshold=0.5
+    )
+    return dedup.dup_clusters(pairs)
+
+
 # --- similarity search ------------------------------------------------------
 
 

@@ -258,3 +258,14 @@ def test_shingle_skew_guard_default_on(spark):
     sh_off = dedup.word_shingles(df, "doc_id", "text", n=3, max_df=None)
     hot_df = sh_off.groupBy("shingle").count().where(F.col("shingle") == hot).collect()
     assert hot_df and hot_df[0]["count"] == n // 2
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """dup_clusters: a chain a~b, b~c collapses into ONE component with
+    cluster_id = min; isolated pair separate; convergence < max_iter."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
