@@ -34,6 +34,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_dedup_pairs",
     "simhash_near_dups",
+    "dup_clusters",
     "cosine_topk",
     "token_stats",
     "doc_fingerprint",

@@ -345,9 +345,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (documented driver round-trip, bounded by max_iter).
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # materialize the (possibly expensive) upstream pair plan ONCE — every
+    # iteration joins against sym, and without this each round would
+    # re-execute the whole candidate-generation pipeline
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()

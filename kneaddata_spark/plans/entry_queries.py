@@ -778,6 +778,58 @@ def adaptive_scrub_q(spark, sf):
     return textstats.adaptive_scrub(d, "doc_id", "text", n=2, min_count=40)
 
 
+@q(
+    "event_sequences",
+    """
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS seq,
+           count(*) AS n
+    FROM events WHERE user_id < 40 GROUP BY user_id
+    """,
+)
+def event_sequences_q(spark, sf):
+    """Ordered per-key sequence assembly (the conversation/session-build
+    step of a training-data pipeline): deterministic ordering via
+    sort_array over (ts, event_id, payload) structs — collect_list alone
+    is order-nondeterministic under retries. One shuffle on the group key;
+    map-side combine applies to the struct list."""
+    e = _t(spark, sf, "events").where("user_id < 40")
+    seq = F.expr(
+        "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"
+    )
+    return e.groupBy("user_id").agg(seq.alias("seq"), F.count("*").alias("n"))
+
+
+@q(
+    "length_quantiles",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def length_quantiles_q(spark, sf):
+    """Corpus length-distribution stats (the tokenizer-budget planning
+    query a training-data pipeline runs constantly): EXACT percentiles —
+    Spark `percentile` and DuckDB `quantile_cont` share the (n-1)*p linear
+    interpolation, so values hash-match. At 100 TB swap in
+    percentile_approx (t-digest) — same plan shape, bounded memory."""
+    d = _t(spark, sf, "documents")
+    pct = F.expr("percentile(n_chars, array(0.5, 0.9, 0.99))")
+    return (
+        d.groupBy("lang")
+        .agg(pct.alias("q"))
+        .select(
+            "lang",
+            F.round(F.col("q")[0], 4).alias("p50"),
+            F.round(F.col("q")[1], 4).alias("p90"),
+            F.round(F.col("q")[2], 4).alias("p99"),
+        )
+    )
+
+
 # --- dedup family ----------------------------------------------------------
 
 
