@@ -4,8 +4,10 @@
 ``queries()`` / ``oracle_sql()`` — operator surface from SURVEY.md §2 plus
 the training-data-pipeline extensions (dedup / similarity / text analysis),
 implemented in kneaddata_spark.plans.entry_queries; DuckDB oracles attached
-for every SQL-expressible operator (engine-hash LSH variants and the
-binary-audio domain pipeline are rows-only by design).
+for every SQL-expressible operator — 48 of 50, including the LSH/ANN family
+(exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1)
+— with only the streaming query and the binary-audio domain pipeline
+rows-only by design.
 """
 
 from __future__ import annotations

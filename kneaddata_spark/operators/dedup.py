@@ -72,20 +72,21 @@ def word_shingles(
     )
     if max_df is None:
         return sh
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    # Guard as a WINDOW count over the shingle partitioning: one pass over
+    # sh (a groupBy + broadcast-anti formulation recomputes the whole
+    # explode+distinct twice), and the output comes out hash-partitioned by
+    # shingle — exactly what the downstream self-join needs, so the
+    # exchange is reused rather than added.
+    w = Window.partitionBy("shingle")
+    sh = sh.withColumn("__df", F.count("*").over(w))
     if max_df == "auto":
         # corpus size enters the plan as a broadcast 1-row frame — no
         # driver-side count job, the ceiling is computed inside the plan
         n_docs = df.select(F.count("*").alias("__nd"))
-        hot = (
-            dfreq.crossJoin(F.broadcast(n_docs))
-            .where(F.col("df") > F.greatest(F.lit(AUTO_DF_MIN), F.expr(f"__nd div {AUTO_DF_DIV}")))
-            .select("shingle")
-        )
-    else:
-        hot = dfreq.where(F.col("df") > int(max_df)).select("shingle")
-    # the hot set is tiny by construction (<= |occurrences| / ceiling)
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+        ceiling = F.greatest(F.lit(AUTO_DF_MIN), F.expr(f"__nd div {AUTO_DF_DIV}"))
+        sh = sh.crossJoin(F.broadcast(n_docs)).where(F.col("__df") <= ceiling)
+        return sh.select("id", "shingle")
+    return sh.where(F.col("__df") <= int(max_df)).select("id", "shingle")
 
 
 def ngram_jaccard_pairs(
