@@ -342,6 +342,9 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     are tiny cliques/chains, so a handful. Each round's frame is
     localCheckpoint()ed: at 10^12 scale an unbroken 20-round lineage would
     re-execute the whole chain on any retry and blow up plan compilation.
+    (localCheckpoint blocks are executor-local; a production run on a
+    preemptible cluster should use setCheckpointDir + .checkpoint() for
+    fault-tolerant truncation — same plan otherwise.)
     The per-round convergence check is ONE scalar count action
     (documented driver round-trip, bounded by max_iter).
     """

@@ -779,6 +779,32 @@ def adaptive_scrub_q(spark, sf):
 
 
 @q(
+    "stratified_cap",
+    f"""
+    SELECT doc_id, lang FROM documents
+    QUALIFY row_number() OVER (
+      PARTITION BY lang ORDER BY (doc_id * {KNUTH}) % {M32}, doc_id
+    ) <= 30
+    """,
+)
+def stratified_cap_q(spark, sf):
+    """Per-group corpus balancing (cap each lang at k docs) with a
+    DETERMINISTIC pseudo-random pick: rank by the same Knuth-hash the
+    sampling family uses (engine-portable; rand() would break retry
+    idempotency and the oracle). One window shuffle on the group key."""
+    d = _t(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("doc_id") * KNUTH) % M32, F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 30)
+        .drop("__rn")
+    )
+
+
+@q(
     "event_sequences",
     """
     SELECT user_id,
