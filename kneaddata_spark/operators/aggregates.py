@@ -53,11 +53,14 @@ def overrepresented_ngrams(
         grams = tokens.select(F.explode("tokens").alias("ngram"))
     else:
         # sliding word n-grams, JVM-side: transform over an index sequence
+        # short docs: sequence(1,0) is descending in Spark -> guard
         grams = tokens.select(
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
-                    f"i -> array_join(slice(tokens, i, {n}), ' '))"
+                    f"CASE WHEN size(tokens) >= {n} THEN "
+                    f"transform(sequence(1, size(tokens) - {n - 1}), "
+                    f"i -> array_join(slice(tokens, i, {n}), ' ')) "
+                    f"ELSE array() END"
                 )
             ).alias("ngram")
         )

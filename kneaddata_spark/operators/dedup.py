@@ -61,9 +61,14 @@ def word_shingles(
     exceeds max(AUTO_DF_MIN, n_docs div AUTO_DF_DIV); an int caps df
     absolutely; None disables the guard (tests/micro corpora only)."""
     toks = F.split(F.lower(F.col(text_col)), "\\s+")
+    # guard short docs: sequence(1, 0) in Spark is the DESCENDING [1, 0]
+    # (unlike SQL generate_series, which is empty) and slice(.., 0, ..)
+    # throws — a < n-token document must yield zero shingles, not an error
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
-        f"i -> array_join(slice(tokens, i, {n}), ' '))"
+        f"CASE WHEN size(tokens) >= {n} THEN "
+        f"transform(sequence(1, size(tokens) - {n - 1}), "
+        f"i -> array_join(slice(tokens, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
     sh = (
         df.select(F.col(id_col).alias("id"), toks.alias("tokens"))
@@ -387,3 +392,37 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+# ------------------------------------------------- decontamination screen --
+
+
+def decontaminate_against(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Test-set decontamination (the GPT-3/Pile-style screen a training
+    corpus MUST run): drop every corpus document sharing at least one word
+    n-gram (default 8-gram) with the benchmark set.
+
+    Shape at scale: benchmark shingles are the SMALL side — distinct
+    n-grams of the eval suites — so the membership probe is a broadcast
+    semi-join against the corpus shingle stream; the corpus is never
+    shuffled. Returns the clean corpus (original columns).
+    """
+    bench_sh = word_shingles(benchmark, id_col, text_col, n, max_df=None).select(
+        "shingle"
+    ).distinct()
+    corpus_sh = word_shingles(corpus, id_col, text_col, n, max_df)
+    dirty = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    # dirty-id cardinality is corpus-dependent — keyed anti-join, let AQE
+    # choose broadcast when it is actually small
+    return corpus.join(dirty, id_col, "left_anti")

@@ -91,9 +91,12 @@ def overrepresented_ngrams(
     /root/reference/kneaddata/utilities.py:1094-1164): corpus-level n-gram
     frequency aggregation; grams above min_count are 'adapters'."""
     toks = F.split(F.lower(F.col(text_col)), " ")
+    # short docs: sequence(1,0) is descending in Spark -> guard with CASE
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 0)), "
-        f"i -> array_join(slice(tokens, i, {n}), ' '))"
+        f"CASE WHEN size(tokens) >= {n} THEN "
+        f"transform(sequence(1, size(tokens) - {n - 1}), "
+        f"i -> array_join(slice(tokens, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
     return (
         df.select(toks.alias("tokens"))

@@ -174,8 +174,10 @@ def overrepresented_ngrams_q(spark, sf):
     grams = tokens.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
-                "i -> concat(tokens[i-1], ' ', tokens[i]))"
+                "CASE WHEN size(tokens) >= 2 THEN "
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> concat(tokens[i-1], ' ', tokens[i])) "
+                "ELSE array() END"
             )
         ).alias("ngram")
     )
@@ -776,6 +778,71 @@ def adaptive_scrub_q(spark, sf):
     utilities.py:1094-1164)."""
     d = _t(spark, sf, "documents")
     return textstats.adaptive_scrub(d, "doc_id", "text", n=2, min_count=40)
+
+
+@q(
+    "doc_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 50)
+    SELECT doc_id, g.i::INT AS chunk_idx,
+           array_to_string(toks[g.i * 24 + 1 : g.i * 24 + 32], ' ') AS chunk
+    FROM t, LATERAL (
+      SELECT unnest(generate_series(0, greatest((len(toks) - 8 - 1) // 24, 0))) AS i
+    ) g
+    """,
+)
+def doc_chunks_q(spark, sf):
+    """Context-window chunking (the fixed-token-window split every LLM
+    data pipeline runs): windows of 32 tokens with stride 24 (8-token
+    overlap), JVM-side explode over an index sequence — no Python, no
+    shuffle; chunk text via slice + array_join."""
+    d = _t(spark, sf, "documents").where("doc_id < 50")
+    win, stride = 32, 24
+    toks = F.split(F.col("text"), " ")
+    chunks = F.expr(
+        f"transform(sequence(0, greatest((size(tokens) - {win - stride} - 1) div {stride}, 0)), "
+        f"i -> struct(i as chunk_idx, array_join(slice(tokens, i * {stride} + 1, {win}), ' ') as chunk))"
+    )
+    return (
+        d.select("doc_id", toks.alias("tokens"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", F.col("c.chunk_idx").cast("int").alias("chunk_idx"), "c.chunk")
+    )
+
+
+@q(
+    "decontaminate",
+    """
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    bsh AS (
+      SELECT DISTINCT tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+             || ' ' || tokens[i+3] || ' ' || tokens[i+4] AS shingle
+      FROM (SELECT string_split(lower(text), ' ') AS tokens FROM bench),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i)
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+             || ' ' || tokens[i+3] || ' ' || tokens[i+4] AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM corpus),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i)
+    ),
+    dirty AS (SELECT DISTINCT doc_id FROM csh WHERE shingle IN (SELECT shingle FROM bsh))
+    SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def decontaminate_q(spark, sf):
+    """Benchmark decontamination: documents sharing any 5-gram with the
+    'benchmark' subset (doc_id % 20 == 0 stands in for the eval suite) are
+    dropped. Benchmark shingles broadcast; the corpus never shuffles
+    (dedup.decontaminate_against)."""
+    d = _t(spark, sf, "documents")
+    bench = d.where("doc_id % 20 = 0")
+    corpus = d.where("doc_id % 20 <> 0")
+    clean = dedup.decontaminate_against(
+        corpus, bench, "doc_id", "text", n=5, max_df=None
+    )
+    return clean.select("doc_id")
 
 
 @q(

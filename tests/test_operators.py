@@ -269,3 +269,65 @@ def test_dup_clusters_transitive_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dup_clusters_random_graph_matches_union_find(spark):
+    """dup_clusters vs an independent python union-find on a seeded random
+    graph (120 nodes, 90 edges — many multi-node components and chains)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(90, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
+    assert got == want
+
+
+def test_decontaminate_against_planted(spark):
+    """A corpus doc embedding a benchmark 5-gram verbatim is dropped;
+    unrelated docs survive."""
+    bench = spark.createDataFrame(
+        [(0, "what is the capital of france paris obviously")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text what is the capital of france he asked"),  # contaminated
+            (2, "completely unrelated words about cooking pasta tonight"),
+            (3, "short text"),  # < 5 tokens: no shingles, survives
+        ],
+        ["doc_id", "text"],
+    )
+    clean = dedup.decontaminate_against(corpus, bench, "doc_id", "text", n=5, max_df=None)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_shingles_short_docs_no_crash(spark):
+    """Regression: docs with fewer than n tokens must yield ZERO shingles —
+    Spark's sequence(1, 0) is the descending [1, 0] (unlike SQL
+    generate_series) and used to feed slice(tokens, 0, n), which throws."""
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d e f")], ["doc_id", "text"]
+    )
+    out = dedup.word_shingles(df, "doc_id", "text", n=5, max_df=None).collect()
+    assert {r["id"] for r in out} == {3}
+    from kneaddata_spark.operators.textstats import overrepresented_ngrams
+
+    assert overrepresented_ngrams(df, "text", n=4, min_count=1).count() == 3
