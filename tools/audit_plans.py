@@ -26,6 +26,10 @@ AUDIT = [
     ("cosine_topk", {"broadcast_join": True}),
     ("token_stats", {"max_exchanges": 0}),
     ("scrub_pii", {"max_exchanges": 0, "no_python": True}),
+    ("doc_chunks", {"max_exchanges": 0, "no_python": True}),
+    ("decontaminate", {"broadcast_join": True}),
+    ("simhash_near_dups", {"max_exchanges": 4}),
+    ("stratified_cap", {"max_exchanges": 1, "no_python": True}),
 ]
 
 
