@@ -1,5 +1,11 @@
 """Similarity search over an embedding column (array<float>).
 
+Operators return FULL-PRECISION cos; callers round once at the edge.
+Rounding twice (round(round(x, 6), 4)) is a double-rounding trap: the
+6-digit intermediate lands exactly on the decimal grid, so the second
+round can HALF_UP across a boundary the raw double was below — found as a
+cross-engine oracle mismatch at sf0.001.
+
 Baseline: brute-force cosine top-k — broadcast the (small) query set,
 JVM-side dot products via zip_with/aggregate, per-query top-k window.
 Scale path: sign-LSH bucketing (deterministic hyperplanes) so each query
@@ -32,17 +38,18 @@ def _norm(c: str) -> F.Column:
     )
 
 
-def _unit_select(df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str) -> DataFrame:
-    """(id, unit-normalized double[] vec) — norm computed once per row in a
-    separate projection so the transform doesn't re-aggregate per element."""
-    return (
-        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("__v"))
-        .withColumn("__n", _norm("__v"))
-        .select(
-            id_alias,
-            F.expr("transform(__v, x -> cast(x as double) / __n)").alias(vec_alias),
-        )
-    )
+def _with_norm(
+    df: DataFrame, id_col: str, vec_col: str, id_alias: str, vec_alias: str, n_alias: str
+) -> DataFrame:
+    """(id, raw vec, norm) — norm computed once per row. cos is then
+    dot(a, b) / (|a| * |b|) over RAW vectors: the same float-op order as
+    the DuckDB oracle's list_dot_product formulation. (Pre-normalizing the
+    vectors is mathematically equal but divides before summing — a
+    last-ulp difference that flips round(cos, 4) at a rounding boundary;
+    observed at sf0.001.)"""
+    return df.select(
+        F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+    ).withColumn(n_alias, _norm(vec_alias))
 
 
 def cosine_topk_bruteforce(
@@ -54,17 +61,21 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors for each query row. queries must be small
     (broadcast); vectors can be arbitrarily large — the join is a
-    broadcast-nested-loop scored entirely in codegen'd JVM expressions."""
-    # normalize ONCE per row (O(n·d)), so the O(n²) stage is a single dot
-    v = _unit_select(vectors, id_col, vec_col, "nbr_id", "nbr_vec")
-    q = _unit_select(queries, id_col, vec_col, "query_id", "q_vec")
+    broadcast-nested-loop scored entirely in codegen'd JVM expressions.
+    Norms computed ONCE per row; the O(n²) stage is one dot + one divide."""
+    v = _with_norm(vectors, id_col, vec_col, "nbr_id", "nbr_vec", "nbr_n")
+    q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_n")
     scored = v.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("nbr_id"))
-    scored = scored.select("query_id", "nbr_id", _dot("q_vec", "nbr_vec").alias("cos"))
+    scored = scored.select(
+        "query_id",
+        "nbr_id",
+        (_dot("q_vec", "nbr_vec") / (F.col("q_n") * F.col("nbr_n"))).alias("cos"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "nbr_id", "rank", "cos")
     )
 
 
@@ -77,14 +88,17 @@ def cosine_pairs_threshold(
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= t) — the
     embedding flavor of the dedup family. O(n^2) scoring; use the LSH
     variant beyond ~10^5 rows."""
-    a = _unit_select(vectors, id_col, vec_col, "id_a", "va")
-    b = _unit_select(vectors, id_col, vec_col, "id_b", "vb")
+    a = _with_norm(vectors, id_col, vec_col, "id_a", "va", "na")
+    b = _with_norm(vectors, id_col, vec_col, "id_b", "vb", "nb")
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _dot("va", "vb").alias("cos"))
+        .select(
+            "id_a", "id_b",
+            (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+        .select("id_a", "id_b", "cos")
     )
 
 
@@ -170,7 +184,7 @@ def ann_ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "nbr_id", "rank", "cos")
     )
 
 
@@ -199,5 +213,5 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "nbr_id", "rank", F.round("cos", 6).alias("cos"))
+        .select("query_id", "nbr_id", "rank", "cos")
     )
