@@ -25,7 +25,7 @@ idempotent — no rand() in the plan (rand breaks retry determinism).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -67,3 +67,39 @@ def salted_group_count(
     )
     partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__n"))
     return partial.groupBy(key).agg(F.sum("__n").alias("n"))
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    k: int,
+    salt_src: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Top-k rows per group WITHOUT funneling a hot group through one
+    window task (VERDICT r2 #3: Window.partitionBy(lang) on a 58%-skewed
+    key sends the hot group's every row to ONE task at scale).
+
+    Two-phase: rank within (group, salt) and keep k per salt cell — the hot
+    group's rows split across n_salts tasks — then rank the <= n_salts*k
+    survivors per group (bounded fan-in regardless of group skew). Result
+    is IDENTICAL to the single-window top-k: any row in the group-wide
+    top-k is a fortiori in the top-k of its salt cell, so phase 1 never
+    discards a final-answer row. `order_cols` must be a deterministic total
+    order (ties broken by a unique column) for retry idempotency."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        survivors.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -234,6 +234,57 @@ def test_no_global_window_in_driver_queries(spark):
     assert bad == {}, bad
 
 
+def test_salted_topk_equals_single_window_and_bounds_skew(spark):
+    """skew.salted_topk_per_group: identical answer to the one-window
+    top-k on a 60%-skewed group key, AND no (group, salt) phase-1 window
+    cell receives more than ~2x its fair share of the hot group's rows
+    (VERDICT r2 #3 — bounded per-task fan-in under skew)."""
+    from pyspark.sql import Window
+
+    from kneaddata_spark.operators.skew import salted_topk_per_group
+
+    n, k, n_salts = 2000, 25, 8
+    rows = [(i, "hot" if i % 5 < 3 else f"g{i % 5}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "grp"]).repartition(8)
+    order_cols = [(F.col("id") * 2654435761) % 4294967296, F.col("id")]
+
+    got = salted_topk_per_group(df, "grp", order_cols, k, salt_src="id", n_salts=n_salts)
+    w = Window.partitionBy("grp").orderBy(*order_cols)
+    want = (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    cells = (
+        df.withColumn("__salt", F.pmod(F.xxhash64("id"), F.lit(n_salts)))
+        .groupBy("grp", "__salt")
+        .count()
+        .collect()
+    )
+    hot_total = sum(r["count"] for r in cells if r["grp"] == "hot")
+    hot_max = max(r["count"] for r in cells if r["grp"] == "hot")
+    assert hot_max <= 2 * hot_total / n_salts, (hot_max, hot_total)
+
+
+def test_scalar_only_schemas_in_driver_queries(spark):
+    """Every driver-checked query must emit a scalar-only schema: the
+    driver's canonicalizer (pandas sort/factorize) crashes on list cells
+    (CORRECTNESS_r02 event_sequences). Sequences must be serialized
+    (array_join / string_agg) on both engine and oracle sides."""
+    from kneaddata_spark.plans.entry_queries import QUERIES
+    from tools.audit_plans import scalar_schema_problems
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name == "qc_stream_counts":
+            continue
+        ns = scalar_schema_problems(fn(spark, sf))
+        if ns:
+            bad[name] = ns
+    assert bad == {}, bad
+
+
 def test_shingle_skew_guard_default_on(spark):
     """VERDICT r1 #3: a stop-shingle planted in half the corpus must be
     dropped by the DEFAULT max_df='auto' guard — the (id,shingle) frame

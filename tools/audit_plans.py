@@ -73,6 +73,22 @@ def global_window_lines(df) -> list[str]:
     return bad
 
 
+def scalar_schema_problems(df) -> list[str]:
+    """Non-scalar output columns (Array/Map/Struct) of a driver-checked
+    query. The driver's correctness canonicalizer (pandas sort_values +
+    factorize over object cells) cannot hash list values — an array column
+    crashed the `event_sequences` gate in r2 even though the local replica
+    handled it. Driver queries must serialize sequences (array_join /
+    string_agg) on BOTH engine and oracle sides."""
+    from pyspark.sql import types as T
+
+    return [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from kneaddata_spark.pipeline import annotate, broadcast_models
@@ -120,20 +136,29 @@ def main() -> None:
         checks.append(f"WholeStageCodegen spans: {len(codegen_ids)}")
         sections.append((name, p, checks))
 
-    # every driver query: no single-partition global Window anywhere
+    # every driver query: no single-partition global Window anywhere, and
+    # a scalar-only output schema (the driver canonicalizer cannot hash
+    # list cells — r2 event_sequences lesson)
     # (qc_stream_counts excluded — building it executes a streaming query)
-    n_gw = 0
+    n_gw = n_ns = 0
     for name, fn in QUERIES.items():
         if name == "qc_stream_counts":
             continue
-        gw = global_window_lines(fn(spark, sf))
+        df = fn(spark, sf)
+        gw = global_window_lines(df)
         if gw:
             n_gw += 1
             problems.append(f"{name}: global (empty-partition-spec) Window: {gw[0][:120]}")
+        ns = scalar_schema_problems(df)
+        if ns:
+            n_ns += 1
+            problems.append(f"{name}: non-scalar output column(s): {ns}")
     sections.insert(0, (
-        "global-window sweep",
-        f"scanned {len(QUERIES) - 1} driver queries; {n_gw} with a global Window",
-        ["want 0 — a Window with no PARTITION BY funnels every row through one task"],
+        "global-window + scalar-schema sweep",
+        f"scanned {len(QUERIES) - 1} driver queries; {n_gw} with a global Window; "
+        f"{n_ns} with non-scalar output columns",
+        ["want 0 global Windows — no PARTITION BY funnels every row through one task",
+         "want 0 non-scalar outputs — the driver canonicalizer cannot hash list cells"],
     ))
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
