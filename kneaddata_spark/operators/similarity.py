@@ -84,15 +84,54 @@ def cosine_pairs_threshold(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    small: bool = False,
+    dim: int = 64,
+    bands: int = 16,
+    planes_per_band: int = 12,
+    seed: int = 11,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, cos >= t) — the
-    embedding flavor of the dedup family. O(n^2) scoring; use the LSH
-    variant beyond ~10^5 rows."""
+    embedding flavor of the dedup family.
+
+    DEFAULT path (VERDICT r2 #7) is banded sign-LSH candidates + exact
+    verification: each vector gets `bands` codes of `planes_per_band` sign
+    bits; pairs sharing ANY (band, code) are candidates, then scored with
+    the exact cosine. The self-join is an equi-join on (band, code) — the
+    100TB-shaped plan; random-pair collision ~ bands/2^r prunes ~256x at
+    the defaults. Recall S-curve: miss(t) = (1-(1-acos(t)/pi)^r)^bands —
+    ~1e-6 at t=0.99, ~0.93 recall at t=0.9 with the defaults (raise
+    `bands` or lower `planes_per_band` for lower thresholds; identical
+    vectors always collide in every band, so exact dups are never missed).
+    `small=True` keeps the exact O(n^2) cross-join for corpora small
+    enough to scan quadratically (<~10^5 rows)."""
     a = _with_norm(vectors, id_col, vec_col, "id_a", "va", "na")
     b = _with_norm(vectors, id_col, vec_col, "id_b", "vb", "nb")
+    if small:
+        return (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+    banded = add_lsh_band_codes(
+        vectors, vec_col, dim, bands, planes_per_band, seed
+    ).select(F.col(id_col).alias("id"), "band", "code")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "code"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify: candidates (tiny after pruning) pull their vectors back
+    # by keyed join; cos evaluated once per surviving pair
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a", "id_b",
             (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
@@ -128,6 +167,37 @@ def add_lsh_bucket(
     return df.withColumn("bucket", bucket_udf(F.col(vec_col)))
 
 
+def add_lsh_band_codes(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 16,
+    planes_per_band: int = 12,
+    seed: int = 11,
+) -> DataFrame:
+    """Explode each row into `bands` rows of (band, code): sign-LSH codes
+    from bands*planes_per_band deterministic hyperplanes — the banded
+    (OR-of-ANDs) construction that tunes the match S-curve exactly like
+    MinHash banding. One numpy matmul + one reshape-matmul per Arrow batch
+    (no per-row Python); codes packed vectorized via a power-of-two dot."""
+    r = planes_per_band
+    planes = _hyperplanes(dim, bands * r, seed)
+    weights = (1 << np.arange(r)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def codes_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float32) for v in vecs])
+        bits = (mat @ planes) > 0                        # (n, bands*r)
+        codes = bits.reshape(len(vecs), bands, r) @ weights  # (n, bands)
+        return pd.Series(list(codes))
+
+    return df.withColumn("__codes", codes_udf(F.col(vec_col))).select(
+        "*", F.posexplode("__codes").alias("band", "code")
+    ).drop("__codes")
+
+
 def ann_ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -148,37 +218,41 @@ def ann_ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dense = vectors.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nbr_vec"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    dense = _with_norm(vectors, id_col, vec_col, "nbr_id", "nbr_vec", "nbr_n").withColumn(
+        "features", array_to_vector(F.col("nbr_vec").cast("array<double>"))
     )
     km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(dense.select("features"))
     centers = km.clusterCenters()
 
-    lists = km.transform(dense).select("nbr_id", "nbr_vec", F.col("prediction").alias("list_id"))
+    lists = km.transform(dense).select(
+        "nbr_id", "nbr_vec", "nbr_n", F.col("prediction").alias("list_id")
+    )
 
-    # query -> its n_probe nearest centroid lists (tiny driver-side math,
-    # centroids are the broadcastable model artifact)
-    import numpy as np
-
-    C = np.asarray(centers)
+    # query -> its n_probe nearest centroid lists. Whole-batch assignment
+    # (VERDICT r2 #5): argmin over ||v - c||^2 = ||c||^2 - 2 v.c (+ const
+    # ||v||^2 per row), so ONE (batch x centroids) matmul + argsort ranks
+    # every centroid for every query — no per-row Python loop.
+    C = np.asarray(centers)            # (n_lists, dim)
+    C_sq = (C * C).sum(axis=1)         # (n_lists,)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            d = ((C - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
-            out.append(np.argsort(d)[:n_probe].astype("int32").tolist())
-        return pd.Series(out)
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        scores = C_sq[None, :] - 2.0 * (mat @ C.T)      # (n, n_lists)
+        order = np.argsort(scores, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(probe_lists(F.col(vec_col))).alias("list_id"),
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = (
+        q.withColumn("q_n", _norm("q_vec"))
+        .withColumn("list_id", F.explode(probe_lists(F.col("q_vec"))))
     )
     cand = lists.join(F.broadcast(q), "list_id").where(F.col("query_id") != F.col("nbr_id"))
-    cos = _dot("q_vec", "nbr_vec") / (_norm("q_vec") * _norm("nbr_vec"))
+    # norms were computed ONCE per row on each side (_with_norm / q_n) —
+    # the per-candidate work is one dot + one divide
+    cos = _dot("q_vec", "nbr_vec") / (F.col("q_n") * F.col("nbr_n"))
     scored = cand.select("query_id", "nbr_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (
@@ -202,12 +276,12 @@ def ann_lsh_topk(
     100TB-shaped plan; recall tunes with n_planes / multi-probe)."""
     v = add_lsh_bucket(vectors, vec_col, dim, n_planes).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"), "bucket"
-    )
+    ).withColumn("nbr_n", _norm("nbr_vec"))
     q = add_lsh_bucket(queries, vec_col, dim, n_planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
-    )
+    ).withColumn("q_n", _norm("q_vec"))
     cand = v.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col("nbr_id"))
-    cos = _dot("q_vec", "nbr_vec") / (_norm("q_vec") * _norm("nbr_vec"))
+    cos = _dot("q_vec", "nbr_vec") / (F.col("q_n") * F.col("nbr_n"))
     scored = cand.select("query_id", "nbr_id", cos.alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("nbr_id").asc())
     return (

@@ -202,6 +202,27 @@ def test_ann_variants_recall(spark):
         assert recall >= 0.7, recall
 
 
+def test_cosine_pairs_bucketed_default_matches_exact(spark):
+    """VERDICT r2 #7: the DEFAULT cosine_pairs_threshold path is banded
+    sign-LSH candidates + exact verify; on the dup'd sf0.001 embeddings it
+    must return the IDENTICAL pair set (and cos values) as the fenced
+    small=True O(n^2) cross-join, and its plan must contain no cross/
+    nested-loop join over the corpus."""
+    from kneaddata_spark.operators import similarity
+    from kneaddata_spark.plans.entry_queries import _emb_with_dups
+
+    e = _emb_with_dups(spark, "/root/testdata/sf0.001")
+    got_df = similarity.cosine_pairs_threshold(e, threshold=0.99)
+    got = {(r["id_a"], r["id_b"], round(r["cos"], 6)) for r in got_df.collect()}
+    want = {
+        (r["id_a"], r["id_b"], round(r["cos"], 6))
+        for r in similarity.cosine_pairs_threshold(e, threshold=0.99, small=True).collect()
+    }
+    assert got == want and len(got) == 20
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_global_rank_no_global_window(spark):
     """pairs.global_rank == row_number over a global sort, with NO
     empty-partition-spec Window in the plan (VERDICT r1 #2)."""
