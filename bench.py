@@ -95,14 +95,21 @@ def main() -> None:
     spark.range(1_000_000).select(F.sum("id")).collect()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1).collect()
 
+    # best-of-2 per query with BOTH walls recorded (VERDICT r2 #8): this
+    # VM's 2-4x run-to-run noise made round-over-round query deltas
+    # unattributable (plan change vs noise) from a single wall
     timings: dict[str, float] = {}
+    query_rep_walls: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = min(walls)
+        query_rep_walls[name] = walls
+        print(f"# {name}: {n} rows, reps {walls} -> {timings[name]}s", file=sys.stderr)
 
     # clip count matches tools/bench_scaling.py at sf0.1 (40k) so driver
     # BENCH numbers are comparable round-over-round and to BENCH_SCALING
@@ -122,6 +129,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_rep_walls_sec": query_rep_walls,
         "sf": sf,
         "clips_per_sec": clips_per_sec,
         "n_clips": n_clips,

@@ -47,18 +47,40 @@ def load_manifest(out_dir: str) -> dict[int, dict]:
 
 def _staging_fingerprint(clips: DataFrame, n_buckets: int) -> str:
     """Identity of a staged corpus: bucket count + input schema + source
-    files (no job needed); in-memory inputs (no files) fall back to a row
-    count. Guards resume against a silently different n_buckets or input
-    (ADVICE r1: staged-at-K=8, rerun-with-K=4 would loop only buckets 0-3
-    and never read 4-7 — silent data loss committed to the manifest)."""
+    file (path, size, mtime) triples — metadata-only, no job. In-memory
+    inputs (no files) run ONE content-hash job: count + an order-invariant
+    sum of xxhash64 over the first column (ADVICE r2: a bare row count let
+    a regenerated same-cardinality corpus resume against stale staging,
+    and path-only file identity missed rewritten files). Guards resume
+    against a silently different n_buckets or input (ADVICE r1: staged-at-
+    K=8, rerun-with-K=4 would loop only buckets 0-3 and never read 4-7 —
+    silent data loss committed to the manifest)."""
     import hashlib
 
     files = sorted(clips.inputFiles())
+    if files:
+        def _stat(uri: str):
+            p = uri[7:] if uri.startswith("file:///") else uri[5:] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(p)
+                return [uri, st.st_size, int(st.st_mtime)]
+            except OSError:  # non-local fs — path-only identity
+                return [uri, -1, -1]
+
+        content = [_stat(f) for f in files]
+    else:
+        key = clips.columns[0]
+        # bit_xor: order-invariant and overflow-free under ANSI mode
+        # (sum(xxhash64) overflows LongType)
+        row = clips.select(
+            F.count("*").alias("n"), F.expr(f"bit_xor(xxhash64({key}))").alias("h")
+        ).collect()[0]
+        content = [["rows", int(row["n"]), int(row["h"] or 0)]]
     basis = json.dumps(
         {
             "n_buckets": n_buckets,
             "schema": clips.schema.simpleString(),
-            "files": files if files else f"rows={clips.count()}",
+            "content": content,
         },
         sort_keys=True,
     )

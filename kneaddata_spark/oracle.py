@@ -50,6 +50,29 @@ def decode_pcm(raw: bytes, codec: str) -> np.ndarray | None:
         if plen != len(payload) or plen % 2 != 0 or plen == 0:
             return None
         return (np.frombuffer(payload, dtype="<i2").astype(np.float32)) / S16_SCALE
+    if codec == "wav":
+        # independent per-row RIFF walk (the engine's registered decoder
+        # lives in functions/audio.decode_wav; same SPEC, separate code):
+        # 16-bit mono PCM only, chunk order free, word-aligned chunks,
+        # truncated chunk => undecodable
+        if len(raw) < 44 or raw[0:4] != b"RIFF" or raw[8:12] != b"WAVE":
+            return None
+        chunks: dict[bytes, bytes] = {}
+        i = 12
+        while i + 8 <= len(raw):
+            cid, size = raw[i : i + 4], struct.unpack("<I", raw[i + 4 : i + 8])[0]
+            if i + 8 + size > len(raw):
+                return None
+            chunks.setdefault(cid, raw[i + 8 : i + 8 + size])
+            i += 8 + size + size % 2
+        if b"fmt " not in chunks or b"data" not in chunks or len(chunks[b"fmt "]) < 16:
+            return None
+        tag, ch = struct.unpack("<HH", chunks[b"fmt "][:4])
+        bits = struct.unpack("<H", chunks[b"fmt "][14:16])[0]
+        d = chunks[b"data"]
+        if tag != 1 or ch != 1 or bits != 16 or len(d) == 0 or len(d) % 2:
+            return None
+        return (np.frombuffer(d, dtype="<i2").astype(np.float32)) / S16_SCALE
     return None
 
 

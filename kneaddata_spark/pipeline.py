@@ -55,26 +55,48 @@ def bytes_trimmed_col() -> F.Column:
     re-decoding the slice reproduces the trimmed PCM bit-for-bit, so the
     SNR invariant is exact by construction and no binary ever crosses
     Python->JVM."""
+    def le_u32(expr: str) -> str:
+        """SQL for the little-endian u32 byte encoding of an int expr."""
+        return (
+            "unhex(concat("
+            f"lpad(hex(({expr}) % 256), 2, '0'), "
+            f"lpad(hex((({expr}) div 256) % 256), 2, '0'), "
+            f"lpad(hex((({expr}) div 65536) % 256), 2, '0'), "
+            f"lpad(hex((({expr}) div 16777216) % 256), 2, '0')))"
+        )
+
+    nb = "(2*(trim_end - trim_start))"  # trimmed payload bytes (s16)
     pcm16 = F.expr("substring(bytes, 2*trim_start + 1, 2*(trim_end - trim_start))")
     pcmu8 = F.expr("substring(bytes, trim_start + 1, trim_end - trim_start)")
     # fake flac/opus/mp3 container: 4-byte magic + LE-u32 payload length +
     # s16le payload (rules.FAKE_MAGIC; real codec libs absent here)
     fake = F.expr(
-        """
-        concat(
-          substring(bytes, 1, 4),
-          unhex(concat(
-            lpad(hex((2*(trim_end - trim_start)) % 256), 2, '0'),
-            lpad(hex(((2*(trim_end - trim_start)) div 256) % 256), 2, '0'),
-            lpad(hex(((2*(trim_end - trim_start)) div 65536) % 256), 2, '0'),
-            lpad(hex(((2*(trim_end - trim_start)) div 16777216) % 256), 2, '0'))),
-          substring(bytes, 9 + 2*trim_start, 2*(trim_end - trim_start)))
-        """
+        f"concat(substring(bytes, 1, 4), {le_u32(nb)}, "
+        f"substring(bytes, 9 + 2*trim_start, {nb}))"
+    )
+    # real RIFF/WAVE (canonical 44-byte layout: fmt chunk then data chunk):
+    # re-emit a VALID wav — copy 'WAVE'+fmt verbatim (bytes 9..36), rewrite
+    # the RIFF size (36 + payload) and data size, slice the payload from
+    # the original data chunk (byte 45 on). Non-canonical-but-decodable
+    # wavs (extra/reordered chunks) get NULL trimmed bytes: the QC verdict
+    # and features are complete either way, and a production sink would
+    # re-encode (register_codec docstring).
+    wav_canonical = F.expr(
+        "hex(substring(bytes, 1, 4)) = '52494646' AND "   # 'RIFF'
+        "hex(substring(bytes, 13, 4)) = '666D7420' AND "  # 'fmt '
+        "hex(substring(bytes, 37, 4)) = '64617461'"       # 'data'
+    )
+    wav = F.expr(
+        f"concat(substring(bytes, 1, 4), {le_u32(f'36 + {nb}')}, "
+        f"substring(bytes, 9, 28), substring(bytes, 37, 4), {le_u32(nb)}, "
+        f"substring(bytes, 45 + 2*trim_start, {nb}))"
     )
     return (
         F.when(~F.col("decode_ok") | (F.col("trim_end") <= F.col("trim_start")), F.lit(None).cast("binary"))
         .when(F.col("codec") == "pcm_s16le", pcm16)
         .when(F.col("codec") == "pcm_u8", pcmu8)
+        .when((F.col("codec") == "wav") & wav_canonical, wav)
+        .when(F.col("codec") == "wav", F.lit(None).cast("binary"))
         .otherwise(fake)
     )
 
@@ -94,7 +116,10 @@ def scoring_gate_col() -> F.Column:
     dur_ok = F.col("dur_ms").between(rules.MIN_DUR_MS, rules.MAX_DUR_MS)
     sr_ok = F.col("sr_hz").isin(*rules.VALID_SR_HZ)
     codec_ok = F.col("codec").isin(*rules.VALID_CODECS)
-    n_exp_pos = F.col("dur_ms").cast("long") * F.col("sr_hz").cast("long") >= 500
+    n_exp_pos = (
+        F.col("dur_ms").cast("long") * F.col("sr_hz").cast("long")
+        >= rules.N_EXP_MIN_DUR_SR
+    )
     return F.coalesce(dur_ok & sr_ok & codec_ok & n_exp_pos, F.lit(False))
 
 

@@ -35,11 +35,21 @@ from __future__ import annotations
 MIN_DUR_MS = 300          # MINLEN:60 analog: clips shorter than this drop
 MAX_DUR_MS = 30_000       # absurdly long clips drop
 VALID_SR_HZ = (8000, 16000, 22050, 44100, 48000)
-VALID_CODECS = ("pcm_s16le", "pcm_u8", "flac", "opus", "mp3")
+VALID_CODECS = ("pcm_s16le", "pcm_u8", "flac", "opus", "mp3", "wav")
 
 # --- decode validity ------------------------------------------------------
 # decoded sample count must match dur_ms*sr_hz within this relative tol
 DECODE_LEN_RTOL = 0.02
+# Metadata-only model-scoring gate threshold (ADVICE r2: keep in rules.py,
+# not inline in pipeline.scoring_gate_col). n_exp = round(dur_ms*sr_hz/1000)
+# is the expected sample count the decode-length rule and oracle.label_row
+# share; n_exp >= 1 requires dur_ms*sr_hz > 500 (banker's rounding sends
+# exactly 500 -> 0). The gate tests dur_ms*sr_hz >= N_EXP_MIN_DUR_SR — one
+# boundary value CONSERVATIVE: a gated-in row that still decodes to
+# n_exp = 0 is scored then masked by the verdict (harmless); a gate that
+# wrongly excluded a kept row would break parity. Must stay in lockstep
+# with the n_exp definition above.
+N_EXP_MIN_DUR_SR = 500
 
 # --- silence trim (SLIDINGWINDOW analog) ----------------------------------
 TRIM_WIN_MS = 25          # window length (4-base window analog)

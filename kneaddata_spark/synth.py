@@ -28,8 +28,8 @@ from .vocab import LANGS, make_sentence
 GLOBAL_SEED = 20260816
 
 # skewed distributions (skew exercises salting / AQE per north_rule)
-CODECS = ["pcm_s16le", "pcm_u8", "flac", "opus", "mp3", "bogus"]
-CODEC_P = [0.52, 0.15, 0.12, 0.08, 0.07, 0.06]
+CODECS = ["pcm_s16le", "pcm_u8", "flac", "opus", "mp3", "wav", "bogus"]
+CODEC_P = [0.46, 0.15, 0.11, 0.08, 0.07, 0.07, 0.06]
 LANG_P = {"en": 0.58, "es": 0.15, "fr": 0.11, "de": 0.09, "zh": 0.07}
 SRS = [8000, 16000, 22050, 44100, 48000]
 SR_P = [0.15, 0.45, 0.10, 0.15, 0.15]
@@ -47,7 +47,7 @@ def _rng(i: int) -> np.random.Generator:
     return np.random.default_rng(np.random.Philox(key=[GLOBAL_SEED, i]))
 
 
-def _encode(pcm: np.ndarray, codec: str, rng: np.random.Generator) -> bytes:
+def _encode(pcm: np.ndarray, codec: str, rng: np.random.Generator, sr_hz: int = 16000) -> bytes:
     """Serialize float32 [-1,1] PCM per codec. flac/opus/mp3 use the
     deterministic fake container (rules.FAKE_MAGIC): real codec libs are
     absent in this environment; decode plumbing stays real."""
@@ -60,6 +60,23 @@ def _encode(pcm: np.ndarray, codec: str, rng: np.random.Generator) -> bytes:
     if codec in rules.FAKE_MAGIC:
         payload = s16.tobytes()
         return rules.FAKE_MAGIC[codec] + struct.pack("<I", len(payload)) + payload
+    if codec == "wav":
+        # REAL canonical RIFF/WAVE: 44-byte header (fmt chunk first, then
+        # data) + 16-bit mono PCM — decoded by the registered decoder
+        # (functions/audio.decode_wav), re-emitted after trim by the
+        # JVM-side canonical-wav branch of pipeline.bytes_trimmed_col
+        payload = s16.tobytes()
+        sr = sr_hz if sr_hz > 0 else 16000
+        header = (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(payload))
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(payload))
+        )
+        return header + payload
     # bogus codec: junk bytes
     return rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
 
@@ -113,8 +130,8 @@ def gen_clip(i: int) -> dict:
         pcm = np.clip(pcm * 6.0, -1.0, 1.0)
     pcm = np.clip(pcm, -1.0, 1.0)
 
-    raw = _encode(pcm, codec, rng)
-    if defect == "truncated" and codec.startswith("pcm"):
+    raw = _encode(pcm, codec, rng, sr)
+    if defect == "truncated" and (codec.startswith("pcm") or codec == "wav"):
         raw = raw[: max(2, len(raw) // 3)]
 
     # transcript: ~10% planted text defects, ~8% PII insertion

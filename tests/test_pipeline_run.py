@@ -60,6 +60,32 @@ def test_checkpoint_resume_idempotent(spark, clips_path, tmp_path):
     assert sum(r["metrics"]["n_rows"] for r in manifest2) == df.count()
 
 
+def test_staging_fingerprint_sees_content_changes(spark, tmp_path):
+    """ADVICE r2: the staging fingerprint must change when (a) a source
+    file is REWRITTEN at the same path, or (b) an in-memory corpus is
+    regenerated with the same cardinality but different rows — both cases
+    previously resumed against stale staged parquet."""
+    import time as _time
+
+    from kneaddata_spark.checkpoint import _staging_fingerprint
+    from kneaddata_spark.synth import write_clips_parquet
+
+    p = str(tmp_path / "c.parquet")
+    write_clips_parquet(p, 30)
+    df = spark.read.parquet(p)
+    fp1 = _staging_fingerprint(df, 4)
+    assert _staging_fingerprint(df, 8) != fp1  # bucket-count change
+    _time.sleep(1.1)  # ensure a distinct mtime second
+    write_clips_parquet(p, 30)  # rewrite same path, same row count
+    fp2 = _staging_fingerprint(spark.read.parquet(p), 4)
+    assert fp2 != fp1
+
+    mem1 = spark.createDataFrame([(f"a{i}", i) for i in range(20)], ["clip_id", "x"])
+    mem2 = spark.createDataFrame([(f"b{i}", i) for i in range(20)], ["clip_id", "x"])
+    assert _staging_fingerprint(mem1, 4) != _staging_fingerprint(mem2, 4)
+    assert _staging_fingerprint(mem1, 4) == _staging_fingerprint(mem1, 4)
+
+
 def test_no_row_at_a_time_python_in_plan(spark, clips_path):
     """input_hint: no per-row Python — plan must contain no BatchEvalPython
     (row-at-a-time UDF) nodes; only ArrowEvalPython / MapInPandas."""

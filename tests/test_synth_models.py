@@ -34,6 +34,13 @@ def test_decode_roundtrip_all_codecs():
             raw = s16.tobytes()
         elif codec == "pcm_u8":
             raw = (np.clip(np.round(pcm * 127.0) + 128, 0, 255).astype(np.uint8)).tobytes()
+        elif codec == "wav":
+            payload = s16.tobytes()
+            raw = (
+                b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+                + b"data" + struct.pack("<I", len(payload)) + payload
+            )
         else:
             raw = rules.FAKE_MAGIC[codec] + struct.pack("<I", len(s16.tobytes())) + s16.tobytes()
         dec = decode_pcm(raw, codec)
@@ -47,7 +54,8 @@ def test_decode_rejects_garbage():
     assert decode_pcm(b"", "pcm_s16le") is None
     assert decode_pcm(b"\x00", "pcm_s16le") is None  # odd length
     assert decode_pcm(b"XXXX\x00\x00\x00\x00", "flac") is None  # bad magic
-    assert decode_pcm(b"junk", "wav") is None  # unknown codec
+    assert decode_pcm(b"junk", "wav") is None  # too short for a RIFF header
+    assert decode_pcm(b"junk", "nosuch") is None  # unknown codec
 
 
 def test_models_deterministic(models):
