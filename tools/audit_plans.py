@@ -29,7 +29,9 @@ AUDIT = [
     ("doc_chunks", {"max_exchanges": 0, "no_python": True}),
     ("decontaminate", {"broadcast_join": True}),
     ("simhash_near_dups", {"max_exchanges": 4}),
-    ("stratified_cap", {"max_exchanges": 1, "no_python": True}),
+    # two-phase salted top-k: one exchange per window phase ((lang,salt)
+    # then lang over the <= n_salts*k survivors)
+    ("stratified_cap", {"max_exchanges": 2, "no_python": True}),
 ]
 
 
