@@ -2,11 +2,13 @@
 
 ``entry(spark)`` — flagship document-QC query on sf0.001.
 ``queries()`` / ``oracle_sql()`` — operator surface from SURVEY.md §2 plus
-the training-data-pipeline extensions (dedup / similarity / text analysis),
-implemented in kneaddata_spark.plans.entry_queries; DuckDB oracles attached
-for every SQL-expressible operator — 48 of 50, including the LSH/ANN family
+the training-data-pipeline extensions (dedup / similarity / text analysis /
+retrieval / corpus assembly), implemented in
+kneaddata_spark.plans.entry_queries; DuckDB oracles attached for every
+SQL-expressible operator — 54 of 56, including the LSH/ANN family
 (exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1)
-— with only the streaming query and the binary-audio domain pipeline
+and the r3 additions (BM25 top-k, sequence packing, mixture resampling) —
+with only the streaming query and the binary-audio domain pipeline
 rows-only by design.
 """
 

@@ -36,6 +36,8 @@ HEADLINE = [
     "simhash_near_dups",
     "dup_clusters",
     "cosine_topk",
+    "bm25_topk",
+    "pack_contexts",
     "token_stats",
     "doc_fingerprint",
     "scrub_pii",

@@ -1,0 +1,106 @@
+"""Corpus-assembly operators — the steps between a QC'd document table and
+tokenizer-ready training shards: sequence packing (concatenate-then-chunk
+into fixed context windows) and proportional mixture resampling (hit a
+target per-language data mix). Both are retry-idempotent by construction:
+every ordering/sampling decision derives from the portable Knuth hash
+(operators/sampling.det_hash), never rand(), so the DuckDB oracle can
+reproduce them bit-for-bit and a re-executed task emits identical rows.
+
+Reference lineage: the reorder/emit + downsample machinery
+(/root/reference/kneaddata/utilities.py:63-106,
+db_preprocessing/downsample.py:8-32) — the reference reorders reads and
+Bernoulli-samples with a fixed seed; these operators are the corpus-scale
+analogs (deterministic global order -> packing; seeded per-stratum
+sampling -> mixture targets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import M32, det_hash
+
+
+def pack_contexts(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens_col,
+    capacity: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concatenate-then-chunk packing: stream documents in a deterministic
+    pseudo-random order and cut the concatenated token stream into bins of
+    `capacity` tokens (documents may straddle a bin boundary — the
+    standard LLM pretraining packing). Returns (id, shard, bin_id,
+    bin_offset): the shard-local bin index and token offset where the
+    document starts.
+
+    Scale shape: packing is inherently sequential, so it runs per SHARD —
+    the shard key is hash-uniform (never a skewed natural key), giving
+    n_shards independent, balanced sequential streams; one window shuffle
+    on the shard key, integer-only arithmetic (cross-engine exact). At
+    cluster scale n_shards ~ O(cores); each shard's bins are complete and
+    deterministic regardless of cluster size or retries."""
+    h = det_hash(F.col(id_col))
+    ntok = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    d = docs.select(
+        F.col(id_col).alias("id"),
+        ntok.cast("long").alias("__n"),
+        h.alias("__h"),
+        (h % F.lit(n_shards)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # token offset of this doc in its shard's concatenated stream
+    start = (F.sum("__n").over(w) - F.col("__n")).cast("long")
+    return d.select(
+        "id",
+        F.col("shard").cast("int").alias("shard"),
+        start.alias("__start"),
+    ).select(
+        "id",
+        "shard",
+        F.expr(f"__start div {capacity}").cast("int").alias("bin_id"),
+        F.expr(f"__start % {capacity}").cast("int").alias("bin_offset"),
+    )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    group_col: str,
+    key_col: str,
+    targets: dict[str, int],
+) -> DataFrame:
+    """Proportional mixture resampling: downsample each group toward a
+    target row count with a DETERMINISTIC hash-Bernoulli keep decision —
+    the data-mix rebalancing step of a training-corpus build (keep
+    fraction = target / group size, floored to 1.0).
+
+    Integer arithmetic end-to-end: the keep threshold is
+    least(M32, (target * M32) div group_count) and the decision is
+    hash(key) < threshold — Spark `div` == DuckDB `//`, no double->int
+    casts (whose truncation/rounding semantics differ across engines).
+    Groups at-or-under target are kept whole. The group-count aggregation
+    is map-side combined (tiny partials even on the 58%-skewed lang key);
+    the thresholds broadcast back; the corpus itself never shuffles."""
+    spark = docs.sparkSession
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("__cnt"))
+    tgt = spark.createDataFrame(
+        [(g, int(t)) for g, t in targets.items()], [group_col, "__target"]
+    )
+    thr = counts.join(F.broadcast(tgt), group_col).select(
+        group_col,
+        F.least(
+            F.lit(M32).cast("long"),
+            F.expr("(__target * cast(4294967296 as bigint)) div __cnt"),
+        ).alias("__thr"),
+    )
+    return (
+        docs.join(F.broadcast(thr), group_col)
+        .where(det_hash(F.col(key_col)) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -1,0 +1,103 @@
+"""Sparse lexical retrieval over the document corpus — the BM25 top-k a
+training-data pipeline runs for eval-set mining, counterfactual search and
+dedup triage (the retrieval analog of the reference's contaminant-database
+lookups: each query plays the bowtie2 probe role, run.py:213-274, with the
+posting list as the index).
+
+Scale shape: the postings build is two key-partitioned aggregations over
+the exploded token stream (tf per (doc, term), df per term — both
+map-side combined); corpus-level scalars (N, avgdl) enter the plan as
+broadcast one-row frames, never as driver-side actions. The query side is
+small by contract and broadcasts, so scoring is one equi-join on term that
+never reshuffles the corpus postings, then a per-query top-k window
+(bounded fan-in: queries are the partition key).
+
+Cross-engine determinism (the r1/r2 oracle lessons applied):
+ - the driver-facing scorer uses a LN-FREE rational idf,
+   (N - df + 0.5) / (df + 0.5): pure +,-,*,/ double arithmetic is exactly
+   specified by IEEE 754, so Spark and DuckDB produce bit-identical term
+   scores from identical expression trees — `ln` is NOT exactly specified
+   and may differ by an ulp across libm implementations. Classic
+   Robertson idf = ln(1 + that ratio) is available via classic_idf=True
+   for production ranking parity with Lucene-style BM25 (pytest-gated
+   against an independent numpy reference instead of the SQL oracle).
+ - per-term scores are quantized to integers (floor(score * 2^20)) BEFORE
+   the per-(query, doc) sum: float summation ORDER differs between
+   engines, integer summation does not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1 << 20  # term-score quantization denominator (exact in double)
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str, out_id: str) -> DataFrame:
+    return (
+        df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    classic_idf: bool = False,
+) -> DataFrame:
+    """Top-k documents per query under BM25 (rational idf by default; see
+    module docstring). Returns (query_id, doc_id, rank, score); score is
+    the quantized sum / 2^20 rounded to 4 decimals; ties break on doc_id.
+    """
+    toks = _tokens(docs, id_col, text_col, "doc_id")
+    postings = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # corpus scalars as a broadcast 1-row frame — no driver action
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    qterms = _tokens(queries, query_id_col, query_text_col, "query_id").distinct()
+
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    idf = F.log(F.lit(1.0) + ratio) if classic_idf else ratio
+    tfd = F.col("tf").cast("double")
+    tfp = (tfd * F.lit(k1 + 1.0)) / (
+        tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    term_q = F.floor(idf * tfp * F.lit(float(QUANT))).cast("long")
+    agg = (
+        scored.select("query_id", "doc_id", term_q.alias("tq"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tq").alias("sq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sq").desc(), F.col("doc_id").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.round(F.col("sq").cast("double") / F.lit(float(QUANT)), 4).alias("score"),
+        )
+    )

@@ -935,6 +935,135 @@ def length_quantiles_q(spark, sf):
     )
 
 
+# --- retrieval / corpus assembly -------------------------------------------
+
+
+_BM25_SQL = """
+    WITH dt AS (
+      SELECT doc_id, t.term
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(toks) AS term) t
+      WHERE t.term <> ''
+    ),
+    postings AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM dt GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                     sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    q AS (
+      SELECT doc_id AS query_id,
+             array_to_string(string_split(lower(text), ' ')[1:4], ' ') AS query_text
+      FROM documents WHERE doc_id < 5
+    ),
+    qt AS (
+      SELECT DISTINCT query_id, t.term
+      FROM (SELECT query_id, string_split(query_text, ' ') AS toks FROM q),
+           LATERAL (SELECT unnest(toks) AS term) t
+      WHERE t.term <> ''
+    ),
+    scored AS (
+      SELECT qt.query_id, p.doc_id,
+             floor(((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * ((p.tf::DOUBLE * 2.2)
+                      / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE / s.avgdl)))
+                   * 1048576.0)::BIGINT AS tq
+      FROM postings p
+      JOIN qt ON qt.term = p.term
+      JOIN dl ON dl.doc_id = p.doc_id
+      JOIN dfreq f ON f.term = p.term
+      CROSS JOIN stats s
+    ),
+    agg AS (SELECT query_id, doc_id, sum(tq)::BIGINT AS sq
+            FROM scored GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rank, round(sq::DOUBLE / 1048576.0, 4) AS score FROM (
+      SELECT query_id, doc_id, sq,
+             row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id ASC) AS rank
+      FROM agg)
+    WHERE rank <= 10
+"""
+
+
+@q("bm25_topk", _BM25_SQL)
+def bm25_topk_q(spark, sf):
+    """BM25 retrieval: first-4-token prefixes of docs 0-4 as queries over
+    the whole corpus. Rational (ln-free) idf + integer-quantized term-score
+    sums — the cross-engine-deterministic scorer (operators/retrieval.py);
+    classic ln idf stays pytest-gated against a numpy reference."""
+    from ..operators.retrieval import bm25_topk
+
+    d = _t(spark, sf, "documents")
+    queries = d.where("doc_id < 5").select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 4), " ").alias("query_text"),
+    )
+    return bm25_topk(d, queries, k=10)
+
+
+@q(
+    "pack_contexts",
+    f"""
+    WITH d AS (
+      SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tok,
+             (doc_id * {KNUTH}) % {M32} AS h
+      FROM documents
+    ),
+    s AS (SELECT doc_id, n_tok, h, (h % 8)::INT AS shard FROM d),
+    c AS (
+      SELECT doc_id, shard,
+             (sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tok) AS strt
+      FROM s
+    )
+    SELECT doc_id AS id, shard, (strt // 2048)::INT AS bin_id,
+           (strt % 2048)::INT AS bin_offset
+    FROM c
+    """,
+)
+def pack_contexts_q(spark, sf):
+    """Sequence packing: concatenate-then-chunk the corpus token stream
+    into 2048-token bins within hash-uniform shards (operators/corpus.py).
+    Integer-only; the oracle replays the identical order and cumsum."""
+    from ..operators.corpus import pack_contexts
+
+    d = _t(spark, sf, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    return pack_contexts(
+        d.select("doc_id", n_tok.alias("n_tok")),
+        id_col="doc_id",
+        n_tokens_col="n_tok",
+        capacity=2048,
+        n_shards=8,
+    ).select(F.col("id"), "shard", "bin_id", "bin_offset")
+
+
+@q(
+    "mixture_resample",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    thr AS (
+      SELECT lang,
+             least({M32}::BIGINT,
+                   ((CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 60
+                               WHEN 'fr' THEN 60 WHEN 'de' THEN 60
+                               WHEN 'zh' THEN 60 END)::BIGINT * {M32}) // cnt) AS t
+      FROM c
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+    WHERE (d.doc_id * {KNUTH}) % {M32} < thr.t
+    """,
+)
+def mixture_resample_q(spark, sf):
+    """Training-mix rebalancing: hash-Bernoulli downsample every lang
+    toward ~60 docs (groups under target kept whole). Thresholds are pure
+    integer arithmetic (div), decision is the portable Knuth hash
+    (operators/corpus.mixture_resample)."""
+    from ..operators.corpus import mixture_resample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    targets = {g: 60 for g in ("en", "es", "fr", "de", "zh")}
+    return mixture_resample(d, group_col="lang", key_col="doc_id", targets=targets)
+
+
 # --- dedup family ----------------------------------------------------------
 
 

@@ -429,3 +429,105 @@ def test_shingles_short_docs_no_crash(spark):
     from kneaddata_spark.operators.textstats import overrepresented_ngrams
 
     assert overrepresented_ngrams(df, "text", n=4, min_count=1).count() == 3
+
+
+def test_bm25_classic_matches_numpy_reference(spark):
+    """bm25_topk(classic_idf=True) vs an independent numpy/python BM25
+    (Robertson idf, k1=1.2 b=0.75) on a small corpus: identical ranking
+    and scores within quantization tolerance."""
+    import math
+    from collections import Counter
+
+    from kneaddata_spark.operators.retrieval import QUANT, bm25_topk
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "dogs chase the cat around the yard",
+        3: "quantum mechanics describes subatomic particles",
+        4: "the yard has a mat for the dogs",
+        5: "particles of dust on the yard mat",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    queries = spark.createDataFrame([(100, "cat mat"), (200, "particles yard")],
+                                    ["query_id", "query_text"])
+    got = bm25_topk(docs, queries, k=3, classic_idf=True).collect()
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n, avgdl = len(corpus), sum(len(t) for t in toks.values()) / len(corpus)
+    df = Counter(term for t in toks.values() for term in set(t))
+
+    def score(query, d):
+        s = 0
+        for term in set(query.split()):
+            tf = toks[d].count(term)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5))
+            tfp = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+            s += math.floor(idf * tfp * QUANT)  # same quantization
+        return s / QUANT
+
+    for q_id, q_text in ((100, "cat mat"), (200, "particles yard")):
+        want = sorted(
+            ((score(q_text, d), -d) for d in corpus if score(q_text, d) > 0),
+            reverse=True,
+        )[:3]
+        got_q = sorted(
+            (r for r in got if r["query_id"] == q_id), key=lambda r: r["rank"]
+        )
+        assert [-w[1] for w in want] == [r["doc_id"] for r in got_q]
+        for w, r in zip(want, got_q):
+            assert abs(w[0] - r["score"]) < 1e-3, (q_id, r["doc_id"])
+
+
+def test_pack_contexts_stream_is_gapless_and_partition_invariant(spark):
+    """pack_contexts: within every shard the doc start offsets tile the
+    concatenated stream exactly (no gaps/overlaps); bin bookkeeping is
+    consistent; and the output is IDENTICAL regardless of input
+    partitioning (retry/cluster-size invariance)."""
+    from kneaddata_spark.operators.corpus import pack_contexts
+    from kneaddata_spark.operators.sampling import KNUTH, M32
+
+    rows = [(i, 5 + (i * 37) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    cap = 256
+    out = pack_contexts(df, "doc_id", "n_tok", capacity=cap, n_shards=4)
+    got = out.collect()
+    assert len(got) == 500
+    ntok = dict(rows)
+    by_shard: dict = {}
+    for r in got:
+        start = r["bin_id"] * cap + r["bin_offset"]
+        by_shard.setdefault(r["shard"], []).append((start, ntok[r["id"]], r["id"]))
+    for shard, entries in by_shard.items():
+        entries.sort()
+        pos = 0
+        for start, ln, _id in entries:
+            assert start == pos, (shard, _id, start, pos)
+            pos += ln
+        # and the order is the portable hash order the oracle replays
+        hashes = [((i * KNUTH) % M32, i) for _, _, i in entries]
+        assert hashes == sorted(hashes)
+    got2 = pack_contexts(
+        df.repartition(13), "doc_id", "n_tok", capacity=cap, n_shards=4
+    ).collect()
+    assert {tuple(r) for r in got2} == {tuple(r) for r in got}
+
+
+def test_mixture_resample_targets_and_determinism(spark):
+    """mixture_resample: under-target groups survive whole; over-target
+    groups land near the target (hash-Bernoulli tolerance); output is
+    identical across runs (no rand())."""
+    from kneaddata_spark.operators.corpus import mixture_resample
+
+    rows = [(i, "big" if i < 2000 else "small") for i in range(2060)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_resample(df, "lang", "doc_id", {"big": 200, "small": 500})
+    got = out.collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by["small"]) == 60  # under target: kept whole
+    assert 140 <= len(by["big"]) <= 260  # ~200 within binomial noise
+    got2 = mixture_resample(df, "lang", "doc_id", {"big": 200, "small": 500}).collect()
+    assert {(r["doc_id"], r["lang"]) for r in got2} == {(r["doc_id"], r["lang"]) for r in got}
