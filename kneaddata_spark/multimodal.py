@@ -1,9 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched UDFs.
 
-The audio path is REAL (functions/audio.py decodes PCM). Image/video
-decode requires codec libraries absent from this container, so those
-kernels are STUBS with two modes:
+The audio path is REAL (functions/audio.py decodes PCM and RIFF/WAV).
+Image decode has a registry mirroring the audio codec seam
+(``register_image_decoder``), with one REAL format registered — an
+uncompressed 24-bit BMP parsed by pure numpy (``decode_bmp``): no
+external library needed, and rows carrying a registered mime get real
+pixel-derived features (header geometry, per-channel mean/std). Formats
+needing absent libraries (jpeg/png via PIL, video via ffmpeg) remain
+STUBS with two modes:
  - strict=True  -> NotImplementedError (clearly marked missing kernel);
  - strict=False -> deterministic fake features derived from the byte
    content (stable hashes), so the Spark-side plumbing — schema, Arrow
@@ -17,13 +22,57 @@ FastQC are $PATH dependencies that tests skip when absent
 
 from __future__ import annotations
 
+import struct
 import zlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+
+def decode_bmp(raw: bytes) -> "np.ndarray | None":
+    """REAL BMP decoder, pure numpy/struct: uncompressed 24-bit BI_RGB
+    with a BITMAPINFOHEADER (or larger) DIB header. Returns an (H, W, 3)
+    uint8 RGB array, honoring the 4-byte row padding and bottom-up row
+    order (negative biHeight = top-down); anything else returns None."""
+    if raw is None or len(raw) < 54 or raw[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", raw[10:14])[0]
+    dib = struct.unpack("<I", raw[14:18])[0]
+    if dib < 40:
+        return None
+    w, h = struct.unpack("<ii", raw[18:26])
+    planes, bpp = struct.unpack("<HH", raw[26:30])
+    comp = struct.unpack("<I", raw[30:34])[0]
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_off + stride * h
+    if w > 1 << 20 or h > 1 << 20 or len(raw) < need:
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# mime -> decode(bytes) -> (H, W, 3) uint8 RGB or None. The image-side
+# analog of functions/audio.register_codec: a real PIL/ffmpeg decoder
+# drops in without touching the Spark plan.
+IMAGE_DECODERS: dict[str, Callable[[bytes], "np.ndarray | None"]] = {
+    "image/bmp": decode_bmp,
+}
+
+
+def register_image_decoder(
+    mime: str, decode: Callable[[bytes], "np.ndarray | None"]
+) -> None:
+    IMAGE_DECODERS[mime] = decode
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -43,35 +92,63 @@ IMAGE_FEATURE_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_crc bigint"
 
 
-def image_feature_stage(strict: bool = False, feat_dim: int = 8):
-    """mapInPandas body factory: decode/resize/feature-extract stub.
+def _pixel_features(px: np.ndarray, feat_dim: int) -> np.ndarray:
+    """Real pixel-derived feature vector: per-channel mean + std, aspect
+    ratio, mean luma — padded/truncated to feat_dim."""
+    f = np.zeros(feat_dim, dtype=np.float32)
+    flat = px.reshape(-1, 3).astype(np.float32)
+    luma = flat @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    vals = [
+        *(flat.mean(axis=0) / 255.0),
+        *(flat.std(axis=0) / 255.0),
+        px.shape[1] / px.shape[0],
+        float(luma.mean() / 255.0),
+    ]
+    f[: min(feat_dim, len(vals))] = np.asarray(vals[:feat_dim], dtype=np.float32)
+    return f
 
-    Real implementation would decode with PIL/ffmpeg; here the 'feature'
-    is a deterministic function of the bytes (seeded by crc32) so tests
-    can assert exact values through the full Spark path."""
+
+def image_feature_stage(strict: bool = False, feat_dim: int = 8):
+    """mapInPandas body factory: decode/resize/feature-extract.
+
+    Rows whose mime has a registered decoder (IMAGE_DECODERS — image/bmp
+    ships as the real pure-numpy kernel) are DECODED: width/height come
+    from the file header (authoritative over the metadata columns) and the
+    feature vector is real pixel statistics. Unregistered mimes fall back
+    to a deterministic fake feature (seeded by crc32) so the plumbing is
+    testable end-to-end — or raise under strict=True, the clearly-marked
+    missing-kernel mode."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode kernel not available in this environment; "
-                    "install PIL/ffmpeg and replace image_feature_stage"
-                )
-            n = len(pdf)
             crcs = np.array(
                 [zlib.crc32(bytes(b)) if b is not None else -1 for b in pdf["bytes"]],
                 dtype=np.int64,
             )
+            widths = pdf["width"].to_numpy(copy=True)
+            heights = pdf["height"].to_numpy(copy=True)
             feats = []
-            for c in crcs:
+            for i, (mime, b, c) in enumerate(zip(pdf["mime"], pdf["bytes"], crcs)):
+                decode = IMAGE_DECODERS.get(mime)
+                px = decode(bytes(b)) if (decode is not None and b is not None) else None
+                if px is not None:
+                    heights[i], widths[i] = px.shape[0], px.shape[1]
+                    feats.append(_pixel_features(px, feat_dim))
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        f"no registered image decoder for mime={mime!r} (or "
+                        f"payload undecodable); install PIL/ffmpeg and "
+                        f"register_image_decoder(), or run strict=False"
+                    )
                 rng = np.random.default_rng(np.random.Philox(key=[int(c) & 0x7FFFFFFF, 0]))
                 feats.append(rng.standard_normal(feat_dim).astype(np.float32))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": pdf["mime"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
+                    "width": widths,
+                    "height": heights,
                     "n_bytes": [len(bytes(b)) if b is not None else 0 for b in pdf["bytes"]],
                     "content_crc": crcs,
                     "feat": feats,

@@ -151,3 +151,84 @@ def test_write_fastq_sam_pipeline_golden(spark, tmp_path):
     out = write_fastq(fq, str(tmp_path / "sam_emit"), order_cols=("pos",), single_file=True)
     want = "".join(f"@r{i}\nACGT{i}\n+\nIIII{i}\n" for i in range(20))
     assert open(out).read() == want
+
+
+def make_bmp(px, top_down=False):
+    """Independent BMP writer for tests: (H, W, 3) uint8 RGB -> bytes."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    body = rows.tobytes() if top_down else rows[::-1].tobytes()
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h if not top_down else -h,
+                      1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return header + body
+
+
+def test_bmp_decode_real_pixels():
+    """decode_bmp: exact pixel recovery incl. row padding, bottom-up AND
+    top-down row order; malformed inputs rejected."""
+    import numpy as np
+
+    from kneaddata_spark.multimodal import decode_bmp
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # w=3 -> padded rows
+    for td in (False, True):
+        got = decode_bmp(make_bmp(px, top_down=td))
+        assert got is not None and np.array_equal(got, px), td
+    assert decode_bmp(b"BMjunk") is None
+    assert decode_bmp(make_bmp(px)[:40]) is None
+    bad_bpp = bytearray(make_bmp(px)); bad_bpp[28] = 8  # 8-bit
+    assert decode_bmp(bytes(bad_bpp)) is None
+
+
+def test_bmp_real_features_through_spark(spark):
+    """A registered-mime (image/bmp) row flows through the mapInPandas
+    feature stage with REAL pixel statistics: header-derived geometry
+    overrides the metadata columns, feat[0:3] is the channel means; and
+    strict=True does NOT raise for the decodable row."""
+    import numpy as np
+
+    from kneaddata_spark.multimodal import IMAGE_META_SCHEMA, extract_image_features
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 0] = 255  # pure red
+    raw = make_bmp(px)
+    df = spark.createDataFrame(
+        [("bmp1", bytearray(raw), "image/bmp", 999, 999)], IMAGE_META_SCHEMA
+    )
+    r = extract_image_features(df, strict=True).collect()[0]
+    assert (r["width"], r["height"]) == (6, 4)  # header wins over metadata
+    assert abs(r["feat"][0] - 1.0) < 1e-6 and abs(r["feat"][1]) < 1e-6
+    assert abs(r["feat"][6] - 6 / 4) < 1e-6  # aspect ratio
+    assert r["n_bytes"] == len(raw)
+
+
+def test_bmp_mixed_with_fake_mimes(spark):
+    """Mixed batch: bmp rows decode for real, unregistered mimes keep the
+    deterministic fake feature; strict=True raises ONLY when an
+    unregistered mime is present."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kneaddata_spark.multimodal import IMAGE_META_SCHEMA, extract_image_features
+
+    px = np.full((2, 2, 3), 128, dtype=np.uint8)
+    rows = [
+        ("a", bytearray(make_bmp(px)), "image/bmp", 2, 2),
+        ("b", bytearray(b"\x01\x02" * 50), "image/png", 10, 10),
+    ]
+    df = spark.createDataFrame(rows, IMAGE_META_SCHEMA)
+    out = {r["media_id"]: r for r in extract_image_features(df).collect()}
+    assert abs(out["a"]["feat"][0] - 128 / 255) < 1e-6
+    assert len(out["b"]["feat"]) == 8  # fake path intact
+    with _pytest.raises(Exception, match="NotImplementedError|no registered image decoder"):
+        extract_image_features(df, strict=True).collect()
