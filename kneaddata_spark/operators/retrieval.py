@@ -61,8 +61,13 @@ def bm25_topk(
     the quantized sum / 2^20 rounded to 4 decimals; ties break on doc_id.
     """
     toks = _tokens(docs, id_col, text_col, "doc_id")
-    postings = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # postings is the single materialized index artifact: dl, dfreq and the
+    # corpus scalars all DERIVE from it (cache() so the explode+aggregate
+    # runs once — without it Catalyst re-plans the scan+explode subtree for
+    # each derived aggregate; a production deployment persists the postings
+    # table and this whole block becomes one read)
+    postings = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # corpus scalars as a broadcast 1-row frame — no driver action
     stats = dl.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -72,12 +77,19 @@ def bm25_topk(
 
     qterms = _tokens(queries, query_id_col, query_text_col, "query_id").distinct()
 
-    scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(dl, "doc_id")
-        .join(dfreq, "term")
+    # Fold EVERYTHING term-keyed into the broadcast side before touching
+    # the corpus-scale postings stream: dfreq pruned to query terms (the
+    # broadcast qterms join prunes during dfreq's own aggregation output —
+    # no extra pass) plus the corpus scalars. The resulting frame is
+    # |distinct query terms| rows — broadcastable by the small-queries
+    # contract — so the scoring join over postings is MAP-ONLY; the only
+    # post-prune shuffle left is the doc-length join (pruned candidates
+    # vs dl, where AQE broadcasts the pruned side when it is small).
+    qmeta = (
+        dfreq.join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
     )
+    scored = postings.join(F.broadcast(qmeta), "term").join(dl, "doc_id")
     ratio = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     idf = F.log(F.lit(1.0) + ratio) if classic_idf else ratio
     tfd = F.col("tf").cast("double")

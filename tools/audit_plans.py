@@ -32,6 +32,9 @@ AUDIT = [
     # two-phase salted top-k: one exchange per window phase ((lang,salt)
     # then lang over the <= n_salts*k survivors)
     ("stratified_cap", {"max_exchanges": 2, "no_python": True}),
+    ("bm25_topk", {"broadcast_join": True}),
+    ("pack_contexts", {"max_exchanges": 1, "no_python": True}),
+    ("mixture_resample", {"broadcast_join": True, "no_python": True}),
 ]
 
 
