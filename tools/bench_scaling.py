@@ -82,6 +82,34 @@ def run_at(cores: int, path: str, repeats: int = 4) -> float:
     return best
 
 
+def run_interleaved(levels: tuple, path: str, rounds: int = 3) -> dict:
+    """Noise-robust N-vs-4N protocol: the two levels' measured reps are
+    INTERLEAVED in rounds (fresh session per rep; one discarded warm rep
+    per session), so neighbor-steal drift over the run hits both levels
+    alike and min-wall-per-level converges to the uncontended wall for
+    BOTH sides of the ratio. The earlier per-level-block protocol measured
+    each level in ONE time window — a contended window under exactly one
+    level corrupts the efficiency in either direction (r3 observed 1.06
+    then 0.74 from the same code as the steal moved around)."""
+    from kneaddata_spark.pipeline import broadcast_models, run_qc
+    from kneaddata_spark.session import get_spark
+
+    walls: dict = {c: [] for c in levels}
+    for r in range(rounds):
+        for c in levels:
+            spark = get_spark(app=f"scale{c}r{r}", cores=c)
+            models = broadcast_models(spark)
+            clips = spark.read.parquet(path)
+            run_qc(spark, clips, f"/tmp/kneaddata_bench/scale_out_{c}", *models)  # warm, discarded
+            t0 = time.time()
+            run_qc(spark, clips, f"/tmp/kneaddata_bench/scale_out_{c}", *models)
+            el = time.time() - t0
+            walls[c].append(round(el, 2))
+            print(f"# round{r} local[{c}]: {el:.1f}s", file=sys.stderr, flush=True)
+            spark.stop()
+    return walls
+
+
 def main() -> None:
     from kneaddata_spark.session import get_spark
     from kneaddata_spark.synth import clips_spark_df
@@ -93,15 +121,19 @@ def main() -> None:
         spark.stop()
 
     roof = machine_roofline()
-    t = {c: run_at(c, path) for c in (1, 4, 8, 32)}
+    pair_walls = run_interleaved((1, 4), path, rounds=3)
+    t = {c: min(pair_walls[c]) for c in (1, 4)}
+    t.update({c: run_at(c, path) for c in (8, 32)})
     eff_1_4 = (t[1] * 1) / (t[4] * 4)
     eff_8_32 = (t[8] * 8) / (t[32] * 32)
     out = {
         "n_clips": N_CLIPS,
         "headline": {
             "pair": "local[1] -> local[4] (N vs 4N cores)",
+            "protocol": "interleaved rounds, min wall per level (see run_interleaved)",
             "t_N_sec": round(t[1], 2),
             "t_4N_sec": round(t[4], 2),
+            "per_round_walls_sec": pair_walls,
             "clips_per_sec_N": round(N_CLIPS / t[1], 1),
             "clips_per_sec_4N": round(N_CLIPS / t[4], 1),
             "speedup": round(t[1] / t[4], 2),
