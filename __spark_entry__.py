@@ -5,9 +5,10 @@
 the training-data-pipeline extensions (dedup / similarity / text analysis /
 retrieval / corpus assembly), implemented in
 kneaddata_spark.plans.entry_queries; DuckDB oracles attached for every
-SQL-expressible operator — 54 of 56, including the LSH/ANN family
+SQL-expressible operator — 56 of 58, including the LSH/ANN family
 (exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1)
-and the r3 additions (BM25 top-k, sequence packing, mixture resampling) —
+and the r3 additions (BM25 top-k, sequence packing, mixture resampling,
+as-of join, range join) —
 with only the streaming query and the binary-audio domain pipeline
 rows-only by design.
 """

@@ -1308,6 +1308,79 @@ def ann_ivf_topk_q(spark, sf):
     return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+# --- events: temporal joins (operators Spark lacks as primitives) -----------
+
+
+@q(
+    "asof_join_events",
+    """
+    SELECT l.event_id, l.user_id,
+           round(coalesce((
+             SELECT r.value FROM events r
+             WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+               AND r.ts <= l.ts
+             ORDER BY r.ts DESC, r.event_id DESC LIMIT 1), -1), 2) AS last_purchase
+    FROM events l WHERE l.event_type = 'click'
+    """,
+)
+def asof_join_events_q(spark, sf):
+    """As-of join (operators/temporal.asof_join): every click gets the
+    value of the user's LATEST purchase at-or-before the click. One
+    union + one keyed window pass — no per-key loops, no range self-join;
+    the oracle is the ANSI-portable correlated-subquery formulation."""
+    from ..operators.temporal import asof_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = e.where("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", ts="ts", value_cols=["value"], seq="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round(F.coalesce(F.col("value"), F.lit(-1.0)), 2).alias("last_purchase"),
+    )
+
+
+@q(
+    "range_join_events",
+    """
+    SELECT l.user_id, l.event_id AS click_id, r.event_id AS error_id,
+           (floor(epoch(r.ts))::BIGINT - floor(epoch(l.ts))::BIGINT) AS ts_diff
+    FROM events l JOIN events r ON r.user_id = l.user_id
+    WHERE l.event_type = 'click' AND r.event_type = 'error'
+      AND abs(floor(epoch(r.ts))::BIGINT - floor(epoch(l.ts))::BIGINT) <= 600
+    """,
+)
+def range_join_events_q(spark, sf):
+    """Range (band) join (operators/temporal.range_join): all
+    (click, error) pairs per user within 600 s — equi-join on
+    (user, time-bucket) with the left side probing adjacent buckets, exact
+    band filter after; the oracle is the plain inequality join."""
+    from ..operators.temporal import range_join
+
+    e = _t(spark, sf, "events")
+    clicks = e.where("event_type = 'click'").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = e.where("event_type = 'error'").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    return range_join(
+        clicks,
+        errors,
+        key="user_id",
+        left_ts=F.unix_timestamp(clicks["ts"]),
+        right_ts=F.unix_timestamp(errors["ts"]),
+        delta=600,
+        left_cols=["click_id"],
+        right_cols=["error_id"],
+    )
+
+
 # --- events: windows / sessionization ---------------------------------------
 
 

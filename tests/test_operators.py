@@ -531,3 +531,50 @@ def test_mixture_resample_targets_and_determinism(spark):
     assert 140 <= len(by["big"]) <= 260  # ~200 within binomial noise
     got2 = mixture_resample(df, "lang", "doc_id", {"big": 200, "small": 500}).collect()
     assert {(r["doc_id"], r["lang"]) for r in got2} == {(r["doc_id"], r["lang"]) for r in got}
+
+
+def test_asof_join_backward_semantics(spark):
+    """asof_join: latest right row at-or-before each left ts; equal-ts
+    right rows match (largest seq wins among equal ts); no preceding right
+    row -> NULL."""
+    from kneaddata_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("L1", "u", 5), ("L2", "u", 10), ("L3", "u", 2), ("L4", "v", 9)],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", 3, 100, 3.0), ("u", 10, 101, 7.0), ("u", 10, 102, 9.0), ("w", 1, 103, 5.0)],
+        ["user_id", "ts", "event_id", "value"],
+    )
+    out = asof_join(left, right, key="user_id", ts="ts", value_cols=["value"], seq="event_id")
+    got = {r["event_id"]: r["value"] for r in out.collect()}
+    assert got == {"L1": 3.0, "L2": 9.0, "L3": None, "L4": None}
+    # L2: two right rows at ts=10 — seq 102 (value 9.0) wins; L3 precedes
+    # every right row; L4's user has no right rows at all
+
+
+def test_range_join_band_and_buckets(spark):
+    """range_join: inclusive band boundary, matches that CROSS a bucket
+    boundary, no duplicate pairs, and no pairs beyond the band."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [("u", 1000, "a"), ("u", 95, "b")], ["user_id", "t", "click_id"]
+    )
+    right = spark.createDataFrame(
+        [("u", 1100, "x"), ("u", 900, "y"), ("u", 1101, "z"), ("u", 105, "w"), ("v", 1000, "q")],
+        ["user_id", "t", "error_id"],
+    )
+    out = range_join(
+        left, right, key="user_id",
+        left_ts=F.col("t"), right_ts=F.col("t"), delta=100,
+        left_cols=["click_id"], right_cols=["error_id"],
+    )
+    got = {(r["click_id"], r["error_id"]): r["ts_diff"] for r in out.collect()}
+    # a@1000: x@1100 (+100 inclusive), y@900 (-100 inclusive), NOT z@1101;
+    # b@95: w@105 crosses the div-100 bucket boundary (0 vs 1); q is user v
+    assert got == {("a", "x"): 100, ("a", "y"): -100, ("b", "w"): 10}
+    assert out.count() == len(got)  # no duplicate pairs from multi-bucket probing

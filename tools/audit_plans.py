@@ -33,6 +33,9 @@ AUDIT = [
     # then lang over the <= n_salts*k survivors)
     ("stratified_cap", {"max_exchanges": 2, "no_python": True}),
     ("bm25_topk", {"broadcast_join": True}),
+    # union + one keyed window pass: exactly one shuffle
+    ("asof_join_events", {"max_exchanges": 1, "no_python": True}),
+    ("range_join_events", {"no_python": True}),
     ("pack_contexts", {"max_exchanges": 1, "no_python": True}),
     ("mixture_resample", {"broadcast_join": True, "no_python": True}),
 ]
