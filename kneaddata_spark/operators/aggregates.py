@@ -84,3 +84,49 @@ def id_occurrence_counts(dfs: list[DataFrame], key: str = "read_id") -> DataFram
 
     u = reduce(lambda a, b: a.unionByName(b), [d.select(key) for d in dfs])
     return u.groupBy(key).agg(F.count("*").alias("n_occ"))
+
+
+def rollup_lattice(
+    events: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    grains: tuple = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the finest grain
+    aggregates from raw events ONCE; every coarser grain RE-AGGREGATES the
+    previous grain's partials (sum-of-counts, sum-of-sums) — at 100 TB the
+    raw table is scanned exactly once no matter how many grains the
+    lattice has, which is the whole point of a rollup cascade (and why
+    only decomposable aggregates — count/sum/min/max, or sketches for
+    distinct — belong in one).
+
+    Returns the union of all grains: (grain, bucket, *key_cols, n, v).
+    Each grain's groupBy is a key-partitioned shuffle whose input shrinks
+    ~60x per level; map-side combine applies throughout.
+    """
+    finest, *coarser = grains
+    # each grain is cache()d: every level feeds BOTH the output union and
+    # the next-coarser aggregation, and without materialization Catalyst
+    # re-plans the whole chain per union branch — the plan showed the raw
+    # scan three times (once per grain), defeating the rollup's purpose.
+    # Partials are ~60x smaller per level, so the cache is cheap; a
+    # production deployment writes each grain to its own table instead.
+    cur = (
+        events.groupBy(
+            F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *key_cols
+        )
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("v"))
+        .cache()
+    )
+    out = cur.select(F.lit(finest).alias("grain"), "bucket", *key_cols, "n", "v")
+    for g in coarser:
+        cur = (
+            cur.groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket"), *key_cols)
+            .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+            .cache()
+        )
+        out = out.unionByName(
+            cur.select(F.lit(g).alias("grain"), "bucket", *key_cols, "n", "v")
+        )
+    return out

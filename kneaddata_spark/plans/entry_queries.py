@@ -1385,6 +1385,49 @@ def range_join_events_q(spark, sf):
 
 
 @q(
+    "rollup_lattice",
+    """
+    WITH m AS (
+      SELECT date_trunc('minute', ts) AS bucket, event_type,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), h AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT date_trunc('day', ts) AS bucket, event_type,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s,
+           event_type, n, round(v, 2) AS v
+    FROM (
+      SELECT 'minute' AS grain, * FROM m
+      UNION ALL SELECT 'hour' AS grain, * FROM h
+      UNION ALL SELECT 'day' AS grain, * FROM d
+    )
+    """,
+)
+def rollup_lattice_q(spark, sf):
+    """Hypertable rollup cascade (aggregates.rollup_lattice): minute from
+    raw, hour from minute partials, day from hour partials — raw scanned
+    once. The oracle computes every grain DIRECTLY from raw, so the gate
+    proves the re-aggregation identity (sum-of-sums == direct sum)."""
+    from ..operators.aggregates import rollup_lattice
+
+    e = _t(spark, sf, "events")
+    out = rollup_lattice(e, "ts", ["event_type"], "value")
+    return out.select(
+        "grain",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_s"),
+        "event_type",
+        "n",
+        F.round("v", 2).alias("v"),
+    )
+
+
+@q(
     "window_rolling",
     """
     SELECT event_id, user_id,

@@ -578,3 +578,34 @@ def test_range_join_band_and_buckets(spark):
     # b@95: w@105 crosses the div-100 bucket boundary (0 vs 1); q is user v
     assert got == {("a", "x"): 100, ("a", "y"): -100, ("b", "w"): 10}
     assert out.count() == len(got)  # no duplicate pairs from multi-bucket probing
+
+
+def test_rollup_lattice_reaggregation_and_scan_once(spark):
+    """rollup_lattice: coarser grains re-aggregated from partials equal a
+    direct aggregation of raw, and the physical plan scans the source ONCE
+    (coarser branches read the cached finest partials)."""
+    from datetime import datetime
+
+    from kneaddata_spark.operators.aggregates import rollup_lattice
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 10, 0, 5), 1.0),
+        ("a", datetime(2024, 1, 1, 10, 0, 55), 2.0),
+        ("a", datetime(2024, 1, 1, 10, 59, 0), 4.0),
+        ("a", datetime(2024, 1, 1, 23, 30, 0), 8.0),
+        ("b", datetime(2024, 1, 2, 0, 0, 1), 16.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    out = rollup_lattice(df, "ts", ["k"], "value")
+    got = {
+        (r["grain"], str(r["bucket"]), r["k"]): (r["n"], r["v"])
+        for r in out.collect()
+    }
+    assert got[("minute", "2024-01-01 10:00:00", "a")] == (2, 3.0)
+    assert got[("hour", "2024-01-01 10:00:00", "a")] == (3, 7.0)
+    assert got[("day", "2024-01-01 00:00:00", "a")] == (4, 15.0)
+    assert got[("day", "2024-01-02 00:00:00", "b")] == (1, 16.0)
+    assert len([k for k in got if k[0] == "minute"]) == 4
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 0  # in-memory source here; so:
+    assert plan.count("InMemoryTableScan") >= 2  # coarser grains read partials
