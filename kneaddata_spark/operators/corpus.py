@@ -74,33 +74,59 @@ def mixture_resample(
     group_col: str,
     key_col: str,
     targets: dict[str, int],
+    allow_upsample: bool = False,
 ) -> DataFrame:
-    """Proportional mixture resampling: downsample each group toward a
-    target row count with a DETERMINISTIC hash-Bernoulli keep decision —
-    the data-mix rebalancing step of a training-corpus build (keep
-    fraction = target / group size, floored to 1.0).
+    """Proportional mixture resampling: move each group toward a target
+    row count with DETERMINISTIC hash decisions — the data-mix rebalancing
+    step of a training-corpus build.
 
-    Integer arithmetic end-to-end: the keep threshold is
-    least(M32, (target * M32) div group_count) and the decision is
-    hash(key) < threshold — Spark `div` == DuckDB `//`, no double->int
-    casts (whose truncation/rounding semantics differ across engines).
-    Groups at-or-under target are kept whole. The group-count aggregation
+    Downsampling (target < group size): keep fraction = target/size via a
+    hash-Bernoulli threshold. Upsampling (allow_upsample=True and
+    target > size — the "epochs > 1" data-mix case): every row repeats
+    floor(target/size) times and a hash-selected remainder fraction gets
+    one extra copy, emitted with an ``epoch`` column (0..n_copies-1) so
+    downstream shuffling/packing can spread the copies. With
+    allow_upsample=False (default) over-size targets keep the group whole,
+    exactly once.
+
+    Integer arithmetic end-to-end: thresholds are (x * M32) div count —
+    Spark `div` == DuckDB `//`, no double->int casts (whose truncation/
+    rounding semantics differ across engines). The group-count aggregation
     is map-side combined (tiny partials even on the 58%-skewed lang key);
-    the thresholds broadcast back; the corpus itself never shuffles."""
+    the per-group plan constants broadcast back; the corpus itself never
+    shuffles."""
     spark = docs.sparkSession
     counts = docs.groupBy(group_col).agg(F.count("*").alias("__cnt"))
     tgt = spark.createDataFrame(
         [(g, int(t)) for g, t in targets.items()], [group_col, "__target"]
     )
-    thr = counts.join(F.broadcast(tgt), group_col).select(
+    plan = counts.join(F.broadcast(tgt), group_col).select(
         group_col,
+        # keep threshold for the down-sampling (or whole-keep) regime
         F.least(
             F.lit(M32).cast("long"),
             F.expr("(__target * cast(4294967296 as bigint)) div __cnt"),
         ).alias("__thr"),
+        # up-sampling: base copies per row + extra-copy threshold on the
+        # remainder fraction
+        F.expr("__target div __cnt").alias("__base"),
+        F.expr("((__target % __cnt) * cast(4294967296 as bigint)) div __cnt").alias(
+            "__rem_thr"
+        ),
     )
+    joined = docs.join(F.broadcast(plan), group_col)
+    h = det_hash(F.col(key_col))
+    if not allow_upsample:
+        return joined.where(h < F.col("__thr")).drop("__thr", "__base", "__rem_thr")
+    copies = F.when(
+        F.col("__base") >= 1,  # upsample regime: base copies + remainder
+        F.col("__base") + (h < F.col("__rem_thr")).cast("long"),
+    ).otherwise((h < F.col("__thr")).cast("long"))
     return (
-        docs.join(F.broadcast(thr), group_col)
-        .where(det_hash(F.col(key_col)) < F.col("__thr"))
-        .drop("__thr")
+        joined.withColumn("__n_copies", copies)
+        .where(F.col("__n_copies") >= 1)
+        .withColumn(
+            "epoch", F.explode(F.expr("sequence(0, cast(__n_copies as int) - 1)"))
+        )
+        .drop("__thr", "__base", "__rem_thr", "__n_copies")
     )

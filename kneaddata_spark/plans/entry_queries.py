@@ -1064,6 +1064,49 @@ def mixture_resample_q(spark, sf):
     return mixture_resample(d, group_col="lang", key_col="doc_id", targets=targets)
 
 
+@q(
+    "mixture_epochs",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+    p AS (
+      SELECT lang, cnt,
+             (CASE lang WHEN 'en' THEN 60 WHEN 'es' THEN 60 WHEN 'fr' THEN 60
+                        WHEN 'de' THEN 60 WHEN 'zh' THEN 120 END)::BIGINT AS target
+      FROM c
+    ),
+    p2 AS (
+      SELECT lang, target // cnt AS base,
+             ((target % cnt) * {M32}) // cnt AS rem_thr,
+             least({M32}::BIGINT, (target * {M32}) // cnt) AS thr
+      FROM p
+    ),
+    k AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN p2.base >= 1
+                  THEN p2.base + CASE WHEN (d.doc_id * {KNUTH}) % {M32} < p2.rem_thr THEN 1 ELSE 0 END
+                  ELSE CASE WHEN (d.doc_id * {KNUTH}) % {M32} < p2.thr THEN 1 ELSE 0 END
+             END AS n_copies
+      FROM documents d JOIN p2 USING (lang)
+    )
+    SELECT k2.doc_id, k2.lang, g.e::INT AS epoch
+    FROM (SELECT * FROM k WHERE n_copies >= 1) k2,
+         LATERAL (SELECT unnest(generate_series(0, k2.n_copies::INT - 1)) AS e) g
+    """,
+)
+def mixture_epochs_q(spark, sf):
+    """Mixture resampling WITH upsampling (the epochs>1 data-mix case):
+    zh is targeted ABOVE its group size (rows repeat with an epoch index,
+    remainder fraction hash-selected), the other langs downsample — both
+    regimes in one integer-deterministic plan (corpus.mixture_resample)."""
+    from ..operators.corpus import mixture_resample
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    targets = {"en": 60, "es": 60, "fr": 60, "de": 60, "zh": 120}
+    return mixture_resample(
+        d, group_col="lang", key_col="doc_id", targets=targets, allow_upsample=True
+    ).select("doc_id", "lang", F.col("epoch").cast("int").alias("epoch"))
+
+
 # --- dedup family ----------------------------------------------------------
 
 

@@ -609,3 +609,32 @@ def test_rollup_lattice_reaggregation_and_scan_once(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0  # in-memory source here; so:
     assert plan.count("InMemoryTableScan") >= 2  # coarser grains read partials
+
+
+def test_mixture_upsample_epochs(spark):
+    """allow_upsample=True: an over-target group repeats with epoch
+    indexes (~target total copies, every base epoch complete); the
+    downsampled group is unchanged vs the default path."""
+    from kneaddata_spark.operators.corpus import mixture_resample
+
+    rows = [(i, "big" if i < 2000 else "small") for i in range(2050)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out = mixture_resample(
+        df, "lang", "doc_id", {"big": 300, "small": 175}, allow_upsample=True
+    ).collect()
+    small = [r for r in out if r["lang"] == "small"]
+    big = [r for r in out if r["lang"] == "big"]
+    # small: 50 rows, target 175 -> base 3 copies each + 25 hash-chosen extras
+    assert len(small) >= 150 and abs(len(small) - 175) <= 20
+    per_doc = {}
+    for r in small:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == list(range(len(v))) for v in per_doc.values())
+    assert all(len(v) in (3, 4) for v in per_doc.values())
+    # big: plain downsample regime, all epoch 0, ~300 of 2000
+    assert all(r["epoch"] == 0 for r in big) and 200 <= len(big) <= 400
+    # downsample result identical to the default (no-upsample) path
+    plain = mixture_resample(df, "lang", "doc_id", {"big": 300, "small": 175})
+    assert {r["doc_id"] for r in plain.collect() if r["lang"] == "big"} == {
+        r["doc_id"] for r in big
+    }
