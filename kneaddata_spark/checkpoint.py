@@ -69,11 +69,14 @@ def _staging_fingerprint(clips: DataFrame, n_buckets: int) -> str:
 
         content = [_stat(f) for f in files]
     else:
-        key = clips.columns[0]
-        # bit_xor: order-invariant and overflow-free under ANSI mode
-        # (sum(xxhash64) overflows LongType)
+        # full-ROW hash (xxhash64 over every column): a first-column-only
+        # hash would miss a regenerated corpus whose ids survived but whose
+        # payloads changed. Aggregate as a sum of 30-bit buckets: order-
+        # invariant, no pairwise cancellation on duplicate rows (bit_xor
+        # cancels), and overflow-free under ANSI for < 2^33 rows.
         row = clips.select(
-            F.count("*").alias("n"), F.expr(f"bit_xor(xxhash64({key}))").alias("h")
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64(*clips.columns), F.lit(1 << 30))).alias("h"),
         ).collect()[0]
         content = [["rows", int(row["n"]), int(row["h"] or 0)]]
     basis = json.dumps(

@@ -75,6 +75,7 @@ def mixture_resample(
     key_col: str,
     targets: dict[str, int],
     allow_upsample: bool = False,
+    keep_untargeted: bool = True,
 ) -> DataFrame:
     """Proportional mixture resampling: move each group toward a target
     row count with DETERMINISTIC hash decisions — the data-mix rebalancing
@@ -94,7 +95,13 @@ def mixture_resample(
     rounding semantics differ across engines). The group-count aggregation
     is map-side combined (tiny partials even on the 58%-skewed lang key);
     the per-group plan constants broadcast back; the corpus itself never
-    shuffles."""
+    shuffles.
+
+    Groups WITHOUT a target entry are kept whole (keep_untargeted=True,
+    the default) or dropped entirely (False — mixture SELECTION, where the
+    target dict defines the corpus)."""
+    if not targets:
+        raise ValueError("mixture_resample: targets must be non-empty")
     spark = docs.sparkSession
     counts = docs.groupBy(group_col).agg(F.count("*").alias("__cnt"))
     tgt = spark.createDataFrame(
@@ -114,7 +121,15 @@ def mixture_resample(
             "__rem_thr"
         ),
     )
-    joined = docs.join(F.broadcast(plan), group_col)
+    how = "left" if keep_untargeted else "inner"
+    joined = docs.join(F.broadcast(plan), group_col, how)
+    if keep_untargeted:
+        # untargeted group: thr=M32 (keep all), exactly one copy
+        joined = (
+            joined.withColumn("__thr", F.coalesce("__thr", F.lit(M32).cast("long")))
+            .withColumn("__base", F.coalesce("__base", F.lit(1).cast("long")))
+            .withColumn("__rem_thr", F.coalesce("__rem_thr", F.lit(0).cast("long")))
+        )
     h = det_hash(F.col(key_col))
     if not allow_upsample:
         return joined.where(h < F.col("__thr")).drop("__thr", "__base", "__rem_thr")

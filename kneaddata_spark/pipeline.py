@@ -84,6 +84,10 @@ def bytes_trimmed_col() -> F.Column:
     wav_canonical = F.expr(
         "hex(substring(bytes, 1, 4)) = '52494646' AND "   # 'RIFF'
         "hex(substring(bytes, 13, 4)) = '666D7420' AND "  # 'fmt '
+        # fmt size MUST be 16: a larger fmt chunk whose body happens to
+        # contain 'data' at offset 37 would slice the payload inside the
+        # fmt body and emit corrupt audio
+        "hex(substring(bytes, 17, 4)) = '10000000' AND "
         "hex(substring(bytes, 37, 4)) = '64617461'"       # 'data'
     )
     wav = F.expr(
