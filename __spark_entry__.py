@@ -5,7 +5,7 @@
 the training-data-pipeline extensions (dedup / similarity / text analysis /
 retrieval / corpus assembly), implemented in
 kneaddata_spark.plans.entry_queries; DuckDB oracles attached for every
-SQL-expressible operator — 58 of 60, including the LSH/ANN family
+SQL-expressible operator — 59 of 61, including the LSH/ANN family
 (exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1)
 and the r3 additions (BM25 top-k, sequence packing, mixture resampling,
 as-of join, range join) —

@@ -435,6 +435,98 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+# ---------------------------------------------------- incremental dedup --
+
+
+def incremental_dedup_exact(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen_hashes: DataFrame,
+    hash_col: str = "h",
+) -> tuple[DataFrame, DataFrame]:
+    """Production-shaped INCREMENTAL exact dedup: a new batch arrives, the
+    existing corpus is represented only by its stored content-hash table
+    (what a real pipeline persists between runs — never the texts).
+    Two steps: keep one row per hash WITHIN the batch (min id), then
+    anti-join the batch's hashes against the seen table. Returns
+    (clean_new_rows, their hashes to append to the seen table).
+
+    Scale shape: the seen table is corpus-scale but the probe is a keyed
+    anti-join on the uniform md5 key — only the NEW BATCH shuffles
+    (|batch| rows), the seen side streams; bucket the stored hash table on
+    `h` in production so the join is co-located with zero shuffle of
+    either side. The within-batch step is one window over md5(batch).
+    """
+    batch_first = dedup_exact(new_docs, id_col, text_col)
+    hashed = batch_first.withColumn("__h", F.md5(F.col(text_col)))
+    clean = hashed.join(
+        seen_hashes.select(F.col(hash_col).alias("__h")), "__h", "left_anti"
+    )
+    return clean.drop("__h"), clean.select(F.col("__h").alias(hash_col))
+
+
+def incremental_band_screen(
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_table: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup flavor of the incremental screen: the existing corpus is
+    represented by its stored MinHash BAND table ((band, bucket) rows —
+    the LSH index a production near-dup pipeline persists). New docs whose
+    signature shares ANY band bucket with the corpus are FLAGGED as
+    near-dup candidates (recall-oriented screen; exact verification needs
+    the flagged originals fetched separately). Returns
+    (survivors, flagged). The probe is an equi-join on (band, bucket) —
+    the new batch's bands only; the corpus index streams/co-locates."""
+    sh = word_shingles(new_docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(array_join(slice(sig, b * {num_hashes // bands} + 1, {num_hashes // bands}), '_')) as bucket))"
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    flagged_ids = (
+        banded.join(band_table, ["band", "bucket"], "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    flagged = new_docs.join(flagged_ids, id_col, "left_semi")
+    survivors = new_docs.join(flagged_ids, id_col, "left_anti")
+    return survivors, flagged
+
+
+def corpus_band_table(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Build the persistable (band, bucket) LSH index of a corpus — the
+    artifact incremental_band_screen probes against."""
+    sh = word_shingles(docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    r = num_hashes // bands
+    return sigs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b as band, xxhash64(array_join(slice(sig, b * {r} + 1, {r}), '_')) as bucket))"
+            )
+        ).alias("bb")
+    ).select("bb.band", "bb.bucket").distinct()
+
+
 # ------------------------------------------------- decontamination screen --
 
 

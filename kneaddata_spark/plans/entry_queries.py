@@ -1111,6 +1111,46 @@ def mixture_epochs_q(spark, sf):
 
 
 @q(
+    "incremental_dedup",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id % 7 = 1
+    ),
+    seen AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+    first_in_batch AS (
+      SELECT doc_id, text FROM batch
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    )
+    SELECT doc_id FROM first_in_batch WHERE md5(text) NOT IN (SELECT h FROM seen)
+    """,
+)
+def incremental_dedup_q(spark, sf):
+    """Incremental exact dedup (dedup.incremental_dedup_exact): the
+    existing corpus exists ONLY as its stored md5 table; the new batch
+    (fresh docs + planted re-submissions of corpus docs under new ids)
+    dedups within itself then anti-joins the seen hashes — the
+    batch-over-batch production shape (only the batch shuffles)."""
+    d = _t(spark, sf, "documents")
+    corpus = d.where("doc_id % 5 <> 0").select("doc_id", "text")
+    batch = (
+        d.where("doc_id % 5 = 0")
+        .select("doc_id", "text")
+        .unionByName(
+            d.where("doc_id % 5 <> 0 and doc_id % 7 = 1").select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "text"
+            )
+        )
+    )
+    seen = corpus.select(F.md5("text").alias("h")).distinct()
+    clean, _new_hashes = dedup.incremental_dedup_exact(batch, "doc_id", "text", seen)
+    return clean.select("doc_id")
+
+
+@q(
     "dedup_exact",
     f"""
     WITH d AS ({_DOCS_DUPS_SQL})

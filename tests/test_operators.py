@@ -640,3 +640,43 @@ def test_mixture_upsample_epochs(spark):
     assert {r["doc_id"] for r in plain.collect() if r["lang"] == "big"} == {
         r["doc_id"] for r in big
     }
+
+
+def test_incremental_dedup_exact(spark):
+    """Batch dedups within itself, then against the stored hash table;
+    returned hash delta covers exactly the surviving rows."""
+    corpus = spark.createDataFrame(
+        [(1, "seen one"), (2, "seen two")], ["doc_id", "text"]
+    )
+    seen = corpus.select(F.md5("text").alias("h")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "brand new"),      # within-batch dup of 10
+            (12, "seen one"),       # resubmission of corpus content
+            (13, "also fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    clean, new_h = dedup.incremental_dedup_exact(batch, "doc_id", "text", seen)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [10, 13]
+    assert new_h.count() == 2
+    # second wave against the UPDATED seen table: everything already known
+    seen2 = seen.unionByName(new_h)
+    clean2, _ = dedup.incremental_dedup_exact(batch, "doc_id", "text", seen2)
+    assert clean2.count() == 0
+
+
+def test_incremental_band_screen(spark):
+    """A new doc near-identical to a corpus doc is flagged via the stored
+    band table; an unrelated doc survives."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame([(1, base)], ["doc_id", "text"])
+    bt = dedup.corpus_band_table(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [(10, base + " tail"), (11, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"],
+    )
+    survivors, flagged = dedup.incremental_band_screen(batch, "doc_id", "text", bt)
+    assert [r["doc_id"] for r in flagged.collect()] == [10]
+    assert [r["doc_id"] for r in survivors.collect()] == [11]
