@@ -112,6 +112,10 @@ def main() -> None:
         timings[name] = min(walls)
         query_rep_walls[name] = walls
         print(f"# {name}: {n} rows, reps {walls} -> {timings[name]}s", file=sys.stderr)
+        # operators cache() intra-query intermediates (shingles, postings,
+        # rollup grains); release them so a long sweep cannot accumulate
+        # pinned storage (cache-lifetime contract in the operator docs)
+        spark.catalog.clearCache()
 
     # clip count matches tools/bench_scaling.py at sf0.1 (40k) so driver
     # BENCH numbers are comparable round-over-round and to BENCH_SCALING

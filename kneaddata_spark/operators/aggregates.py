@@ -106,28 +106,27 @@ def rollup_lattice(
     ~60x per level; map-side combine applies throughout.
     """
     finest, *coarser = grains
-    # each grain is materialized (localCheckpoint, lazy): every level
-    # feeds BOTH the output union and the next-coarser aggregation, and
-    # without materialization Catalyst re-plans the whole chain per union
-    # branch — the plan showed the raw scan three times (once per grain),
-    # defeating the rollup's purpose. localCheckpoint over cache(): cached
-    # plans stay pinned in the CacheManager until explicit unpersist
-    # (leaking storage across calls); checkpoint blocks are GC-cleaned
-    # with the frame. Partials are ~60x smaller per level; a production
-    # deployment writes each grain to its own table instead.
+    # each grain is cache()d: every level feeds BOTH the output union and
+    # the next-coarser aggregation, and without materialization Catalyst
+    # re-plans the whole chain per union branch — the plan showed the raw
+    # scan three times (once per grain), defeating the rollup's purpose.
+    # Cache lifetime contract: CacheManager entries persist until
+    # unpersist/clearCache — long multi-query sessions should clearCache()
+    # between queries (our harnesses do). Partials are ~60x smaller per
+    # level; a production deployment writes each grain to its own table.
     cur = (
         events.groupBy(
             F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *key_cols
         )
         .agg(F.count("*").alias("n"), F.sum(value_col).alias("v"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     out = cur.select(F.lit(finest).alias("grain"), "bucket", *key_cols, "n", "v")
     for g in coarser:
         cur = (
             cur.groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket"), *key_cols)
             .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
-            .localCheckpoint(eager=False)
+            .cache()
         )
         out = out.unionByName(
             cur.select(F.lit(g).alias("grain"), "bucket", *key_cols, "n", "v")

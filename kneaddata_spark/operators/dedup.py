@@ -123,7 +123,7 @@ def ngram_jaccard_pairs(
     Self-join on shingle -> pair intersection counts; |A|,|B| joined in;
     J = inter / (|A| + |B| - inter). The shingle join is the only big
     shuffle; max_df caps its worst key."""
-    sh = word_shingles(df, id_col, text_col, n, max_df).localCheckpoint(eager=False)
+    sh = word_shingles(df, id_col, text_col, n, max_df).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -226,7 +226,7 @@ def minhash_dedup_pairs(
     """Full MinHash+LSH pipeline: shingle -> signature -> band candidates
     -> exact-Jaccard verification of candidates only. At corpus scale the
     verification join touches only the candidate pair set, not all pairs."""
-    sh = word_shingles(df, id_col, text_col, n, max_df).localCheckpoint(eager=False)
+    sh = word_shingles(df, id_col, text_col, n, max_df).cache()
     sigs = minhash_signatures(sh, num_hashes)
     cand = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

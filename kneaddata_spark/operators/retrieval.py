@@ -61,19 +61,16 @@ def bm25_topk(
     the quantized sum / 2^20 rounded to 4 decimals; ties break on doc_id.
     """
     toks = _tokens(docs, id_col, text_col, "doc_id")
-    # postings is the single materialized index artifact: dl, dfreq and the
-    # corpus scalars all DERIVE from it. localCheckpoint(eager=False), not
-    # cache(): without materialization Catalyst re-plans the scan+explode
-    # subtree per derived aggregate, and cache() entries live in the
-    # CacheManager until an explicit unpersist — leaking executor storage
-    # across repeated calls in a long session (checkpoint blocks are
-    # GC-cleaned with the frame). A production deployment persists the
+    # postings is the single materialized index artifact: dl, dfreq and
+    # the corpus scalars all DERIVE from it (cache() so the explode+
+    # aggregate runs once — without it Catalyst re-plans the scan+explode
+    # subtree per derived aggregate). Cache lifetime contract: entries stay
+    # in the CacheManager until unpersist/clearCache — a harness sweeping
+    # many queries in one session should clearCache() between them (ours
+    # do); measured alternative localCheckpoint is GC-cleaned but ~2x
+    # slower to materialize cold. A production deployment persists the
     # postings table and this whole block becomes one read.
-    postings = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    postings = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).cache()
     dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # corpus scalars as a broadcast 1-row frame — no driver action
     stats = dl.agg(

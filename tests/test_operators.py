@@ -608,9 +608,8 @@ def test_rollup_lattice_reaggregation_and_scan_once(spark):
     assert len([k for k in got if k[0] == "minute"]) == 4
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 0  # in-memory source here; so:
-    # coarser grains read the materialized partials (lazy localCheckpoint
-    # -> Scan ExistingRDD), never re-deriving from the source
-    assert plan.count("Scan ExistingRDD") >= 2
+    # coarser grains read the cached partials, never re-derive from source
+    assert plan.count("InMemoryTableScan") >= 2
 
 
 def test_mixture_upsample_epochs(spark):

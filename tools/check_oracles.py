@@ -69,6 +69,7 @@ def main():
             df = fn(spark, sf)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
+            spark.catalog.clearCache()  # release per-query cached intermediates
         except Exception as ex:
             print(f"FAIL {name}: spark error {str(ex)[:300]}")
             n_fail += 1
