@@ -63,7 +63,11 @@ def _staging_fingerprint(clips: DataFrame, n_buckets: int) -> str:
             p = uri[7:] if uri.startswith("file:///") else uri[5:] if uri.startswith("file:") else uri
             try:
                 st = os.stat(p)
-                return [uri, st.st_size, int(st.st_mtime)]
+                # st_mtime_ns, not int(st_mtime) (ADVICE r3): a same-size
+                # file rewritten at the same path within the same SECOND
+                # would otherwise fingerprint identically, re-opening the
+                # stale-resume hole this stat triple exists to close
+                return [uri, st.st_size, st.st_mtime_ns]
             except OSError:  # non-local fs — path-only identity
                 return [uri, -1, -1]
 

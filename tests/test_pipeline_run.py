@@ -65,8 +65,6 @@ def test_staging_fingerprint_sees_content_changes(spark, tmp_path):
     file is REWRITTEN at the same path, or (b) an in-memory corpus is
     regenerated with the same cardinality but different rows — both cases
     previously resumed against stale staged parquet."""
-    import time as _time
-
     from kneaddata_spark.checkpoint import _staging_fingerprint
     from kneaddata_spark.synth import write_clips_parquet
 
@@ -75,7 +73,8 @@ def test_staging_fingerprint_sees_content_changes(spark, tmp_path):
     df = spark.read.parquet(p)
     fp1 = _staging_fingerprint(df, 4)
     assert _staging_fingerprint(df, 8) != fp1  # bucket-count change
-    _time.sleep(1.1)  # ensure a distinct mtime second
+    # no sleep needed: the fingerprint stats st_mtime_ns (ADVICE r3) —
+    # even a same-second rewrite produces a distinct nanosecond mtime
     write_clips_parquet(p, 30)  # rewrite same path, same row count
     fp2 = _staging_fingerprint(spark.read.parquet(p), 4)
     assert fp2 != fp1
