@@ -21,8 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# headline operator queries (from the driver surface)
-HEADLINE = [
+# headline operator queries (from the driver surface). R3_SET is the
+# round-3 headline — kept as a named subset so round-over-round totals
+# stay comparable after the r4 expansion (VERDICT r3 #6: every driver
+# query FAMILY now has a recorded wall — temporal joins, rollup, mixture
+# resampling, incremental dedup, decontamination, ANN, skew salting,
+# multimodal — so a perf regression in any family is visible in BENCH).
+R3_SET = [
     "q1_pricing_summary",
     "pair_policy_strict",
     "anti_join_repeats",
@@ -42,6 +47,23 @@ HEADLINE = [
     "doc_fingerprint",
     "scrub_pii",
     "adaptive_scrub",
+]
+HEADLINE = R3_SET + [
+    "asof_join_events",
+    "range_join_events",
+    "rollup_lattice",
+    "mixture_resample",
+    "mixture_epochs",
+    "incremental_dedup",
+    "decontaminate",
+    "cosine_dup_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "stratified_cap",
+    "event_sequences",
+    "multimodal_features",
+    "salted_join_skew",
+    "salted_group_count",
 ]
 
 
@@ -106,16 +128,22 @@ def main() -> None:
         fn = QUERIES[name]
         walls = []
         for _ in range(2):
+            # clear BETWEEN reps too (ADVICE r3): rep 2 must not read rep
+            # 1's intra-query persisted intermediates (postings, grains,
+            # shingles) or min(walls) records a warm-cache wall and the
+            # headline understates cold per-query cost. (Query builders
+            # also self-release via operators/caching.release_tracked at
+            # build time, so this is belt-and-braces for the recorded
+            # number.) JVM JIT + OS page cache stay warm — deliberately:
+            # that is machine warmup, not query state.
+            spark.catalog.clearCache()
             t0 = time.time()
             n = fn(spark, SF_DIR).count()
             walls.append(round(time.time() - t0, 3))
         timings[name] = min(walls)
         query_rep_walls[name] = walls
         print(f"# {name}: {n} rows, reps {walls} -> {timings[name]}s", file=sys.stderr)
-        # operators cache() intra-query intermediates (shingles, postings,
-        # rollup grains); release them so a long sweep cannot accumulate
-        # pinned storage (cache-lifetime contract in the operator docs)
-        spark.catalog.clearCache()
+    spark.catalog.clearCache()
 
     # clip count matches tools/bench_scaling.py at sf0.1 (40k) so driver
     # BENCH numbers are comparable round-over-round and to BENCH_SCALING
@@ -136,6 +164,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "query_rep_walls_sec": query_rep_walls,
+        # the r3 headline was 19 queries + qc; r4 adds 15 more families.
+        # This subtotal is the r3-comparable number (same query set as
+        # BENCH_r03's "value" minus qc, which is reported separately).
+        "value_r3_subset_sec": round(
+            sum(timings[n] for n in R3_SET) + timings["qc_pipeline_clips"], 3
+        ),
+        "n_headline_queries": len(HEADLINE),
         "sf": sf,
         "clips_per_sec": clips_per_sec,
         "n_clips": n_clips,

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
+
 
 def stage_counts(df: DataFrame, stage_col: str = "stage", type_col: str = "file_type") -> DataFrame:
     """A1/A2: counts per (stage, file_type)."""
@@ -106,27 +108,26 @@ def rollup_lattice(
     ~60x per level; map-side combine applies throughout.
     """
     finest, *coarser = grains
-    # each grain is cache()d: every level feeds BOTH the output union and
+    # each grain is persisted: every level feeds BOTH the output union and
     # the next-coarser aggregation, and without materialization Catalyst
     # re-plans the whole chain per union branch — the plan showed the raw
     # scan three times (once per grain), defeating the rollup's purpose.
-    # Cache lifetime contract: CacheManager entries persist until
-    # unpersist/clearCache — long multi-query sessions should clearCache()
-    # between queries (our harnesses do). Partials are ~60x smaller per
-    # level; a production deployment writes each grain to its own table.
-    cur = (
+    # persist_tracked = explicit MEMORY_AND_DISK (the finest grain is
+    # corpus-shaped on a high-cardinality key set — it must spill, not
+    # OOM) + release when the next tracked-cache query is built
+    # (operators/caching.py; VERDICT r3 #4 + ADVICE r3). Partials shrink
+    # ~60x per level; production writes each grain to its own table.
+    cur = persist_tracked(
         events.groupBy(
             F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *key_cols
         )
         .agg(F.count("*").alias("n"), F.sum(value_col).alias("v"))
-        .cache()
     )
     out = cur.select(F.lit(finest).alias("grain"), "bucket", *key_cols, "n", "v")
     for g in coarser:
-        cur = (
+        cur = persist_tracked(
             cur.groupBy(F.date_trunc(g, F.col("bucket")).alias("bucket"), *key_cols)
             .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
-            .cache()
         )
         out = out.unionByName(
             cur.select(F.lit(g).alias("grain"), "bucket", *key_cols, "n", "v")

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
+
 # ---------------------------------------------------------------- exact --
 
 
@@ -122,8 +124,11 @@ def ngram_jaccard_pairs(
 
     Self-join on shingle -> pair intersection counts; |A|,|B| joined in;
     J = inter / (|A| + |B| - inter). The shingle join is the only big
-    shuffle; max_df caps its worst key."""
-    sh = word_shingles(df, id_col, text_col, n, max_df).cache()
+    shuffle; max_df caps its worst key. The shingle frame feeds both the
+    self-join and the size aggregate — persist_tracked (MEMORY_AND_DISK +
+    released when the next tracked-cache query is built,
+    operators/caching.py)."""
+    sh = persist_tracked(word_shingles(df, id_col, text_col, n, max_df))
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -225,8 +230,10 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: shingle -> signature -> band candidates
     -> exact-Jaccard verification of candidates only. At corpus scale the
-    verification join touches only the candidate pair set, not all pairs."""
-    sh = word_shingles(df, id_col, text_col, n, max_df).cache()
+    verification join touches only the candidate pair set, not all pairs.
+    Shingles persist MEMORY_AND_DISK, released at the next tracked-cache
+    query build (operators/caching.py)."""
+    sh = persist_tracked(word_shingles(df, id_col, text_col, n, max_df))
     sigs = minhash_signatures(sh, num_hashes)
     cand = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

@@ -340,6 +340,12 @@ def run_training_pipeline(
     final_path = f"{out_dir}/clips_final"
     final.write.mode("overwrite").parquet(final_path)
 
+    # the near-dup stage's shingle frame is persisted (operators/caching);
+    # the final corpus is on disk, so release it before returning
+    from .operators.caching import release_tracked
+
+    release_tracked()
+
     n_kept = int(qc.metrics["n_kept"])
     n_uniq = spark.read.parquet(uniq_path).count()
     n_final = spark.read.parquet(final_path).count()

@@ -75,7 +75,23 @@ ORACLES: dict[str, str] = {}
 
 def q(name: str, sql: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        import functools
+
+        # Release the PREVIOUS query's tracked corpus-scale caches (bm25
+        # postings, dedup shingles, rollup grains) when this query is
+        # built (ADVICE r3): the external driver sweeps 60+ queries in one
+        # session without clearCache() between them, so without this,
+        # pinned storage accumulates across the sweep. Releasing at build
+        # time keeps each query's own caches alive for its action(s) and
+        # keeps builders job-free (the plan audit builds without running).
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            from ..operators.caching import release_tracked
+
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if sql is not None:
             ORACLES[name] = sql
         return fn
@@ -1022,7 +1038,10 @@ def bm25_topk_q(spark, sf):
 def pack_contexts_q(spark, sf):
     """Sequence packing: concatenate-then-chunk the corpus token stream
     into 2048-token bins within hash-uniform shards (operators/corpus.py).
-    Integer-only; the oracle replays the identical order and cumsum."""
+    Integer-only; the oracle replays the identical order and cumsum.
+    n_shards is PINNED to 8 here (mandatory: the packing output depends on
+    the shard count, and the oracle's `h % 8` must match); outside oracle
+    replays the operator defaults to the cluster's defaultParallelism."""
     from ..operators.corpus import pack_contexts
 
     d = _t(spark, sf, "documents")

@@ -514,6 +514,33 @@ def test_pack_contexts_stream_is_gapless_and_partition_invariant(spark):
     assert {tuple(r) for r in got2} == {tuple(r) for r in got}
 
 
+def test_pack_contexts_default_shards_track_parallelism(spark):
+    """VERDICT r3 #3: with n_shards unset, the shard count derives from
+    the session's defaultParallelism — one sequential packing stream per
+    core, scale-safe as-called — and the streams stay gapless."""
+    from kneaddata_spark.operators.corpus import pack_contexts
+
+    par = spark.sparkContext.defaultParallelism
+    rows = [(i, 5 + (i * 37) % 90) for i in range(40 * par)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = pack_contexts(df, "doc_id", "n_tok", capacity=256).collect()
+    shards = {r["shard"] for r in out}
+    # hash-uniform shard key: with 40 docs/shard expected, every one of the
+    # defaultParallelism shards is populated (P(empty) ~ par * e^-40)
+    assert shards == set(range(par))
+    ntok = dict(rows)
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["bin_id"] * 256 + r["bin_offset"], ntok[r["id"]])
+        )
+    for entries in by_shard.values():
+        pos = 0
+        for start, ln in sorted(entries):
+            assert start == pos
+            pos += ln
+
+
 def test_mixture_resample_targets_and_determinism(spark):
     """mixture_resample: under-target groups survive whole; over-target
     groups land near the target (hash-Bernoulli tolerance); output is
