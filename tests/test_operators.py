@@ -706,3 +706,132 @@ def test_incremental_band_screen(spark):
     survivors, flagged = dedup.incremental_band_screen(batch, "doc_id", "text", bt)
     assert [r["doc_id"] for r in flagged.collect()] == [10]
     assert [r["doc_id"] for r in survivors.collect()] == [11]
+
+
+def test_asof_join_property_vs_pandas_merge_asof(spark):
+    """VERDICT r3 #7: randomized property check of asof_join against
+    pandas merge_asof(direction="backward") — keys, timestamps with heavy
+    ties (left==right ts collisions, multiple right rows per (key, ts)),
+    and shuffled seq tiebreakers. pandas keeps the LAST right row among
+    equal on-values, so sorting the right frame by (ts, seq) makes its
+    winner the largest seq — exactly the docstring's tie contract."""
+    import numpy as np
+    import pandas as pd
+
+    from kneaddata_spark.operators.temporal import asof_join
+
+    for seed in (0, 1, 2, 3, 4):
+        rng = np.random.default_rng(seed)
+        n_left, n_right, n_keys, ts_max = 120, 100, 5, 40
+        left_pd = pd.DataFrame(
+            {
+                "left_id": np.arange(n_left),
+                "k": rng.integers(0, n_keys, n_left),
+                "ts": rng.integers(0, ts_max, n_left),
+            }
+        )
+        right_pd = pd.DataFrame(
+            {
+                "k": rng.integers(0, n_keys, n_right),
+                "ts": rng.integers(0, ts_max, n_right),
+                "seq": rng.permutation(n_right),
+                "v": np.round(rng.random(n_right), 6),
+            }
+        )
+        got_rows = asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            key="k",
+            ts="ts",
+            value_cols=["v"],
+            seq="seq",
+        ).collect()
+        got = {r["left_id"]: r["v"] for r in got_rows}
+        assert len(got) == n_left, "asof_join must preserve left cardinality"
+
+        want_pd = pd.merge_asof(
+            left_pd.sort_values("ts", kind="stable"),
+            right_pd.sort_values(["ts", "seq"], kind="stable"),
+            on="ts",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        for _, row in want_pd.iterrows():
+            w = None if pd.isna(row["v"]) else round(float(row["v"]), 6)
+            g = got[int(row["left_id"])]
+            g = None if g is None else round(float(g), 6)
+            assert g == w, (seed, int(row["left_id"]), g, w)
+
+
+def test_incremental_dedup_bucketed_seen_side_no_exchange(spark, tmp_path):
+    """VERDICT r3 #8: prove (not just state) the docstring's scale claim —
+    with the stored hash table written bucketBy(h), the anti-join probe
+    plan has NO Exchange above the seen-side scan: only the new batch
+    shuffles (one Exchange total under sort-merge), and the seen scan
+    reads its buckets in place (`Bucketed: true`). Broadcast is disabled
+    for the check: at corpus scale the seen table is the BIG side and
+    would never broadcast."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kneaddata_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(i, f"stored document number {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    # bucketBy requires saveAsTable (a catalog table); the default
+    # warehouse dir (cwd/spark-warehouse) is used — warehouse.dir is a
+    # STATIC conf that cannot be retargeted on a live session. The table
+    # is dropped in the finally block.
+    table = "seen_hashes_bucketed_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        corpus.select(F.md5("text").alias("h"))
+        .write.bucketBy(8, "h")
+        .sortBy("h")
+        .saveAsTable(table)
+    )
+    seen = spark.table(table)
+    batch = spark.createDataFrame(
+        [(1000 + i, f"stored document number {i}") for i in range(50)]
+        + [(2000 + i, f"fresh document number {i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    # differential control: the SAME seen table written without buckets
+    flat_table = "seen_hashes_flat_t"
+    spark.sql(f"DROP TABLE IF EXISTS {flat_table}")
+    corpus.select(F.md5("text").alias("h")).write.saveAsTable(flat_table)
+
+    def probe_plan(seen_df) -> str:
+        clean, _ = dedup.incremental_dedup_exact(batch, "doc_id", "text", seen_df)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            clean.explain("formatted")
+        return buf.getvalue()
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed_plan = probe_plan(seen)
+        flat_plan = probe_plan(spark.table(flat_table))
+        # the bucketed scan is recognized and read in place
+        assert bucketed_plan.count("Bucketed: true") == 1, bucketed_plan
+        n_b = bucketed_plan.count(") Exchange")
+        n_f = flat_plan.count(") Exchange")
+        # the batch side pays its exchanges either way (dedup window +
+        # join repartition); bucketing must remove EXACTLY the seen-side
+        # shuffle — the docstring's "the seen side never shuffles"
+        assert n_b == n_f - 1, (
+            f"bucketed={n_b} flat={n_f} exchanges:\n{bucketed_plan}\n{flat_plan}"
+        )
+        # and correctness still holds on the bucketed probe
+        clean, _ = dedup.incremental_dedup_exact(batch, "doc_id", "text", seen)
+        assert sorted(r["doc_id"] for r in clean.collect()) == [
+            2000 + i for i in range(50)
+        ]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {flat_table}")
