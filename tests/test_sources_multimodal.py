@@ -232,3 +232,152 @@ def test_bmp_mixed_with_fake_mimes(spark):
     assert len(out["b"]["feat"]) == 8  # fake path intact
     with _pytest.raises(Exception, match="NotImplementedError|no registered image decoder"):
         extract_image_features(df, strict=True).collect()
+
+
+# ------------------------------------------------------- RIFF/AVI kernel --
+
+
+def _avi_chunk(cid: bytes, body: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(body) % 2 else b""
+    return cid + struct.pack("<I", len(body)) + body + pad
+
+
+def _avi_list(ltype: bytes, body: bytes) -> bytes:
+    return _avi_chunk(b"LIST", ltype + body)
+
+
+def _build_avi(frames_px, top_down: bool = False, compression: int = 0) -> bytes:
+    """Hand-built spec-correct AVI: RIFF('AVI ') -> LIST(hdrl){avih,
+    LIST(strl){strh('vids'), strf(BITMAPINFOHEADER)}} -> LIST(movi){00db*}.
+    frames_px: list of (H, W, 3) uint8 RGB arrays."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames_px[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    avih = struct.pack(
+        "<14I", 40000, 0, 0, 0, len(frames_px), 0, 1, stride * h, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"DIB " + b"\x00" * 48  # 56 bytes; parser reads fccType
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, (-h if top_down else h), 1, 24, compression, stride * h, 0, 0, 0, 0,
+    )
+
+    def frame_bytes(px):
+        bgr = px[:, :, ::-1]
+        if not top_down:
+            bgr = bgr[::-1]
+        out = np.zeros((h, stride), np.uint8)
+        out[:, : w * 3] = bgr.reshape(h, w * 3)
+        return out.tobytes()
+
+    hdrl = _avi_list(
+        b"hdrl",
+        _avi_chunk(b"avih", avih)
+        + _avi_list(b"strl", _avi_chunk(b"strh", strh) + _avi_chunk(b"strf", strf)),
+    )
+    movi = _avi_list(
+        b"movi", b"".join(_avi_chunk(b"00db", frame_bytes(f)) for f in frames_px)
+    )
+    return _avi_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _gradient_frames(n=4, h=5, w=3):
+    """w=3 -> 9-byte rows -> 3 pad bytes per row: exercises the stride."""
+    import numpy as np
+
+    frames = []
+    for k in range(n):
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :, 0] = np.arange(h, dtype=np.uint8)[:, None] * 10 + k
+        px[:, :, 1] = np.arange(w, dtype=np.uint8)[None, :] * 20 + k
+        px[:, :, 2] = 7 * k
+        frames.append(px)
+    return frames
+
+
+def test_decode_avi_frames_pixel_exact_roundtrip():
+    """Real kernel: build -> decode must return every frame pixel-exact,
+    honoring row padding and bottom-up row order (+ top-down variant)."""
+    import numpy as np
+
+    from kneaddata_spark.multimodal import decode_avi_frames
+
+    frames = _gradient_frames()
+    for td in (False, True):
+        got = decode_avi_frames(_build_avi(frames, top_down=td))
+        assert got is not None and len(got) == len(frames)
+        for want, have in zip(frames, got):
+            assert np.array_equal(want, have), td
+
+    # rejections -> None (stub fallback), never garbage pixels
+    assert decode_avi_frames(b"RIFF\x00\x00\x00\x00WAVE") is None
+    assert decode_avi_frames(_build_avi(frames, compression=1)) is None  # MSRLE
+    truncated = _build_avi(frames)[:-10]
+    assert decode_avi_frames(truncated) is None
+
+
+def test_sample_frames_real_avi_through_spark_seam(spark):
+    """The registered video/avi kernel through the mapInPandas stage: one
+    row per real frame with exact crc + pixel stats; an undecodable
+    payload in the SAME batch falls back to the byte-chunk stub (NULL
+    stats); every_n_frames subsamples."""
+    import zlib
+
+    import numpy as np
+
+    from kneaddata_spark.multimodal import sample_frames
+
+    frames = _gradient_frames(n=4)
+    avi = _build_avi(frames)
+    df = spark.createDataFrame(
+        [
+            ("v1", avi, "video/avi", 0, 0),
+            ("v2", bytes(range(256)) * 8, "video/avi", 0, 0),  # undecodable
+        ],
+        "media_id string, bytes binary, mime string, width int, height int",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"]): r for r in sample_frames(df).collect()
+    }
+    assert sorted(k for k in got if k[0] == "v1") == [("v1", i) for i in range(4)]
+    for i, fr in enumerate(frames):
+        r = got[("v1", i)]
+        assert r["frame_crc"] == zlib.crc32(fr.tobytes())
+        assert abs(r["frame_mean"] - float(fr.astype(np.float64).mean())) < 1e-9
+        assert abs(r["frame_std"] - float(fr.astype(np.float64).std())) < 1e-9
+    # stub fallback rows: byte-chunk fanout, NULL pixel stats
+    v2 = [k for k in got if k[0] == "v2"]
+    assert len(v2) == 2  # 2048 bytes // 1024
+    assert got[("v2", 0)]["frame_mean"] is None
+
+    sub = sample_frames(df.where("media_id = 'v1'"), every_n_frames=2).collect()
+    assert sorted(r["frame_idx"] for r in sub) == [0, 2]
+
+
+def test_sample_frames_strict_raises_only_without_kernel(spark):
+    """strict=True is the marked missing-kernel mode: it raises for an
+    unregistered mime but NOT for a payload the real AVI kernel decodes."""
+    import pytest as _pytest
+
+    from kneaddata_spark.multimodal import frame_sample_stage
+
+    avi_df = spark.createDataFrame(
+        [("v1", _build_avi(_gradient_frames(n=2)), "video/avi", 0, 0)],
+        "media_id string, bytes binary, mime string, width int, height int",
+    )
+    from kneaddata_spark.multimodal import FRAME_SAMPLE_SCHEMA
+
+    ok = avi_df.mapInPandas(
+        frame_sample_stage(strict=True), schema=FRAME_SAMPLE_SCHEMA
+    ).collect()
+    assert len(ok) == 2
+    mp4_df = avi_df.withColumn("mime", avi_df.mime.substr(0, 0))  # '' mime
+    with _pytest.raises(Exception, match="NotImplementedError|video decoder"):
+        mp4_df.mapInPandas(
+            frame_sample_stage(strict=True), schema=FRAME_SAMPLE_SCHEMA
+        ).collect()
