@@ -145,6 +145,26 @@ def main() -> None:
         print(f"# {name}: {n} rows, reps {walls} -> {timings[name]}s", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # scale-path counterpart of cosine_dup_pairs: the REGISTERED query runs
+    # the fenced exact O(n^2) path (its DuckDB oracle is exact — ADVICE r3),
+    # so its wall above prices the small-corpus contract, not the engine
+    # default. The default — banded sign-LSH candidates + exact verify — is
+    # what a 100TB run executes; record its wall separately (kept OUT of the
+    # headline total: it is an operator timing, not a driver query).
+    from kneaddata_spark.operators.similarity import cosine_pairs_threshold
+    from kneaddata_spark.plans.entry_queries import _emb_with_dups
+
+    lsh_walls = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = cosine_pairs_threshold(_emb_with_dups(spark, SF_DIR), threshold=0.99).count()
+        lsh_walls.append(round(time.time() - t0, 3))
+    print(
+        f"# cosine_dup_pairs scale path (banded LSH): {n} rows, reps {lsh_walls}",
+        file=sys.stderr,
+    )
+
     # clip count matches tools/bench_scaling.py at sf0.1 (40k) so driver
     # BENCH numbers are comparable round-over-round and to BENCH_SCALING
     n_clips = max(2000, int(400_000 * sf))
@@ -171,6 +191,10 @@ def main() -> None:
             sum(timings[n] for n in R3_SET) + timings["qc_pipeline_clips"], 3
         ),
         "n_headline_queries": len(HEADLINE),
+        # operator-level walls OUTSIDE the headline total (see comments at
+        # their measurement sites)
+        "scale_path_walls_sec": {"cosine_pairs_threshold_lsh": min(lsh_walls)},
+        "scale_path_rep_walls_sec": {"cosine_pairs_threshold_lsh": lsh_walls},
         "sf": sf,
         "clips_per_sec": clips_per_sec,
         "n_clips": n_clips,
