@@ -5,12 +5,15 @@
 the training-data-pipeline extensions (dedup / similarity / text analysis /
 retrieval / corpus assembly), implemented in
 kneaddata_spark.plans.entry_queries; DuckDB oracles attached for every
-SQL-expressible operator — 59 of 61, including the LSH/ANN family
-(exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1)
-and the r3 additions (BM25 top-k, sequence packing, mixture resampling,
-as-of join, range join) —
+SQL-expressible operator — 61 of 63, including the LSH/ANN family
+(exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1),
+the r3 additions (BM25 top-k, sequence packing, mixture resampling,
+as-of join, range join) and the r4 additions (Gopher-style repetition
+screen, winnowing fingerprints) —
 with only the streaming query and the binary-audio domain pipeline
-rows-only by design.
+rows-only by design. Query registration order rotates from recorded
+driver evidence (never-checked queries first) so the driver's budgeted
+sweep reaches every query across rounds.
 """
 
 from __future__ import annotations

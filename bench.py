@@ -64,6 +64,8 @@ HEADLINE = R3_SET + [
     "multimodal_features",
     "salted_join_skew",
     "salted_group_count",
+    "repetition_screen",
+    "winnowing_fingerprints",
 ]
 
 

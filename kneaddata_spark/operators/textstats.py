@@ -170,3 +170,145 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     weighted = F.transform(toks, lambda x, i: (i.cast("long") + 1) * tok_h(x))
     fp = F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, h: acc + h)
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_screen(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition screen (Rae et al. 2021, table
+    A1) — the corpus-quality rule family the reference's TRF/low-complexity
+    screens (run.py:452-480) play at read level, promoted to document
+    level: drop documents dominated by a repeated n-gram.
+
+    Per document: token count, distinct-token fraction (type/token ratio),
+    and the fraction of tokens covered by the MOST FREQUENT word 2-gram /
+    3-gram (overlapping occurrences count, so the fraction can exceed 1 on
+    degenerate text — 'a a a a' has top2_frac 1.5; the keep thresholds are
+    Gopher's: top-2-gram > 20% or top-3-gram > 18% drops).
+
+    Scale shape: one explode emits BOTH gram sizes tagged (n, gram); two
+    map-side-combined key-partitioned aggregations (per-(doc, n, gram)
+    counts, then per-doc maxima) — never a corpus shuffle of raw text. The
+    keep verdict is INTEGER arithmetic (10*m2 <= n, 50*m3 <= 3*n), so the
+    cross-engine gate never rides a float rounding boundary; the reported
+    fractions divide exact integers identically on both engines."""
+    norm = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    toks = df.select(F.col(id_col).alias("id"), norm.alias("toks"))
+    base = toks.select(
+        "id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.expr(
+                "concat("
+                "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1), "
+                "i -> struct(2 as n, array_join(slice(toks, i, 2), ' ') as g)) "
+                "ELSE array() END, "
+                "CASE WHEN size(toks) >= 3 THEN transform(sequence(1, size(toks) - 2), "
+                "i -> struct(3 as n, array_join(slice(toks, i, 3), ' ') as g)) "
+                "ELSE array() END)"
+            )
+        ).alias("ng"),
+    ).select("id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    tops = (
+        grams.groupBy("id", "n", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("c"))).cast("long").alias("m2"),
+            F.max(F.when(F.col("n") == 3, F.col("c"))).cast("long").alias("m3"),
+        )
+    )
+    j = base.join(tops, "id", "left").select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        F.coalesce("m2", F.lit(0)).alias("m2"),
+        F.coalesce("m3", F.lit(0)).alias("m3"),
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6).alias(
+            "distinct_frac"
+        ),
+        F.round(F.lit(2.0) * F.col("m2") / F.col("n_tokens"), 6).alias("top2_frac"),
+        F.round(F.lit(3.0) * F.col("m3") / F.col("n_tokens"), 6).alias("top3_frac"),
+        (
+            (10 * F.col("m2") <= F.col("n_tokens"))
+            & (50 * F.col("m3") <= 3 * F.col("n_tokens"))
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+# winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
+# size, window width, and the rolling-hash modulus/base shared with the
+# generated DuckDB oracle (plans/entry_queries). MAXPOS bounds the
+# position payload packed under the hash in the tie-breaking encoding —
+# documents beyond 2^20 tokens must be chunked first (doc_chunks).
+WINNOW_P = (1 << 31) - 1
+WINNOW_B = 1000003
+WINNOW_MAXPOS = 1 << 20
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints — the substring-level dedup/
+    plagiarism primitive (MOSS; Schleimer/Wilkerson/Aiken SIGMOD'03):
+    hash every k-token gram, then keep one fingerprint per sliding window
+    of `window` consecutive gram hashes — the window MINIMUM, ties broken
+    toward the RIGHTMOST position. Guarantees a shared fingerprint for any
+    shared run of >= k + window - 1 tokens, at ~2/(window+1) selection
+    density — unlike fixed-stride sampling, robust to insertions shifting
+    gram boundaries. Returns (doc_id, fp_pos, fp); equal fp values across
+    documents locate shared substrings (join on fp for the screen).
+
+    Plan shape: posexplode -> per-token portable hash -> k-gram polynomial
+    hash via (k-1) lead()s over ONE keyed window pass -> window-min over
+    [current, +window-1] in a second frame on the SAME partitioning (one
+    shuffle on doc id total) -> distinct. The min/tie rule is packed into
+    one BIGINT (hash * 2^20 + (2^20-1-pos)) so plain min() implements
+    argmin-with-rightmost-ties identically in Spark and DuckDB. All
+    integer arithmetic; the token hash is the portable mix the SimHash
+    oracle shares (dedup.portable_token_hash64)."""
+    from pyspark.sql import Window as W
+
+    from .dedup import portable_token_hash64
+
+    norm = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(norm).alias("pos", "tok")
+    )
+    hashed = toks.select(
+        "id", "pos", (portable_token_hash64(F.col("tok")) % WINNOW_P).alias("th")
+    )
+    w_ord = W.partitionBy("id").orderBy("pos")
+    kh = F.col("th")
+    for j in range(1, k):
+        kh = (kh * WINNOW_B + F.lead("th", j).over(w_ord)) % WINNOW_P
+    kg = hashed.select("id", "pos", kh.alias("kh")).where(F.col("kh").isNotNull())
+    enc = F.col("kh") * WINNOW_MAXPOS + (F.lit(WINNOW_MAXPOS - 1) - F.col("pos"))
+    w_min = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    sel = (
+        kg.select("id", F.min(enc).over(w_min).alias("enc"))
+        .distinct()
+    )
+    return sel.select(
+        F.col("id").alias(id_col),
+        (F.lit(WINNOW_MAXPOS - 1) - F.col("enc") % WINNOW_MAXPOS)
+        .cast("long")
+        .alias("fp_pos"),
+        F.expr(f"enc div {WINNOW_MAXPOS}").alias("fp"),
+    )

@@ -862,6 +862,118 @@ def decontaminate_q(spark, sf):
 
 
 @q(
+    "repetition_screen",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             len(list_distinct(toks))::BIGINT AS n_distinct
+      FROM t
+    ),
+    g AS (
+      SELECT doc_id, 2 AS n, toks[i] || ' ' || toks[i+1] AS g
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i)
+      UNION ALL
+      SELECT doc_id, 3 AS n, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i)
+    ),
+    c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+    m AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN n = 2 THEN c END), 0)::BIGINT AS m2,
+             coalesce(max(CASE WHEN n = 3 THEN c END), 0)::BIGINT AS m3
+      FROM c GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           round(b.n_distinct::DOUBLE / b.n_tokens, 6) AS distinct_frac,
+           round(2.0 * coalesce(m.m2, 0) / b.n_tokens, 6) AS top2_frac,
+           round(3.0 * coalesce(m.m3, 0) / b.n_tokens, 6) AS top3_frac,
+           CASE WHEN 10 * coalesce(m.m2, 0) <= b.n_tokens
+                 AND 50 * coalesce(m.m3, 0) <= 3 * b.n_tokens
+                THEN 1 ELSE 0 END AS keep
+    FROM base b LEFT JOIN m USING (doc_id)
+    """,
+)
+def repetition_screen_q(spark, sf):
+    """Gopher-style repetition screen (textstats.repetition_screen):
+    per-doc type/token ratio + top-2/3-gram coverage fractions and an
+    integer-arithmetic keep verdict (Gopher's >20% / >18% drop rules)."""
+    return textstats.repetition_screen(_t(spark, sf, "documents"), "doc_id", "text")
+
+
+def _winnow_sql() -> str:
+    """Generated DuckDB replica of the winnowing pipeline (k=4, window=4)
+    under the portable token hash (dedup.PORTABLE_HASH_COEFFS — one source
+    of truth with the SimHash oracle): per-token hash -> k-gram polynomial
+    rolling hash via lead() -> windowed min of the (hash, rightmost-pos)
+    BIGINT encoding -> distinct."""
+    from ..operators.textstats import WINNOW_B, WINNOW_MAXPOS, WINNOW_P
+
+    lo = dedup.PORTABLE_HASH_COEFFS["lo"]
+    hi = dedup.PORTABLE_HASH_COEFFS["hi"]
+    feats = [
+        "length(tok)::BIGINT",
+        "ascii(tok)::BIGINT",
+        "ascii(substring(tok, 2, 1))::BIGINT",
+        "ascii(right(tok, 1))::BIGINT",
+        "ascii(substring(tok, -2, 1))::BIGINT",
+    ]
+
+    def mix(coeffs, mod):
+        return "(" + " + ".join(f"{f} * {c}" for f, c in zip(feats, coeffs)) + f") % {mod}"
+
+    hexpr = f"(({mix(hi, 1 << 31)}) * 4294967296 + ({mix(lo, 1 << 32)})) % {WINNOW_P}"
+    kh = "th"
+    for j in range(1, 4):
+        kh = f"(({kh}) * {WINNOW_B} + lead(th, {j}) OVER w) % {WINNOW_P}"
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS tok
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+    ),
+    h AS (SELECT doc_id, pos, {hexpr} AS th FROM tok),
+    kh AS (
+      SELECT doc_id, pos, {kh} AS kh FROM h
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    enc AS (
+      SELECT doc_id, pos, kh * {WINNOW_MAXPOS} + ({WINNOW_MAXPOS - 1} - pos) AS enc
+      FROM kh WHERE kh IS NOT NULL
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id,
+             min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS enc
+      FROM enc
+    )
+    SELECT doc_id,
+           ({WINNOW_MAXPOS - 1} - enc % {WINNOW_MAXPOS})::BIGINT AS fp_pos,
+           (enc // {WINNOW_MAXPOS})::BIGINT AS fp
+    FROM sel
+    """
+
+
+@q("winnowing_fingerprints", _winnow_sql())
+def winnowing_fingerprints_q(spark, sf):
+    """Winnowing fingerprints (textstats.winnowing_fingerprints): the
+    substring-level dedup primitive — one (pos, hash) fingerprint per
+    window of 4 consecutive 4-gram rolling hashes, min-with-rightmost-tie
+    selection, guaranteeing shared runs of >= 7 tokens share a print."""
+    return textstats.winnowing_fingerprints(
+        _t(spark, sf, "documents"), "doc_id", "text"
+    )
+
+
+@q(
     "stratified_cap",
     f"""
     SELECT doc_id, lang FROM documents

@@ -835,3 +835,84 @@ def test_incremental_dedup_bucketed_seen_side_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         spark.sql(f"DROP TABLE IF EXISTS {flat_table}")
+
+
+def test_repetition_screen_hand_enumerable(spark):
+    """Gopher repetition rules on hand-built docs: a bigram-looped doc
+    drops, diverse text keeps; overlapping occurrences can push the
+    fraction past 1 ('a a a a' -> top2 1.5)."""
+    from kneaddata_spark.operators.textstats import repetition_screen
+
+    rows = [
+        (1, "a a a a"),                                   # top2: 'a a' x3 -> 6/4
+        # 20 distinct tokens: every bigram once -> top2 = 2/20 = 0.1
+        (2, "the quick brown fox jumps over lazy dogs while rain "
+            "falls on green hills near quiet rivers under bright skies"),
+        (3, "go go go go go go stop"),                    # 'go go' x5 -> 10/7
+        (4, "x"),                                         # no 2-grams at all
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_screen(df, "doc_id", "text").collect()}
+    assert got[1]["top2_frac"] == 1.5 and got[1]["keep"] == 0
+    assert got[2]["top2_frac"] == 0.1 and got[2]["keep"] == 1  # every bigram once
+    assert got[3]["keep"] == 0 and got[3]["n_tokens"] == 7
+    assert got[4]["top2_frac"] == 0.0 and got[4]["keep"] == 1
+    assert abs(got[3]["distinct_frac"] - round(2 / 7, 6)) < 1e-12
+
+
+def _winnow_reference(text: str, k: int = 4, window: int = 4):
+    """Independent pure-python replica of the winnowing rule (min per
+    window of k-gram polynomial hashes, ties to the rightmost position)."""
+    import re
+
+    from kneaddata_spark.operators.dedup import PORTABLE_HASH_COEFFS
+    from kneaddata_spark.operators.textstats import (
+        WINNOW_B,
+        WINNOW_MAXPOS,
+        WINNOW_P,
+    )
+
+    def a(s):
+        return ord(s[0]) if s else 0
+
+    def tokh(tok):
+        feats = [len(tok), a(tok), a(tok[1:2]), a(tok[-1:]), a(tok[-2:-1])]
+        lo = sum(f * c for f, c in zip(feats, PORTABLE_HASH_COEFFS["lo"])) % (1 << 32)
+        hi = sum(f * c for f, c in zip(feats, PORTABLE_HASH_COEFFS["hi"])) % (1 << 31)
+        return (hi * (1 << 32) + lo) % WINNOW_P
+
+    toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+    ths = [tokh(t) for t in toks]
+    encs = []
+    for i in range(len(ths) - k + 1):
+        cur = ths[i]
+        for j in range(1, k):
+            cur = (cur * WINNOW_B + ths[i + j]) % WINNOW_P
+        encs.append(cur * WINNOW_MAXPOS + (WINNOW_MAXPOS - 1 - i))
+    sel = {min(encs[s : s + window]) for s in range(len(encs))}
+    return {(WINNOW_MAXPOS - 1 - e % WINNOW_MAXPOS, e // WINNOW_MAXPOS) for e in sel}
+
+
+def test_winnowing_fingerprints_match_reference_and_guarantee(spark):
+    """Engine output == the independent python replica on docs with
+    repeated tokens (hash ties exercise the rightmost-tie rule), and the
+    winnowing guarantee holds: two docs sharing a >= k+window-1 token run
+    share at least one fingerprint VALUE."""
+    from kneaddata_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "uranium dioxide fuel pellets stacked in zirconium cladding"
+    rows = [
+        (1, "alpha beta gamma " + shared + " delta epsilon"),
+        (2, shared + " unrelated suffix tokens here now"),
+        (3, "go go go go go go go stop go go"),  # heavy ties
+        (4, "one two three"),                    # < k tokens -> no prints
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got: dict = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp_pos"], r["fp"]))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == _winnow_reference(text), doc_id
+    shared_fps = {f for _, f in got[1]} & {f for _, f in got[2]}
+    assert shared_fps, "shared 8-token run must share a fingerprint"
+    assert 4 not in got
