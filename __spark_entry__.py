@@ -5,11 +5,11 @@
 the training-data-pipeline extensions (dedup / similarity / text analysis /
 retrieval / corpus assembly), implemented in
 kneaddata_spark.plans.entry_queries; DuckDB oracles attached for every
-SQL-expressible operator — 61 of 63, including the LSH/ANN family
+SQL-expressible operator — 62 of 64, including the LSH/ANN family
 (exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1),
 the r3 additions (BM25 top-k, sequence packing, mixture resampling,
 as-of join, range join) and the r4 additions (Gopher-style repetition
-screen, winnowing fingerprints) —
+screen, winnowing fingerprints, substring-level decontamination) —
 with only the streaming query and the binary-audio domain pipeline
 rows-only by design. Query registration order rotates from recorded
 driver evidence (never-checked queries first) so the driver's budgeted

@@ -66,6 +66,7 @@ HEADLINE = R3_SET + [
     "salted_group_count",
     "repetition_screen",
     "winnowing_fingerprints",
+    "decontaminate_substrings",
 ]
 
 

@@ -574,3 +574,46 @@ def decontaminate_against(
     # dirty-id cardinality is corpus-dependent — keyed anti-join, let AQE
     # choose broadcast when it is actually small
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def decontaminate_substrings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Substring-level decontamination via winnowing fingerprints — the
+    screen that catches what exact n-gram matching misses: winnowed
+    fingerprints survive token insertions/deletions SHIFTING gram
+    boundaries (any shared run of >= k + window - 1 tokens is guaranteed
+    to share a fingerprint VALUE), so a benchmark passage lightly edited
+    into a training document still collides. Drops corpus documents
+    sharing >= min_shared DISTINCT fingerprint values with the benchmark
+    set (min_shared=2 suppresses single-hash coincidences of the 31-bit
+    portable hash).
+
+    Scale shape mirrors decontaminate_against: benchmark fingerprints are
+    the SMALL side (selection density ~2/(window+1) of the eval-suite
+    grams) and broadcast; the corpus fingerprint stream is probed by a
+    broadcast semi-join, then only the MATCHED (doc, fp) rows — tiny by
+    construction — shuffle into the per-doc threshold count. The corpus
+    text itself never reshuffles."""
+    from .textstats import winnowing_fingerprints
+
+    bfp = winnowing_fingerprints(benchmark, id_col, text_col, k, window).select(
+        "fp"
+    ).distinct()
+    cfp = winnowing_fingerprints(corpus, id_col, text_col, k, window).select(
+        F.col(id_col), "fp"
+    ).distinct()
+    dirty = (
+        cfp.join(F.broadcast(bfp), "fp", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("__n_shared"))
+        .where(F.col("__n_shared") >= min_shared)
+        .select(id_col)
+    )
+    return corpus.join(dirty, id_col, "left_anti")

@@ -905,12 +905,14 @@ def repetition_screen_q(spark, sf):
     return textstats.repetition_screen(_t(spark, sf, "documents"), "doc_id", "text")
 
 
-def _winnow_sql() -> str:
+def _winnow_sql(src: str = "documents") -> str:
     """Generated DuckDB replica of the winnowing pipeline (k=4, window=4)
     under the portable token hash (dedup.PORTABLE_HASH_COEFFS — one source
     of truth with the SimHash oracle): per-token hash -> k-gram polynomial
     rolling hash via lead() -> windowed min of the (hash, rightmost-pos)
-    BIGINT encoding -> distinct."""
+    BIGINT encoding -> distinct. `src` is any (doc_id, text) relation
+    expression, so the decontamination oracle can winnow bench/corpus
+    splits with the identical pipeline."""
     from ..operators.textstats import WINNOW_B, WINNOW_MAXPOS, WINNOW_P
 
     lo = dedup.PORTABLE_HASH_COEFFS["lo"]
@@ -934,7 +936,7 @@ def _winnow_sql() -> str:
     WITH t AS (
       SELECT doc_id,
              string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
-      FROM documents
+      FROM {src}
     ),
     tok AS (
       SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS tok
@@ -971,6 +973,32 @@ def winnowing_fingerprints_q(spark, sf):
     return textstats.winnowing_fingerprints(
         _t(spark, sf, "documents"), "doc_id", "text"
     )
+
+
+@q(
+    "decontaminate_substrings",
+    f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    bfp AS (SELECT DISTINCT fp FROM ({_winnow_sql("bench")})),
+    cfp AS (SELECT DISTINCT doc_id, fp FROM ({_winnow_sql("corpus")})),
+    dirty AS (
+      SELECT doc_id FROM cfp WHERE fp IN (SELECT fp FROM bfp)
+      GROUP BY doc_id HAVING count(*) >= 2
+    )
+    SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+)
+def decontaminate_substrings_q(spark, sf):
+    """Substring-level decontamination (dedup.decontaminate_substrings):
+    corpus docs sharing >= 2 distinct winnowing fingerprint values with
+    the benchmark subset (doc_id % 20 == 0) are dropped — robust to token
+    edits shifting n-gram boundaries, unlike the exact-shingle screen.
+    Benchmark fingerprints broadcast; corpus text never reshuffles."""
+    d = _t(spark, sf, "documents")
+    return dedup.decontaminate_substrings(
+        d.where("doc_id % 20 <> 0"), d.where("doc_id % 20 = 0"), "doc_id", "text"
+    ).select("doc_id")
 
 
 @q(

@@ -916,3 +916,34 @@ def test_winnowing_fingerprints_match_reference_and_guarantee(spark):
     shared_fps = {f for _, f in got[1]} & {f for _, f in got[2]}
     assert shared_fps, "shared 8-token run must share a fingerprint"
     assert 4 not in got
+
+
+def test_decontaminate_substrings_planted_and_edit_robust(spark):
+    """Winnowing-based decontamination: a corpus doc embedding a benchmark
+    passage drops; one embedding the passage WITH A TOKEN INSERTED
+    mid-run still drops (each unbroken half >= k+window-1 tokens still
+    guarantees a shared fingerprint — the edit-robustness exact shingles
+    lack); short (< k) overlap and clean docs survive."""
+    from kneaddata_spark.operators.dedup import decontaminate_substrings
+
+    passage = (
+        "the isotope separation cascade requires precisely machined "
+        "rotor bearings spinning beyond fifty thousand revolutions "
+        "under vacuum containment"
+    )  # 18 tokens
+    bench = spark.createDataFrame([(100, passage)], ["doc_id", "text"])
+    p = passage.split(" ")
+    edited = " ".join(p[:9] + ["NOVEL"] + p[9:])  # split into 9 + 9 halves
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " closing words"),
+            (2, "completely unrelated sentences about garden vegetables "
+                "growing slowly during a mild and rainy spring season"),
+            (3, "prefix " + edited + " suffix"),
+            (4, "the isotope separation onto different topic entirely now "
+                "with more unrelated filler words following behind"),  # 3-token overlap
+        ],
+        ["doc_id", "text"],
+    )
+    clean = decontaminate_substrings(corpus, bench, "doc_id", "text")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
