@@ -63,16 +63,28 @@ def docs_spark_df(spark, n: int, n_partitions: int = 32):
 
 
 def run_suite(spark, n: int) -> dict:
-    from kneaddata_spark.operators import dedup
+    from kneaddata_spark.operators import dedup, textstats
+    from kneaddata_spark.operators.caching import release_tracked
+
+    from pyspark.sql import functions as F
 
     docs = docs_spark_df(spark, n)
     docs.write.mode("overwrite").parquet(f"/tmp/kneaddata_bench/dedup_docs_{n}")
     docs = spark.read.parquet(f"/tmp/kneaddata_bench/dedup_docs_{n}")
+    # benchmark split for the decontamination screens (5% of docs)
+    bench = docs.where(F.expr("cast(substring(doc_id, 2) as int) % 20 = 0"))
+    corpus = docs.where(F.expr("cast(substring(doc_id, 2) as int) % 20 <> 0"))
     walls = {}
 
     def timed(name, fn, reps=2):
         best, count = float("inf"), None
         for _ in range(reps):
+            # cold reps (r4 protocol, matches bench.py): raw operator calls
+            # persist_tracked their intermediates but only driver-query
+            # BUILDS release them — do it here so reps neither read a
+            # previous rep's cache nor accumulate pinned storage
+            release_tracked()
+            spark.catalog.clearCache()
             t0 = time.time()
             count = fn().count()
             best = min(best, time.time() - t0)
@@ -92,6 +104,17 @@ def run_suite(spark, n: int) -> dict:
             dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
         ),
     )
+    # r4 additions: the repetition screen (explode + 2 map-side aggs) and
+    # the winnowing family (keyed window passes; substring decontamination
+    # adds the broadcast fp semi-join) — all should track the linear band
+    timed("repetition_screen", lambda: textstats.repetition_screen(docs, "doc_id", "text"))
+    timed("winnowing_fingerprints", lambda: textstats.winnowing_fingerprints(docs, "doc_id", "text"))
+    timed(
+        "decontaminate_substrings",
+        lambda: dedup.decontaminate_substrings(corpus, bench, "doc_id", "text"),
+    )
+    release_tracked()
+    spark.catalog.clearCache()
     return walls
 
 
