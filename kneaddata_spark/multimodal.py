@@ -97,7 +97,12 @@ def decode_avi_frames(raw: bytes) -> "list[np.ndarray] | None":
     fmt: dict = {}
     frames_raw: list[bytes] = []
 
-    def walk(pos: int, end: int, ctx: bytes) -> bool:
+    def walk(pos: int, end: int, ctx: bytes, depth: int = 0) -> bool:
+        # depth cap: real AVIs nest 2-3 LIST levels; a crafted payload of
+        # thousands of nested LIST headers must return None (undecodable),
+        # not blow the Python recursion limit inside an executor task
+        if depth > 16:
+            return False
         vids = False  # strh/strf pair up as siblings inside one strl LIST
         while pos + 8 <= end:
             cid = raw[pos : pos + 4]
@@ -106,7 +111,7 @@ def decode_avi_frames(raw: bytes) -> "list[np.ndarray] | None":
             if be > end:
                 return False  # truncated chunk
             if cid == b"LIST" and size >= 4:
-                if not walk(bs + 4, be, raw[bs : bs + 4]):
+                if not walk(bs + 4, be, raw[bs : bs + 4], depth + 1):
                     return False
             elif ctx == b"strl" and cid == b"strh" and size >= 4:
                 vids = raw[bs : bs + 4] == b"vids"
@@ -216,7 +221,10 @@ def image_feature_stage(strict: bool = False, feat_dim: int = 8):
             feats = []
             for i, (mime, b, c) in enumerate(zip(pdf["mime"], pdf["bytes"], crcs)):
                 decode = IMAGE_DECODERS.get(mime)
-                px = decode(bytes(b)) if (decode is not None and b is not None) else None
+                try:
+                    px = decode(bytes(b)) if (decode is not None and b is not None) else None
+                except Exception:
+                    px = None  # decoder crash == undecodable, never task death
                 if px is not None:
                     heights[i], widths[i] = px.shape[0], px.shape[1]
                     feats.append(_pixel_features(px, feat_dim))
@@ -263,6 +271,13 @@ def frame_sample_stage(
     pixel stats) so the plumbing stays testable end-to-end — or raise
     under strict=True, the clearly-marked missing-kernel mode (compressed
     codecs need ffmpeg, absent in this container)."""
+    if every_n_frames < 1 or every_n_bytes < 1:
+        # fail at the call site, not as an opaque range() ValueError
+        # inside an executor after 4 task retries
+        raise ValueError(
+            f"every_n_frames/every_n_bytes must be >= 1 "
+            f"(got {every_n_frames}/{every_n_bytes})"
+        )
 
     def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -282,7 +297,13 @@ def frame_sample_stage(
             for mid, mime, b in zip(pdf["media_id"], mimes, pdf["bytes"]):
                 raw = bytes(b) if b is not None else b""
                 decode = VIDEO_DECODERS.get(mime)
-                frames = decode(raw) if decode is not None else None
+                try:
+                    frames = decode(raw) if decode is not None else None
+                except Exception:
+                    # a registered (possibly third-party) decoder crashing
+                    # on one payload must not fail the whole Spark task —
+                    # the contract is reject -> stub fallback / strict error
+                    frames = None
                 if frames is not None:
                     for i in range(0, len(frames), every_n_frames):
                         fr = frames[i].astype(np.float64)

@@ -53,11 +53,18 @@ def pack_contexts(
         n_shards = docs.sparkSession.sparkContext.defaultParallelism
     h = det_hash(F.col(id_col))
     ntok = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    # shard from the HIGH bits of the multiplicative hash (h >> 16, then
+    # mod): multiplicative hashing mixes into the high bits, while
+    # h % 2^k passes the key's low k bits straight through (KNUTH is odd,
+    # so id*KNUTH mod 2^k is a bijection of id's low bits) — a corpus of
+    # strided ids would land on ONE shard under the low-bit form, exactly
+    # the skew this operator exists to avoid. The SQL oracle mirrors
+    # (h // 65536) % n_shards.
     d = docs.select(
         F.col(id_col).alias("id"),
         ntok.cast("long").alias("__n"),
         h.alias("__h"),
-        (h % F.lit(n_shards)).alias("shard"),
+        (F.shiftright(h.cast("long"), 16) % F.lit(n_shards)).alias("shard"),
     )
     w = (
         Window.partitionBy("shard")

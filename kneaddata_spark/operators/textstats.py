@@ -249,8 +249,9 @@ def repetition_screen(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # winnowing parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03): k-gram
 # size, window width, and the rolling-hash modulus/base shared with the
 # generated DuckDB oracle (plans/entry_queries). MAXPOS bounds the
-# position payload packed under the hash in the tie-breaking encoding —
-# documents beyond 2^20 tokens must be chunked first (doc_chunks).
+# position payload packed under the hash in the tie-breaking encoding;
+# the operator ENFORCES it by truncating fingerprinting at the first
+# 2^20 tokens per document (chunk giant docs first — doc_chunks).
 WINNOW_P = (1 << 31) - 1
 WINNOW_B = 1000003
 WINNOW_MAXPOS = 1 << 20
@@ -290,6 +291,14 @@ def winnowing_fingerprints(
     )
     toks = df.select(
         F.col(id_col).alias("id"), F.posexplode(norm).alias("pos", "tok")
+    ).where(
+        # enforce the MAXPOS precondition instead of trusting it: beyond
+        # 2^20 tokens the packed position payload would underflow and
+        # BORROW into the hash part (corrupting fp and the min ordering,
+        # identically in the SQL oracle — parity could never catch it).
+        # Fingerprinting truncates at the first 2^20 tokens per document,
+        # mirrored in the oracle; chunk giant docs first (doc_chunks).
+        F.col("pos") < WINNOW_MAXPOS
     )
     hashed = toks.select(
         "id", "pos", (portable_token_hash64(F.col("tok")) % WINNOW_P).alias("th")

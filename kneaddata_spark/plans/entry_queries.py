@@ -941,6 +941,7 @@ def _winnow_sql(src: str = "documents") -> str:
     tok AS (
       SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS tok
       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)
+      WHERE i <= {WINNOW_MAXPOS}
     ),
     h AS (SELECT doc_id, pos, {hexpr} AS th FROM tok),
     kh AS (
@@ -1163,7 +1164,7 @@ def bm25_topk_q(spark, sf):
              (doc_id * {KNUTH}) % {M32} AS h
       FROM documents
     ),
-    s AS (SELECT doc_id, n_tok, h, (h % 8)::INT AS shard FROM d),
+    s AS (SELECT doc_id, n_tok, h, ((h // 65536) % 8)::INT AS shard FROM d),
     c AS (
       SELECT doc_id, shard,
              (sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
@@ -1885,10 +1886,18 @@ def _rotation_order(names: list[str]) -> list[str]:
     ever: set[str] = set()
     latest: set[str] = set()
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        # the records are DRIVER-written — their shape is not under this
+        # repo's control, and a parse failure at module import would brick
+        # every entry point; tolerate anything that is not a name-keyed
+        # dict (except Exception, not just OSError/ValueError: a JSON
+        # array would raise TypeError from set(), etc.)
         try:
             with open(p) as f:
-                keys = set(json.load(f))
-        except (OSError, ValueError):
+                data = json.load(f)
+            if not isinstance(data, dict):
+                continue
+            keys = set(data)
+        except Exception:
             continue
         ever |= keys
         latest = keys

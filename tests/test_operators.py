@@ -947,3 +947,83 @@ def test_decontaminate_substrings_planted_and_edit_robust(spark):
     )
     clean = decontaminate_substrings(corpus, bench, "doc_id", "text")
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+
+
+def test_review_hardening_r4(spark, tmp_path):
+    """Regressions for the r4 self-review findings: crafted nested-LIST
+    AVI returns None (no RecursionError) and rides the stub fallback;
+    winnowing truncates at WINNOW_MAXPOS tokens (no packed-int borrow);
+    pack_contexts shards from the hash HIGH bits (strided ids spread);
+    frame sampling validates its strides; rotation-order tolerates
+    non-dict CORRECTNESS records."""
+    import os
+    import struct
+
+    import numpy as np
+
+    # 1. recursion bomb: thousands of nested LIST headers
+    from kneaddata_spark.multimodal import decode_avi_frames, sample_frames
+
+    bomb = b"LIST" + struct.pack("<I", 0xFFFFFF) + b"hdrl"
+    payload = b"RIFF" + struct.pack("<I", 0xFFFFFF) + b"AVI " + bomb * 5000
+    assert decode_avi_frames(payload) is None
+    df = spark.createDataFrame(
+        [("v1", payload, "video/avi", 0, 0)],
+        "media_id string, bytes binary, mime string, width int, height int",
+    )
+    rows = sample_frames(df, every_n_bytes=10_000).collect()  # stub fallback
+    assert len(rows) >= 1 and rows[0]["frame_mean"] is None
+
+    # 2. stride validation fails at the call site
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="every_n_frames"):
+        sample_frames(df, every_n_frames=0)
+
+    # 3. winnowing MAXPOS truncation (constant patched small): positions
+    # beyond the cap produce NO fingerprints, and the kept prints equal
+    # the reference computed on the truncated prefix
+    from kneaddata_spark.operators import textstats
+
+    old = textstats.WINNOW_MAXPOS
+    textstats.WINNOW_MAXPOS = 64
+    try:
+        toks = [f"tok{i}xy" for i in range(100)]
+        d = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+        got = {
+            (r["fp_pos"], r["fp"])
+            for r in textstats.winnowing_fingerprints(d, "doc_id", "text").collect()
+        }
+        assert got and max(p for p, _ in got) < 64
+        want = _winnow_reference(" ".join(toks[:64]))
+        assert got == want
+    finally:
+        textstats.WINNOW_MAXPOS = old
+
+    # 4. strided ids must not collapse into one packing shard (the old
+    # h % 2^k sharding passed id low bits through: stride-64 ids -> all
+    # shard 0)
+    from kneaddata_spark.operators.corpus import pack_contexts
+
+    ids = spark.createDataFrame(
+        [(64 * i, 10) for i in range(400)], ["doc_id", "n_tok"]
+    )
+    shards = {
+        r["shard"]
+        for r in pack_contexts(ids, "doc_id", "n_tok", capacity=64, n_shards=8).collect()
+    }
+    assert len(shards) >= 6, shards
+
+    # 5. a non-dict CORRECTNESS record must not brick the registry import
+    from kneaddata_spark.plans import entry_queries as eq
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(eq.__file__)))
+    repo_root = os.path.dirname(root)
+    fake = os.path.join(repo_root, "CORRECTNESS_r98.json")
+    try:
+        with open(fake, "w") as f:
+            f.write('[{"query": "q1", "ok": true}]')
+        order = eq._rotation_order(["a", "b"])
+        assert sorted(order) == ["a", "b"]
+    finally:
+        os.remove(fake)
