@@ -38,6 +38,15 @@ AUDIT = [
     ("range_join_events", {"no_python": True}),
     ("pack_contexts", {"max_exchanges": 1, "no_python": True}),
     ("mixture_resample", {"broadcast_join": True, "no_python": True}),
+    # r4: one tagged explode + two map-side-combined aggs (+ AQE broadcast
+    # of the per-doc base for the final join)
+    ("repetition_screen", {"max_exchanges": 2, "no_python": True}),
+    # r4: token hash + k-gram leads + window-min + distinct all reuse ONE
+    # doc-keyed partitioning — a single shuffle end-to-end
+    ("winnowing_fingerprints", {"max_exchanges": 1, "no_python": True}),
+    # r4: two winnow pipelines (1 shuffle each) + matched-fp threshold agg;
+    # benchmark fp side broadcasts
+    ("decontaminate_substrings", {"max_exchanges": 3, "broadcast_join": True, "no_python": True}),
 ]
 
 
