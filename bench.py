@@ -67,6 +67,9 @@ HEADLINE = R3_SET + [
     "repetition_screen",
     "winnowing_fingerprints",
     "decontaminate_substrings",
+    "semantic_dedup",
+    "importance_weights",
+    "shard_shuffle",
 ]
 
 

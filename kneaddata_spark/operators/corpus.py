@@ -161,3 +161,45 @@ def mixture_resample(
         )
         .drop("__thr", "__base", "__rem_thr", "__n_copies")
     )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle → (id, shard, pos):
+    the 'shuffle the corpus once per epoch and cut it into shards' step
+    every pretraining data loader needs, with a permutation that is a
+    pure function of (id, seed) — retry-idempotent, resumable, and
+    reproducible across cluster sizes (unlike orderBy(rand())).
+
+    Order key = portable multiplicative hash of (id + seed) with the id
+    itself as tie-breaker, ranked by pairs.global_rank (range-sort +
+    per-partition offsets — NO single-partition window; the audit's
+    global-window rule holds). shard = rank % n_shards round-robins the
+    hash order, so shard sizes differ by at most 1 and every shard is
+    itself a deterministic pseudo-random subsequence; pos = rank div
+    n_shards is the contiguous 0-based position within the shard.
+
+    Scale shape: one range-partitioned sort shuffle of (id, key) pairs —
+    text/payload columns should be joined back AFTER sharding (callers
+    pass a projection). The 32-bit key space collides above ~2^16 rows
+    (birthday bound), which the id tie-break resolves deterministically;
+    the permutation quality is hash-grade, not crypto-grade.
+
+    Reference lineage: the reorder/emit machinery (utilities.py:63-106)
+    — deterministic output ordering independent of arrival order —
+    generalized to seeded epoch shuffles."""
+    from .pairs import global_rank
+
+    keyed = df.select(F.col(id_col).alias("id")).withColumn(
+        "__k", det_hash(F.col("id") + F.lit(seed))
+    )
+    ranked = global_rank(keyed, ["__k", "id"], rank_col="__r")
+    return ranked.select(
+        F.col("id").alias(id_col),
+        ((F.col("__r") - 1) % n_shards).cast("int").alias("shard"),
+        F.expr(f"cast((__r - 1) div {n_shards} as int)").alias("pos"),
+    )

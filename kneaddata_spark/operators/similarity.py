@@ -289,3 +289,100 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cos")
     )
+
+
+# -------------------------------------------------- semantic dedup -------
+
+# Integer hyperplane coefficients for the ORACLE-REPRODUCIBLE cluster
+# assignment in semantic_dedup: small ints from a fixed LCG, inlined as
+# literals in BOTH the Spark plan and the generated DuckDB SQL (one
+# source of truth, like dedup.PORTABLE_HASH_COEFFS). Integer projections
+# over floor-quantized components are exact — no float-sum-order
+# divergence can flip a sign at the cluster boundary.
+def int_planes(dim: int = 64, n_planes: int = 6, seed: int = 7) -> list[list[int]]:
+    out, x = [], seed
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (x * 1103515245 + 12345) % (1 << 31)
+            row.append((x % 199) - 99)  # [-99, 99]
+        out.append(row)
+    return out
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    dim: int = 64,
+    n_planes: int = 6,
+) -> DataFrame:
+    """SemDedup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then greedily drop any vector that has a
+    LOWER-id near-duplicate (cos >= threshold) within its own cluster.
+    Returns (id, cluster, keep) for every input row.
+
+    The clustering is deterministic sign-partitioning: each vector's
+    components are floor-quantized to integers (floor(x * 2^20) — exact:
+    a double times a power of two keeps every mantissa bit) and projected
+    against `n_planes` integer hyperplanes (int_planes); the sign bits
+    form the cluster id. All-integer arithmetic means the DuckDB oracle
+    reproduces cluster assignment bit-for-bit — the reason this is not
+    KMeans (ann_ivf_topk covers that quantizer; its centroids are not
+    SQL-expressible, so its oracle is retrieval-only).
+
+    Plan shape: quantization + projection + cluster code are pure JVM
+    Column algebra (zero Python — unlike the matmul LSH paths); the only
+    shuffle is the within-cluster self-equi-join on `cluster`; dropped
+    ids (bounded by the dup count) broadcast back for the keep flag.
+    At scale, `n_planes` ~ log2(n / target_cluster_size) bounds the
+    per-cluster pairwise verify exactly like the banded-LSH candidate
+    fence; the greedy lower-id rule (not connected components — that is
+    dup_clusters' contract) keeps one representative per near-dup
+    NEIGHBORHOOD without any iteration.
+
+    Reference lineage: the keep-one-per-duplicate-set policy of the
+    reference's SAM first-occurrence dedup (utilities.py:63-106), lifted
+    to embedding space."""
+    planes = int_planes(dim, n_planes)
+    xq = F.expr(
+        "transform(vec, x -> cast(floor(cast(x as double) * 1048576) as bigint))"
+    )
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("__xq", xq)
+    cluster = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        arr = "array(" + ",".join(f"{c}L" for c in row) + ")"
+        proj = F.expr(
+            f"aggregate(zip_with(__xq, {arr}, (a, c) -> a * c), 0L, (s, v) -> s + v)"
+        )
+        cluster = cluster + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    clustered = base.select("id", "vec", cluster.alias("cluster")).withColumn(
+        "n", _norm("vec")
+    )
+    a = clustered.select(
+        F.col("id").alias("id_a"), F.col("cluster").alias("cluster"),
+        F.col("vec").alias("va"), F.col("n").alias("na"),
+    )
+    b = clustered.select(
+        F.col("id").alias("id_b"), F.col("cluster").alias("cluster"),
+        F.col("vec").alias("vb"), F.col("n").alias("nb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where((_dot("va", "vb") / (F.col("na") * F.col("nb"))) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return (
+        clustered.join(F.broadcast(dropped), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.when(F.col("__dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )

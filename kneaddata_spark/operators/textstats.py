@@ -321,3 +321,108 @@ def winnowing_fingerprints(
         .alias("fp_pos"),
         F.expr(f"enc div {WINNOW_MAXPOS}").alias("fp"),
     )
+
+
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed-bigram bucket
+# counts, target-vs-raw distribution weights, per-doc importance score.
+# The paper's log-probability ratio is replaced by an integer
+# PROBABILITY-DIFFERENCE weight (same selection direction) for the same
+# reason bm25_topk uses a rational ln-free idf: ln differs in last-ulp
+# across libm builds and float sums differ by order across engines —
+# integer arithmetic is exact on both. Q*(cnt+1) must stay under 2^63:
+# fine below ~2^33 bigrams per corpus at Q=2^30; shrink DSIR_Q for
+# bigger corpora (weights only need relative precision).
+DSIR_NB = 1021        # hash buckets (prime — the bucket mix keeps both tokens)
+DSIR_Q = 1 << 30      # integer probability quantum
+DSIR_K = 4099         # bigram bucket mixing multiplier
+DSIR_HM = 1 << 20     # per-token hash truncation before mixing
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = DSIR_NB,
+) -> DataFrame:
+    """Per-document importance score for targeted data selection: how much
+    more likely is this document under the TARGET subset's hashed-bigram
+    distribution than under the full-corpus distribution? `target_col` is
+    a boolean/int column marking target-domain rows (e.g. a trusted
+    source or language). Output (id, n_bigrams, score, keep): score is an
+    exact BIGINT (sum over the doc's buckets of count * integer weight,
+    weight = Q*smoothed-target-prob - Q*smoothed-raw-prob, add-one
+    smoothing); keep = score > 0 (more target-like than corpus-average).
+    Documents with < 2 tokens have no bigram evidence and are omitted.
+    Contract: total corpus bigrams must exceed `n_buckets` by a wide
+    margin (true at any real scale) — otherwise add-one smoothing
+    dominates and every weight degenerates to ~(ct - cr)/NB <= 0.
+
+    Plan shape: bigram buckets are computed JVM-side per row (zip_with
+    over two token-array slices — no sequence(), no Python) and exploded
+    ONCE; per-(doc, bucket) partial counts are persisted and re-aggregated
+    into the bucket table (the rollup_lattice partial-reuse pattern), so
+    raw text is never shuffled and the corpus scans once. The weight
+    table is exactly `n_buckets` rows — broadcast back onto the partials;
+    corpus totals ride a 1-row broadcast frame (no driver action).
+
+    Reference lineage: the two-model contaminate-vs-clean scoring of the
+    reference's BMTagger stage (run.py:334-395) — a target-vs-background
+    likelihood ratio deciding keep/drop — re-expressed over hashed
+    n-gram count distributions."""
+    from .caching import persist_tracked
+    from .dedup import portable_token_hash64
+
+    norm = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    n1 = F.greatest(F.size(norm) - 1, F.lit(0))
+    buckets = F.zip_with(
+        F.slice(norm, F.lit(1), n1),
+        F.slice(norm, F.lit(2), n1),
+        lambda t1, t2: (
+            (portable_token_hash64(t1) % DSIR_HM) * DSIR_K
+            + portable_token_hash64(t2) % DSIR_HM
+        )
+        % n_buckets,
+    )
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.col(target_col).cast("long").alias("tgt"),
+        F.explode(buckets).alias("b"),
+    )
+    # per-(doc, bucket) partials — the one corpus-scale aggregation; the
+    # bucket table and the final per-doc scores both re-aggregate it
+    partials = persist_tracked(
+        ex.groupBy("id", "b").agg(
+            F.count("*").alias("c"), F.first("tgt").alias("tgt")
+        )
+    )
+    bucket_tot = partials.groupBy("b").agg(
+        F.sum("c").alias("cr"), F.sum(F.col("c") * F.col("tgt")).alias("ct")
+    )
+    totals = bucket_tot.groupBy().agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    w = bucket_tot.join(F.broadcast(totals)).select(
+        "b",
+        (
+            F.expr(f"({DSIR_Q}L * (ct + 1)) div (tt + {n_buckets})")
+            - F.expr(f"({DSIR_Q}L * (cr + 1)) div (tr + {n_buckets})")
+        ).alias("w"),
+    )
+    scored = (
+        partials.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("score"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "score",
+        (F.col("score") > 0).cast("int").alias("keep"),
+    )

@@ -1861,6 +1861,150 @@ def qc_pipeline_clips(spark, sf):
     )
 
 
+def _semantic_dedup_sql() -> str:
+    """Generated DuckDB replica of similarity.semantic_dedup (dim=64,
+    n_planes=6, threshold=0.99): the integer hyperplane coefficients come
+    from the SAME int_planes() generator the engine inlines, floor
+    quantization is exact on both engines (double * 2^20 keeps every
+    mantissa bit), and the verify cosine is the proven _COS_SQL float-op
+    order — so cluster ids and keep flags match bit-for-bit."""
+    from ..operators.similarity import int_planes
+
+    planes = int_planes(64, 6)
+    proj_cols = ",\n             ".join(
+        f"sum(floor(v[i] * 1048576)::BIGINT"
+        f" * ([{','.join(map(str, row))}]::BIGINT[])[i]) AS p{p}"
+        for p, row in enumerate(planes)
+    )
+    bits = " + ".join(
+        f"CASE WHEN p{p} >= 0 THEN {1 << p} ELSE 0 END" for p in range(len(planes))
+    )
+    return f"""
+    WITH d AS ({_EMB_DUPS_SQL}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM d),
+    p AS (
+      SELECT vec_id,
+             {proj_cols}
+      FROM e, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY vec_id
+    ),
+    c AS (SELECT vec_id, ({bits})::BIGINT AS cluster FROM p),
+    e2 AS (SELECT c.vec_id, c.cluster, e.v FROM c JOIN e USING (vec_id)),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM e2 a JOIN e2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_COS_SQL} >= 0.99
+    )
+    SELECT c.vec_id, c.cluster,
+           CASE WHEN d2.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM c LEFT JOIN dropped d2 ON c.vec_id = d2.vec_id
+    """
+
+
+@q("semantic_dedup", _semantic_dedup_sql())
+def semantic_dedup_q(spark, sf):
+    """SemDedup-style semantic dedup (similarity.semantic_dedup) over the
+    dup'd embedding corpus: deterministic integer sign-partition clusters,
+    greedy lower-id drop at cos >= 0.99 within each cluster. Fully
+    JVM-side (the one similarity operator with zero Python)."""
+    e = _emb_with_dups(spark, sf)
+    return similarity.semantic_dedup(e, threshold=0.99)
+
+
+def _dsir_sql() -> str:
+    """Generated DuckDB replica of textstats.importance_weights with
+    target = (lang = 'en'): portable token hash (PORTABLE_HASH_COEFFS,
+    one source of truth with the SimHash/winnowing oracles) truncated to
+    20 bits, bigram bucket mix, integer probability-difference weights.
+    All-integer score sums are order-free, so re-aggregation matches
+    across engines exactly (the bm25/rollup lesson)."""
+    from ..operators.dedup import PORTABLE_HASH_COEFFS
+    from ..operators.textstats import DSIR_HM, DSIR_K, DSIR_NB, DSIR_Q
+
+    def h(e: str) -> str:
+        feats = [
+            f"length({e})::BIGINT",
+            f"ascii({e})::BIGINT",
+            f"ascii(substring({e}, 2, 1))::BIGINT",
+            f"ascii(right({e}, 1))::BIGINT",
+            f"ascii(substring({e}, -2, 1))::BIGINT",
+        ]
+        lo = (
+            "("
+            + " + ".join(f"{f} * {c}" for f, c in zip(feats, PORTABLE_HASH_COEFFS["lo"]))
+            + f") % {1 << 32}"
+        )
+        hi = (
+            "("
+            + " + ".join(f"{f} * {c}" for f, c in zip(feats, PORTABLE_HASH_COEFFS["hi"]))
+            + f") % {1 << 31}"
+        )
+        return f"((({hi}) * 4294967296 + ({lo})) % {DSIR_HM})"
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, (lang = 'en')::BIGINT AS tgt,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tgt,
+             (({h("toks[i]")} * {DSIR_K} + {h("toks[i+1]")}) % {DSIR_NB}) AS b
+      FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i)
+    ),
+    partials AS (
+      SELECT doc_id, tgt, b, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, tgt, b
+    ),
+    bt AS (SELECT b, sum(c)::BIGINT AS cr, sum(c * tgt)::BIGINT AS ct FROM partials GROUP BY b),
+    tot AS (SELECT sum(cr)::BIGINT AS tr, sum(ct)::BIGINT AS tt FROM bt),
+    w AS (
+      SELECT b, (({DSIR_Q} * (ct + 1)) // (tt + {DSIR_NB})
+               - ({DSIR_Q} * (cr + 1)) // (tr + {DSIR_NB}))::BIGINT AS w
+      FROM bt, tot
+    )
+    SELECT p.doc_id,
+           sum(p.c)::BIGINT AS n_bigrams,
+           sum(p.c * w.w)::BIGINT AS score,
+           CASE WHEN sum(p.c * w.w) > 0 THEN 1 ELSE 0 END AS keep
+    FROM partials p JOIN w USING (b)
+    GROUP BY p.doc_id
+    """
+
+
+@q("importance_weights", _dsir_sql())
+def importance_weights_q(spark, sf):
+    """DSIR-style importance weighting (textstats.importance_weights):
+    hashed-bigram target-vs-corpus distribution weights with lang='en' as
+    the target domain; per-doc exact-integer importance score + keep."""
+    d = _t(spark, sf, "documents").withColumn("is_tgt", F.col("lang") == "en")
+    return textstats.importance_weights(d, "doc_id", "text", "is_tgt")
+
+
+@q(
+    "shard_shuffle",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY ((doc_id + 1)::BIGINT * {KNUTH}) % {M32}, doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, ((rn - 1) % 8)::INT AS shard, ((rn - 1) // 8)::INT AS pos
+    FROM r
+    """,
+)
+def shard_shuffle_q(spark, sf):
+    """Deterministic epoch shuffle -> training shards (corpus.shard_shuffle,
+    seed=1, 8 shards): portable-hash global order via pairs.global_rank
+    (range sort + offsets — no single-partition window), round-robin shard
+    assignment, contiguous per-shard positions."""
+    d = _t(spark, sf, "documents")
+    from ..operators.corpus import shard_shuffle
+
+    return shard_shuffle(d, "doc_id", n_shards=8, seed=1)
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -1027,3 +1027,183 @@ def test_review_hardening_r4(spark, tmp_path):
         assert sorted(order) == ["a", "b"]
     finally:
         os.remove(fake)
+
+
+def _pth64_py(tok: str) -> int:
+    """Pure-python replica of dedup.portable_token_hash64 (same feature
+    tuple, same coefficients) for oracle-independent test verification."""
+    first = ord(tok[0]) if tok else 0
+    second = ord(tok[1]) if len(tok) > 1 else 0
+    last = ord(tok[-1]) if tok else 0
+    penult = ord(tok[-2]) if len(tok) > 1 else 0
+    feats = (len(tok), first, second, last, penult)
+    lo = sum(f * c for f, c in zip(feats, dedup.PORTABLE_HASH_COEFFS["lo"])) % (1 << 32)
+    hi = sum(f * c for f, c in zip(feats, dedup.PORTABLE_HASH_COEFFS["hi"])) % (1 << 31)
+    return hi * (1 << 32) + lo
+
+
+def test_semantic_dedup_matches_integer_replica(spark):
+    """semantic_dedup vs a pure-python replica of the whole contract:
+    floor-quantized integer hyperplane clusters (int_planes), greedy
+    lower-id drop at cos >= threshold within a cluster. Planted exact
+    copies (cos = 1.0) must always be dropped in favour of the lowest id;
+    everything else must match the replica bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    from kneaddata_spark.operators.similarity import int_planes, semantic_dedup
+
+    rng = np.random.RandomState(11)
+    vecs = {}
+    for i in range(40):
+        vecs[i] = rng.randn(64).astype(np.float32)
+    for j, base in enumerate((0, 3, 7, 12)):  # exact copies, higher ids
+        vecs[100 + j] = vecs[base].copy()
+    rows = [(int(i), [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>").repartition(7)
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(df, threshold=0.99).collect()
+    }
+
+    planes = int_planes(64, 6)
+    cluster = {}
+    for i, v in vecs.items():
+        xq = [math.floor(float(np.float64(x)) * 1048576) for x in v]
+        c = 0
+        for p, row in enumerate(planes):
+            proj = 0
+            for a, coef in zip(xq, row):
+                proj += a * coef
+            if proj >= 0:
+                c += 1 << p
+        cluster[i] = c
+
+    def cos(u, w):
+        # left-fold in array order like F.aggregate (values far from the
+        # 0.99 boundary by construction, so ulp order cannot flip keep)
+        d = n1 = n2 = 0.0
+        for a, b in zip(u, w):
+            d += float(np.float64(a)) * float(np.float64(b))
+            n1 += float(np.float64(a)) ** 2
+            n2 += float(np.float64(b)) ** 2
+        return d / math.sqrt(n1 * n2)
+
+    ids = sorted(vecs)
+    dropped = set()
+    for x in ids:
+        for y in ids:
+            if x < y and cluster[x] == cluster[y] and cos(vecs[x], vecs[y]) >= 0.99:
+                dropped.add(y)
+    want = {i: (cluster[i], 0 if i in dropped else 1) for i in ids}
+    assert got == want
+    # the planted exact copies always share the base's cluster and are dropped
+    for j, base in enumerate((0, 3, 7, 12)):
+        assert got[100 + j] == (cluster[base], 0)
+    assert got[0][1] == 1 and got[3][1] == 1
+
+
+def test_importance_weights_matches_integer_replica(spark):
+    """importance_weights vs a pure-python replica of the DSIR integer
+    math (hash buckets, add-one smoothing, Q-quantized probability
+    difference): exact score equality, and the planted target-domain
+    bigram must push target-like docs to keep=1."""
+    from collections import Counter
+
+    from kneaddata_spark.operators.textstats import (
+        DSIR_HM,
+        DSIR_K,
+        DSIR_NB,
+        DSIR_Q,
+        importance_weights,
+    )
+
+    # REP scales bigram mass above DSIR_NB=1021: with add-one smoothing,
+    # weights degenerate to (ct - cr)/NB <= 0 when bucket count dwarfs
+    # corpus mass, so a handful of bigrams can never score positive —
+    # the operator's contract assumes corpus bigrams >> n_buckets (true
+    # at any real scale; docstring states it).
+    REP = 40
+    docs = {
+        1: (("alpha beta gamma delta " * REP).strip(), 1),
+        2: (("alpha beta epsilon zeta " * REP).strip(), 1),
+        3: (("noise junk words here " * REP).strip(), 0),
+        4: (("junk noise other words " * REP).strip(), 0),
+        5: ("alpha beta gamma", 0),  # corpus doc that LOOKS target-like
+        6: ("solo", 0),              # < 2 tokens -> omitted
+        7: ("  alpha   beta\tgamma " * REP, 1),  # whitespace collapse
+    }
+    df = spark.createDataFrame(
+        [(i, t, bool(g)) for i, (t, g) in docs.items()],
+        "doc_id int, text string, is_tgt boolean",
+    ).repartition(5)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score"], r["keep"])
+        for r in importance_weights(df, "doc_id", "text", "is_tgt").collect()
+    }
+
+    def buckets(text):
+        toks = " ".join(text.split()).lower().split(" ")
+        return [
+            ((_pth64_py(a) % DSIR_HM) * DSIR_K + _pth64_py(b) % DSIR_HM) % DSIR_NB
+            for a, b in zip(toks, toks[1:])
+        ]
+
+    per_doc = {i: Counter(buckets(t)) for i, (t, g) in docs.items() if len(t.split()) > 1}
+    cr, ct = Counter(), Counter()
+    for i, cnt in per_doc.items():
+        for b, c in cnt.items():
+            cr[b] += c
+            ct[b] += c * docs[i][1]
+    tr, tt = sum(cr.values()), sum(ct.values())
+    w = {
+        b: (DSIR_Q * (ct[b] + 1)) // (tt + DSIR_NB)
+        - (DSIR_Q * (cr[b] + 1)) // (tr + DSIR_NB)
+        for b in cr
+    }
+    want = {}
+    for i, cnt in per_doc.items():
+        score = sum(c * w[b] for b, c in cnt.items())
+        want[i] = (sum(cnt.values()), score, 1 if score > 0 else 0)
+    assert got == want
+    assert 6 not in got  # no bigram evidence
+    assert got[1][2] == 1 and got[2][2] == 1 and got[7][2] == 1
+    assert got[3][2] == 0 and got[4][2] == 0
+    # DSIR selects by CONTENT, not label: the unlabeled doc whose text
+    # matches the target distribution is kept
+    assert got[5][2] == 1
+
+
+def test_shard_shuffle_permutation_and_invariance(spark):
+    """shard_shuffle: the (shard, pos) assignment equals the python-side
+    hash order exactly, shard sizes differ by at most one, per-shard
+    positions are contiguous from 0, and the output is invariant to the
+    input's physical partitioning (retry/cluster-shape determinism)."""
+    from collections import Counter
+
+    from kneaddata_spark.operators.corpus import shard_shuffle
+    from kneaddata_spark.operators.sampling import KNUTH, M32
+
+    n, seed, shards = 500, 3, 8
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_shuffle(df, "doc_id", n_shards=shards, seed=seed).collect()
+    }
+    order = sorted(range(n), key=lambda i: (((i + seed) * KNUTH) % M32, i))
+    want = {i: (r % shards, r // shards) for r, i in enumerate(order)}
+    assert got == want
+    sizes = Counter(s for s, _ in got.values())
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for s in range(shards):
+        poss = sorted(p for sh, p in got.values() if sh == s)
+        assert poss == list(range(len(poss)))
+    got2 = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shard_shuffle(
+            df.repartition(13), "doc_id", n_shards=shards, seed=seed
+        ).collect()
+    }
+    assert got2 == got

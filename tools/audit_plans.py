@@ -47,6 +47,17 @@ AUDIT = [
     # r4: two winnow pipelines (1 shuffle each) + matched-fp threshold agg;
     # benchmark fp side broadcasts
     ("decontaminate_substrings", {"max_exchanges": 3, "broadcast_join": True, "no_python": True}),
+    # r4b: integer sign-partition clusters are pure Column algebra; only
+    # shuffle is the within-cluster self-equi-join + dropped-id distinct,
+    # dropped ids broadcast back for the keep flag
+    ("semantic_dedup", {"max_exchanges": 2, "broadcast_join": True, "no_python": True}),
+    # r4b: bigram partials persist once (InMemoryTableScan in-plan; the
+    # printed exchange count re-counts the cached subplan per scan, so no
+    # max_exchanges cap — the weight table rides a BroadcastExchange)
+    ("importance_weights", {"broadcast_join": True, "no_python": True}),
+    # r4b: global_rank = range sort + per-partition offset counts (three
+    # passes over the (id,key) projection — the no-global-window price)
+    ("shard_shuffle", {"broadcast_join": True, "no_python": True}),
 ]
 
 
