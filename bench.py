@@ -70,6 +70,7 @@ HEADLINE = R3_SET + [
     "semantic_dedup",
     "importance_weights",
     "shard_shuffle",
+    "audio_dup_pairs",
 ]
 
 

@@ -1207,3 +1207,107 @@ def test_shard_shuffle_permutation_and_invariance(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def _fp_replica(raw: bytes, codec: str) -> "list[int] | None":
+    """Pure-python replica of the audiodup fingerprint contract, built on
+    the INDEPENDENT oracle.decode_pcm decoder (per-row float walk) rather
+    than the engine's codec registry; the LCG band coefficients are
+    re-derived inline so a drift in audiodup.band_coeffs fails here."""
+    import numpy as np
+
+    from kneaddata_spark import oracle
+
+    f = oracle.decode_pcm(raw, codec)
+    if f is None:
+        return None
+    if codec == "pcm_u8":
+        xi = [int(round(float(v) * 128.0)) * 256 for v in f]
+    else:
+        xi = [int(round(float(v) * 32768.0)) for v in f]
+    n_frames = len(xi) // 512
+    if n_frames < 4:
+        return None
+    syms = []
+    for fr in range(n_frames):
+        fx = xi[fr * 512 : (fr + 1) * 512]
+        e = sum(abs(v) for v in fx)
+        q = (e // 512).bit_length()
+        z = sum(1 for a, b in zip(fx, fx[1:]) if (a < 0) != (b < 0))
+        syms.append(q * 1024 + z)
+    shingles = set()
+    for i in range(n_frames - 3):
+        s = 0
+        for k in range(4):
+            s = s * (1 << 14) + syms[i + k]
+        shingles.add(s % (1 << 31))
+    x, sig = 9176, []
+    for _ in range(16):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = (2 * x + 1) % (1 << 31)
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        sig.append(min((a * s + x) % (1 << 31) for s in shingles))
+    return sig
+
+
+def test_audio_fingerprint_matches_replica(spark):
+    """Engine fingerprints (Arrow UDF + registry decode) vs the pure-python
+    replica over oracle.decode_pcm for every synth clip class (healthy,
+    truncated, bad codec, silence, wav, u8): exact signature equality,
+    including None for undecodable/too-short clips."""
+    from kneaddata_spark.operators.audiodup import audio_fingerprint
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(60)
+    df = spark.createDataFrame(pdf[["clip_id", "bytes", "codec"]]).repartition(7)
+    got = {
+        r["id"]: (None if r["sig"] is None else list(r["sig"]))
+        for r in audio_fingerprint(df).collect()
+    }
+    want = {
+        row.clip_id: _fp_replica(bytes(row.bytes), row.codec)
+        for row in pdf.itertuples()
+    }
+    assert got == want
+    assert any(v is None for v in want.values())       # undecodables present
+    assert sum(v is not None for v in want.values()) > 30
+
+
+def test_audio_dup_pairs_planted_and_plan(spark):
+    """Planted exact copies: every DECODABLE original's dup pair is
+    recovered at 16/16 band matches; undecodable clips never pair. Plan:
+    exactly one ArrowEvalPython, no row-at-a-time Python, no MapInPandas."""
+    import pandas as pd
+
+    from kneaddata_spark.operators.audiodup import audio_dup_pairs
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(50)[["clip_id", "bytes", "codec"]]
+    dup = pdf.iloc[:20].copy()
+    dup["clip_id"] = "dup_" + dup["clip_id"]
+    df = spark.createDataFrame(pd.concat([pdf, dup])).repartition(6)
+    pairs = audio_dup_pairs(df, min_bands=12)
+
+    # decode + fingerprint: exactly ONE Arrow stage in the whole pair
+    # plan — the bucket-collect formulation scans the fingerprint once
+    # (a self-join would print and execute the Arrow stage per branch)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    got = {(r["id_a"], r["id_b"]): r["n_match"] for r in pairs.collect()}
+    decodable = {
+        row.clip_id
+        for row in pdf.iloc[:20].itertuples()
+        if _fp_replica(bytes(row.bytes), row.codec) is not None
+    }
+    assert len(decodable) >= 10
+    for cid in decodable:
+        assert got.get((cid, "dup_" + cid)) == 16, cid
+    undec = {
+        row.clip_id
+        for row in pdf.itertuples()
+        if _fp_replica(bytes(row.bytes), row.codec) is None
+    }
+    for (a, b) in got:
+        assert a not in undec and b not in undec

@@ -58,6 +58,10 @@ AUDIT = [
     # r4b: global_rank = range sort + per-partition offset counts (three
     # passes over the (id,key) projection — the no-global-window price)
     ("shard_shuffle", {"broadcast_join": True, "no_python": True}),
+    # r4b: acoustic near-dup — ONE Arrow decode stage (bucket-collect pair
+    # expansion scans the fingerprints once; a self-join would run decode
+    # per branch); bucket agg + final pair agg = 2 shuffles
+    ("audio_dup_pairs", {"max_exchanges": 2, "arrow_only": True}),
 ]
 
 
@@ -160,6 +164,25 @@ def main() -> None:
                 problems.append(f"{name}: expected broadcast join")
         if exp.get("no_python") and ("EvalPython" in p or "MapInPandas" in p):
             problems.append(f"{name}: python in plan")
+        if exp.get("arrow_only"):
+            # Arrow-batched Python is the sanctioned boundary (audio
+            # decode); row-at-a-time Python never is. Exactly ONE Arrow
+            # stage: the bucket-collect pair expansion must scan the
+            # fingerprint frame once (a self-join prints/executes the
+            # decode per branch). MapInPandas is allowed ONLY for the
+            # synth input generator (Arguments: gen(id#N)) — compare
+            # DETAIL headers (deduped per node id) to generator lines.
+            n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+            n_mip = len(re.findall(r"\(\d+\) MapInPandas", p))
+            n_gen = len(re.findall(r"Arguments: gen\(id#\d+L?\)", p))
+            checks.append(f"ArrowEvalPython stages: {n_arrow} (want 1); "
+                          f"MapInPandas prints: {n_mip} (all synth-gen: {n_mip == n_gen})")
+            if "BatchEvalPython" in p:
+                problems.append(f"{name}: row-at-a-time python in plan")
+            if n_arrow != 1:
+                problems.append(f"{name}: {n_arrow} Arrow stages (want 1)")
+            if n_mip != n_gen:
+                problems.append(f"{name}: non-generator MapInPandas in plan")
         codegen_ids = {m for m in re.findall(r"codegen id : (\d+)", p)}
         checks.append(f"WholeStageCodegen spans: {len(codegen_ids)}")
         sections.append((name, p, checks))
