@@ -71,6 +71,7 @@ HEADLINE = R3_SET + [
     "importance_weights",
     "shard_shuffle",
     "audio_dup_pairs",
+    "paragraph_dedup",
 ]
 
 

@@ -1311,3 +1311,74 @@ def test_audio_dup_pairs_planted_and_plan(spark):
     }
     for (a, b) in got:
         assert a not in undec and b not in undec
+
+
+def test_paragraph_dedup_delim_mode(spark):
+    """Planted boilerplate: the same banner paragraph appears in every doc
+    (plus blank layout lines); keep-first retains it only in the lowest
+    (id, pos) slot, unique paragraphs all survive, the all-boilerplate doc
+    comes back with clean_text == '' (no outer-join loss), and blank
+    paragraphs are layout — never deduped, never counted."""
+    from kneaddata_spark.operators.dedup import paragraph_dedup
+
+    banner = "accept our cookies to continue"
+    rows = [
+        (1, f"{banner}\n\nalpha beta gamma\n\n \n\ndelta epsilon"),
+        (2, f"{banner}\n\nzeta eta theta"),
+        (3, f"{banner}\n\n{banner}"),          # all boilerplate
+        (4, "alpha beta gamma\n\niota kappa"),  # para dup of doc 1's
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+        for r in paragraph_dedup(df, delim="\n\n").collect()
+    }
+    assert got[1] == (f"{banner}\n\nalpha beta gamma\n\ndelta epsilon", 3, 3)
+    assert got[2] == ("zeta eta theta", 1, 2)
+    assert got[3] == ("", 0, 2)
+    assert got[4] == ("iota kappa", 1, 2)
+    assert set(got) == {1, 2, 3, 4}
+
+
+def test_paragraph_dedup_token_mode_invariance(spark):
+    """Token-window mode: results are a pure function of the data — same
+    output at 1 and 7 input partitions; global paragraph conservation
+    (sum n_kept == corpus-distinct paragraphs, n_kept <= n_total per doc);
+    reassembled text at window=w is the original when nothing is dropped."""
+    from kneaddata_spark.operators.dedup import paragraph_dedup
+
+    vocab = ["red", "blue", "green", "gold"]
+    rows = [
+        (i, " ".join(vocab[(i * 7 + j) % 4] for j in range(11))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    outs = []
+    for n_part in (1, 7):
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+            for r in paragraph_dedup(
+                df.repartition(n_part), window=3
+            ).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1]
+    got = outs[0]
+    assert set(got) == set(range(40))
+    n_distinct = len(
+        {
+            " ".join(t.split()[k : k + 3])
+            for _, t in rows
+            for k in range(0, 11, 3)
+        }
+    )
+    assert sum(v[1] for v in got.values()) == n_distinct
+    assert all(v[1] <= v[2] for v in got.values())
+    # a corpus of all-unique paragraphs reassembles to the original text
+    uniq = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "g h i j k l m")], "doc_id long, text string"
+    )
+    back = {
+        r["doc_id"]: r["clean_text"]
+        for r in paragraph_dedup(uniq, window=3).collect()
+    }
+    assert back == {1: "a b c d e f", 2: "g h i j k l m"}

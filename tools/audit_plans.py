@@ -62,6 +62,10 @@ AUDIT = [
     # expansion scans the fingerprints once; a self-join would run decode
     # per branch); bucket agg + final pair agg = 2 shuffles
     ("audio_dup_pairs", {"max_exchanges": 2, "arrow_only": True}),
+    # r4c: paragraph keep-first dedup — min(struct) per paragraph (map-side
+    # combinable, no join-back), reassembly + totals co-partitioned on id:
+    # 3 data distributions total, zero Python
+    ("paragraph_dedup", {"max_exchanges": 3, "no_python": True}),
 ]
 
 
