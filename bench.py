@@ -72,6 +72,7 @@ HEADLINE = R3_SET + [
     "shard_shuffle",
     "audio_dup_pairs",
     "paragraph_dedup",
+    "vad_segments",
 ]
 
 

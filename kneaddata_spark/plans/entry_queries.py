@@ -2040,6 +2040,23 @@ def audio_dup_pairs_q(spark, sf):
     return audio_dup_pairs(clips, min_bands=12)
 
 
+@q("vad_segments")
+def vad_segments_q(spark, sf):
+    """Voice-activity segmentation (operators/vad): integer frame-energy
+    speech detection with hangover merge and min-length drop — the cut
+    every ASR training pipeline makes before packing clips into training
+    windows. Rows-only by necessity (binary PCM decode, the
+    audio_dup_pairs/qc_pipeline_clips basis); the pytest gate replays the
+    whole kernel in pure python over the INDEPENDENT oracle.decode_pcm
+    decoder. Input: 400 deterministic synth clips; output is scalar
+    segment rows (clip_id, seg_idx, start_ms, end_ms, n_frames). Zero
+    shuffles — the audit-enforced embarrassingly-parallel shape."""
+    from ..operators.vad import vad_segments
+    from ..synth import clips_spark_df
+
+    return vad_segments(clips_spark_df(spark, 400, n_partitions=8))
+
+
 @q(
     "paragraph_dedup",
     """

@@ -61,6 +61,17 @@ POST_TRIM_MIN_MS = 200    # absolute floor after trimming
 CLIP_SAMPLE_THRESH = 0.999  # |sample| >= this counts as clipped
 CLIP_FRAC_MAX = 0.03        # more than 3% clipped samples -> drop
 
+# --- voice-activity segmentation (operators/vad.py) -----------------------
+# Integer-domain by construction so the engine kernel and the pure-python
+# test replica agree bit-for-bit (the clip-threshold discipline above):
+# a frame of frame_len = sr * VAD_FRAME_MS // 1000 samples is SPEECH when
+# sum(|x|) // frame_len >= VAD_ENERGY_MIN (mean-abs analog of the -40 dBFS
+# trim floor: 0.01 * 32768 = 327.68 -> 328 on int16, integer compare only).
+VAD_FRAME_MS = 25
+VAD_ENERGY_MIN = 328
+VAD_MIN_FRAMES = 3   # segments shorter than this are noise ticks, dropped
+VAD_MAX_GAP = 2      # silence gaps <= this many frames merge (hangover)
+
 # --- transcript structural ------------------------------------------------
 MIN_TRANSCRIPT_CHARS = 3
 

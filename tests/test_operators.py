@@ -1382,3 +1382,130 @@ def test_paragraph_dedup_token_mode_invariance(spark):
         for r in paragraph_dedup(uniq, window=3).collect()
     }
     assert back == {1: "a b c d e f", 2: "g h i j k l m"}
+
+
+def _vad_replica(raw: bytes, codec: str, sr: int) -> "list[tuple[int,int]] | None":
+    """Pure-python replica of the VAD contract over the INDEPENDENT
+    oracle.decode_pcm float decoder (rules.py constants are the shared
+    single source of truth; the run-length/merge logic is re-derived from
+    the docstring, not imported)."""
+    from kneaddata_spark import oracle, rules
+
+    f = oracle.decode_pcm(raw, codec)
+    if f is None or sr <= 0:
+        return None
+    if codec == "pcm_u8":
+        xi = [int(round(float(v) * 128.0)) * 256 for v in f]
+    else:
+        xi = [int(round(float(v) * 32768.0)) for v in f]
+    fl = sr * rules.VAD_FRAME_MS // 1000
+    if fl <= 0:
+        return []
+    nf = len(xi) // fl
+    speech = [
+        sum(abs(v) for v in xi[i * fl : (i + 1) * fl]) // fl >= rules.VAD_ENERGY_MIN
+        for i in range(nf)
+    ]
+    runs, cur = [], None
+    for i, s in enumerate(speech):
+        if s and cur is None:
+            cur = i
+        elif not s and cur is not None:
+            runs.append((cur, i))
+            cur = None
+    if cur is not None:
+        runs.append((cur, nf))
+    merged = []
+    for s, e in runs:
+        if merged and s - merged[-1][1] <= rules.VAD_MAX_GAP:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    return [(s, e) for s, e in merged if e - s >= rules.VAD_MIN_FRAMES]
+
+
+def test_vad_segments_structure_and_plan(spark):
+    """Hand-built alternation (silence, speech, micro-gap, speech, long
+    silence, 1-frame tick): the micro-gap merges (hangover), the tick is
+    dropped (min length), ms boundaries are exact integer div at two
+    sample rates, undecodable clips emit nothing. Plan: one
+    ArrowEvalPython, ZERO exchanges, no row-at-a-time Python."""
+    import numpy as np
+    import pandas as pd
+
+    from kneaddata_spark.operators.vad import vad_segments
+
+    sr = 16000
+    fl = sr * 25 // 1000
+
+    def seg(n_frames, loud, f=440):
+        amp = 8000 if loud else 10
+        t = np.arange(n_frames * fl)
+        return (amp * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+
+    pcm = np.concatenate(
+        [seg(20, False), seg(40, True), seg(1, False), seg(20, True),
+         seg(80, False), seg(1, True), seg(10, False)]
+    )
+    pcm2 = np.concatenate([seg(5, True), seg(10, False), seg(4, True)])
+    pdf = pd.DataFrame(
+        {
+            "clip_id": ["a", "b", "bad"],
+            "bytes": [pcm.tobytes(), pcm2.tobytes(), b"xx"],
+            "codec": ["pcm_s16le", "pcm_s16le", "mp3"],
+            "sr_hz": [sr, 8000, sr],
+        }
+    )
+    out = vad_segments(spark.createDataFrame(pdf).repartition(3))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    # the only Exchange is the test input's own repartition(3); the
+    # operator itself adds none (zero-shuffle contract)
+    import re as _re
+
+    assert [
+        m for m in _re.findall(r"Exchange \w+", plan)
+    ] == ["Exchange RoundRobinPartitioning"]
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    rows = sorted(
+        (r["clip_id"], r["seg_idx"], r["start_ms"], r["end_ms"], r["n_frames"])
+        for r in out.collect()
+    )
+    # clip a: frames 20..81 merged across the 1-frame gap; the tick at
+    # frame 161 dies on min length. clip b at 8 kHz: fl=200, every frame
+    # count doubles -> (0,10) and (30,38).
+    assert rows == [
+        ("a", 0, 500, 2025, 61),
+        ("b", 0, 0, 250, 10),
+        ("b", 1, 750, 950, 8),
+    ]
+
+
+def test_vad_segments_matches_replica(spark):
+    """Engine segments vs the pure-python replica over oracle.decode_pcm
+    for every synth clip class — exact (clip_id, seg_idx, start_ms,
+    end_ms, n_frames) set equality, including absence for undecodables."""
+    from kneaddata_spark.operators.vad import vad_segments
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(80)
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).repartition(5)
+    got = sorted(
+        (r["clip_id"], r["seg_idx"], r["start_ms"], r["end_ms"], r["n_frames"])
+        for r in vad_segments(df).collect()
+    )
+    want = []
+    for row in pdf.itertuples():
+        segs = _vad_replica(bytes(row.bytes), row.codec, int(row.sr_hz))
+        if segs is None:
+            continue
+        fl = int(row.sr_hz) * 25 // 1000
+        for k, (s, e) in enumerate(segs):
+            want.append(
+                (row.clip_id, k, s * fl * 1000 // int(row.sr_hz),
+                 e * fl * 1000 // int(row.sr_hz), e - s)
+            )
+    assert got == sorted(want)
+    assert len(want) > 40  # synth corpus produces real segment structure

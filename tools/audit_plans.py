@@ -66,6 +66,9 @@ AUDIT = [
     # combinable, no join-back), reassembly + totals co-partitioned on id:
     # 3 data distributions total, zero Python
     ("paragraph_dedup", {"max_exchanges": 3, "no_python": True}),
+    # r4c: VAD — one Arrow decode stage, ZERO shuffles (embarrassingly
+    # parallel segment explode); same nondeterministic-UDF pin as audiodup
+    ("vad_segments", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 

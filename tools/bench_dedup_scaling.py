@@ -118,20 +118,88 @@ def run_suite(spark, n: int) -> dict:
     return walls
 
 
+def clips_table(spark, n: int):
+    """Stored clip table for the audio-axis scaling runs: deterministic
+    synth clips with planted exact duplicates (crc32(clip_id) % 7 == 0
+    gets a dup_ copy — the driver query's planting rule), written once per
+    level so GENERATION is outside the timed path: at 100 TB the corpus is
+    parquet on disk and the operators' cost is decode + join, which is
+    what the ratio must measure."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.synth import clips_spark_df
+
+    path = f"/tmp/kneaddata_bench/scale_clips_{n}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        clips_spark_df(spark, n, n_partitions=32).select(
+            F.explode(
+                F.when(
+                    F.crc32(F.col("clip_id")) % 7 == 0,
+                    F.array(
+                        F.col("clip_id"),
+                        F.concat(F.lit("dup_"), F.col("clip_id")),
+                    ),
+                ).otherwise(F.array(F.col("clip_id")))
+            ).alias("clip_id"),
+            "bytes",
+            "codec",
+            "sr_hz",
+        ).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def run_audio_suite(spark, n: int) -> dict:
+    """Audio-axis data scaling: the banded fingerprint join and the
+    zero-shuffle VAD explode over N and 4N STORED clips."""
+    from kneaddata_spark.operators import audiodup, vad
+    from kneaddata_spark.operators.caching import release_tracked
+
+    clips = clips_table(spark, n)
+    walls = {}
+
+    def timed(name, fn, reps=2):
+        best, count = float("inf"), None
+        for _ in range(reps):
+            release_tracked()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            count = fn().count()
+            best = min(best, time.time() - t0)
+        walls[name] = {"wall_sec": round(best, 2), "rows": count}
+
+    timed("audio_dup_pairs", lambda: audiodup.audio_dup_pairs(clips, min_bands=12))
+    timed("vad_segments", lambda: vad.vad_segments(clips))
+    release_tracked()
+    spark.catalog.clearCache()
+    return walls
+
+
+N_CLIPS_BASE = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000
+
+
 def main() -> None:
     from kneaddata_spark.session import get_spark
 
     spark = get_spark(app="dedup_scale", cores=32)
     spark.range(1_000_000).count()
-    out = {"n_base": N_BASE, "levels": {}}
+    out = {"n_base": N_BASE, "n_clips_base": N_CLIPS_BASE, "levels": {}}
     for n in (N_BASE, 4 * N_BASE):
         t0 = time.time()
         out["levels"][str(n)] = run_suite(spark, n)
         print(f"# n={n}: {round(time.time()-t0, 1)}s total", file=sys.stderr)
+    for n in (N_CLIPS_BASE, 4 * N_CLIPS_BASE):
+        t0 = time.time()
+        audio = run_audio_suite(spark, n)
+        out["levels"].setdefault(str(n), {}).update(audio)
+        print(f"# clips n={n}: {round(time.time()-t0, 1)}s total", file=sys.stderr)
     ratios = {}
     for op in out["levels"][str(N_BASE)]:
         a = out["levels"][str(N_BASE)][op]["wall_sec"]
         b = out["levels"][str(4 * N_BASE)][op]["wall_sec"]
+        ratios[op] = round(b / a, 2)
+    for op in ("audio_dup_pairs", "vad_segments"):
+        a = out["levels"][str(N_CLIPS_BASE)][op]["wall_sec"]
+        b = out["levels"][str(4 * N_CLIPS_BASE)][op]["wall_sec"]
         ratios[op] = round(b / a, 2)
     out["wall_ratio_4x_data"] = ratios
     out["note"] = (
