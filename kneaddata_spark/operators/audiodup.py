@@ -201,3 +201,60 @@ def audio_dup_pairs(
         .agg(F.count("*").cast("int").alias("n_match"))
         .where(F.col("n_match") >= min_bands)
     )
+
+
+def audio_band_table(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """Persistable (band, v) index of a clip corpus — the audio analog of
+    dedup.corpus_band_table (the artifact a production incremental audio
+    dedup pipeline stores as a table and probes per ingest batch). One
+    Arrow decode stage, one distinct shuffle."""
+    return (
+        audio_fingerprint(clips, id_col, bytes_col, codec_col)
+        .where(F.col("sig").isNotNull())
+        .select(F.posexplode("sig").alias("band", "v"))
+        .distinct()
+    )
+
+
+def incremental_audio_screen(
+    new_clips: DataFrame,
+    band_table: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    min_bands: int = 1,
+) -> "tuple[DataFrame, DataFrame]":
+    """Screen an ingest batch against a stored corpus band index:
+    (survivors, flagged) — the audio analog of
+    dedup.incremental_band_screen, same production contract (only the NEW
+    batch is fingerprinted; the corpus is represented by its index, never
+    re-decoded or reshuffled). min_bands=1 is the recall-oriented screen
+    (any shared band flags — E[matched] = 16*J, so J >= ~0.06 content
+    overlaps are surfaced and random 2^-31 collisions are the only false
+    positives); raise it toward 12-16 for a precision screen on exact
+    re-uploads. Flagged ids are persist_tracked: they feed BOTH returned
+    frames, and without the pin each action would re-run the batch decode
+    (the caching.py contract — released when the next tracked query
+    builds)."""
+    from .caching import persist_tracked
+
+    ex = (
+        audio_fingerprint(new_clips, id_col, bytes_col, codec_col)
+        .where(F.col("sig").isNotNull())
+        .select("id", F.posexplode("sig").alias("band", "v"))
+    )
+    flagged_ids = persist_tracked(
+        ex.join(band_table, ["band", "v"], "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("__nb"))
+        .where(F.col("__nb") >= min_bands)
+        .select(F.col("id").alias(id_col))
+    )
+    flagged = new_clips.join(F.broadcast(flagged_ids), id_col, "left_semi")
+    survivors = new_clips.join(F.broadcast(flagged_ids), id_col, "left_anti")
+    return survivors, flagged

@@ -1509,3 +1509,56 @@ def test_vad_segments_matches_replica(spark):
             )
     assert got == sorted(want)
     assert len(want) > 40  # synth corpus produces real segment structure
+
+
+def test_incremental_audio_screen(spark):
+    """Production ingest shape: corpus -> stored (band, v) index; a new
+    batch (exact re-uploads of corpus clips + fresh clips) is screened
+    with only the BATCH fingerprinted. The pure-python replica predicts
+    the flagged set EXACTLY (signatures are deterministic), survivors and
+    flagged partition the batch, and undecodable new clips survive (null
+    signature never probes the index)."""
+    import pandas as pd
+
+    from kneaddata_spark.operators.audiodup import (
+        audio_band_table,
+        incremental_audio_screen,
+    )
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    corpus_pdf = gen_clips_pdf(40)[["clip_id", "bytes", "codec"]]
+    corpus = spark.createDataFrame(corpus_pdf).repartition(4)
+    index = audio_band_table(corpus)
+
+    reup = corpus_pdf.iloc[:12].copy()
+    reup["clip_id"] = "re_" + reup["clip_id"]
+    fresh = gen_clips_pdf(25, start=500)[["clip_id", "bytes", "codec"]]
+    batch_pdf = pd.concat([reup, fresh])
+    batch = spark.createDataFrame(batch_pdf).repartition(3)
+
+    survivors, flagged = incremental_audio_screen(batch, index, min_bands=12)
+    got_flagged = {r["clip_id"] for r in flagged.select("clip_id").collect()}
+    got_surv = {r["clip_id"] for r in survivors.select("clip_id").collect()}
+
+    corpus_bands = set()
+    for row in corpus_pdf.itertuples():
+        sig = _fp_replica(bytes(row.bytes), row.codec)
+        if sig is not None:
+            corpus_bands |= {(b, v) for b, v in enumerate(sig)}
+    want_flagged = set()
+    for row in batch_pdf.itertuples():
+        sig = _fp_replica(bytes(row.bytes), row.codec)
+        if sig is not None:
+            n = sum((b, v) in corpus_bands for b, v in enumerate(sig))
+            if n >= 12:
+                want_flagged.add(row.clip_id)
+    assert got_flagged == want_flagged
+    assert got_surv == set(batch_pdf["clip_id"]) - want_flagged
+    # the screen has real work on both sides
+    decodable_reups = {
+        row.clip_id
+        for row in reup.itertuples()
+        if _fp_replica(bytes(row.bytes), row.codec) is not None
+    }
+    assert decodable_reups <= got_flagged and len(decodable_reups) >= 6
+    assert len(got_surv) >= 15
