@@ -1562,3 +1562,40 @@ def test_incremental_audio_screen(spark):
     }
     assert decodable_reups <= got_flagged and len(decodable_reups) >= 6
     assert len(got_surv) >= 15
+
+
+def test_paragraph_dedup_random_corpora_vs_model(spark):
+    """Randomized-model check (seeded — deterministic): eight corpora with
+    vocab sizes tuned to force heavy/moderate/no paragraph collisions,
+    compared against a 15-line pure-python keep-first model. Locks the
+    exact (id, pos) tie order, empty-doc handling, and reassembly."""
+    import numpy as np
+
+    from kneaddata_spark.operators.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(4207)
+    for case in range(8):
+        vocab = [f"w{k}" for k in range(int(rng.integers(2, 30)))]
+        n_docs = int(rng.integers(1, 25))
+        w = int(rng.integers(2, 5))
+        rows = []
+        for d in range(n_docs):
+            n_tok = int(rng.integers(1, 30))
+            rows.append(
+                (d, " ".join(vocab[int(rng.integers(0, len(vocab)))] for _ in range(n_tok)))
+            )
+        # python model
+        seen, model = set(), {}
+        for d, text in rows:
+            toks = text.split(" ")
+            paras = [
+                " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+            ]
+            kept = [p for p in paras if p not in seen and not seen.add(p)]
+            model[d] = (" ".join(kept), len(kept), len(paras))
+        df = spark.createDataFrame(rows, "doc_id long, text string").repartition(3)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_total"])
+            for r in paragraph_dedup(df, window=w).collect()
+        }
+        assert got == model, f"case {case} (vocab={len(vocab)}, w={w})"

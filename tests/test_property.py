@@ -142,3 +142,51 @@ def test_codec_registry_python_decoder():
     finally:
         rules.VALID_CODECS = old_valid
         audio.CODECS.pop("s16be", None)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([0, 5, 200, 327, 328, 400, 8000, 32767, -32768, -328]),
+        min_size=0,
+        max_size=4000,
+    ),
+    st.sampled_from([0, 7, 8000, 16000, 44100]),
+)
+def test_vad_kernel_property(samples, sr):
+    """segment_samples (vectorized numpy run-length + merge) vs an
+    independent scalar re-derivation, on boundary-heavy inputs: energies
+    straddling VAD_ENERGY_MIN exactly, empty/short arrays, sr that yields
+    frame_len 0."""
+    from kneaddata_spark.operators.vad import segment_samples
+
+    x = np.asarray(samples, dtype=np.int16)
+    got = segment_samples(x, sr)
+
+    fl = sr * rules.VAD_FRAME_MS // 1000
+    if fl <= 0 or len(x) // fl == 0:
+        assert got == []
+        return
+    nf = len(x) // fl
+    speech = [
+        sum(abs(int(v)) for v in x[i * fl : (i + 1) * fl]) // fl
+        >= rules.VAD_ENERGY_MIN
+        for i in range(nf)
+    ]
+    runs, cur = [], None
+    for i, s in enumerate(speech):
+        if s and cur is None:
+            cur = i
+        if not s and cur is not None:
+            runs.append((cur, i))
+            cur = None
+    if cur is not None:
+        runs.append((cur, nf))
+    merged = []
+    for s, e in runs:
+        if merged and s - merged[-1][1] <= rules.VAD_MAX_GAP:
+            merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    want = [(s, e) for s, e in merged if e - s >= rules.VAD_MIN_FRAMES]
+    assert got == want
