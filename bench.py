@@ -73,6 +73,8 @@ HEADLINE = R3_SET + [
     "audio_dup_pairs",
     "paragraph_dedup",
     "vad_segments",
+    "length_buckets",
+    "leakage_safe_split",
 ]
 
 

@@ -203,3 +203,112 @@ def shard_shuffle(
         ((F.col("__r") - 1) % n_shards).cast("int").alias("shard"),
         F.expr(f"cast((__r - 1) div {n_shards} as int)").alias("pos"),
     )
+
+
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int,
+) -> DataFrame:
+    """Length-bucketed batching: global sort by (length, id), fixed-size
+    batches, per-batch padding-waste accounting — the batching step every
+    padded-training pipeline runs (audio models batch by clip duration,
+    LLM fine-tuning by sequence length) because batching UNSORTED data
+    pads every row to the global max: sorting first makes within-batch
+    lengths near-equal, collapsing pad waste by orders of magnitude.
+
+    Returns (batch_id, n_items, max_len, sum_len, pad_waste) where
+    pad_waste = n_items * max_len - sum_len — the exact number of padding
+    units (ms of silence, pad tokens) the batch costs. The trailing
+    partial batch is accounted with its real n_items. All integer
+    arithmetic; tie order pinned by (len, id) so the batch assignment is
+    a pure function of the data (retry-idempotent, oracle-exact).
+
+    Scale shape: the global order comes from pairs.global_rank (range
+    repartition + per-partition offsets — NO single-partition window, the
+    audit-enforced invariant), then one groupBy(batch_id) with map-side-
+    combined count/max/sum partials. Two data distributions total; batch
+    stats are ~rows/batch_size small.
+
+    Reference lineage: the reorder-then-emit contract
+    (utilities.py:63-106) with the emit order chosen to minimize padding
+    rather than restore input order.
+    """
+    from .pairs import global_rank
+
+    ranked = global_rank(
+        df.select(F.col(id_col), F.col(len_col)), [len_col, id_col], "__rk"
+    )
+    return (
+        ranked.withColumn(
+            "batch_id", F.expr(f"(__rk - 1) div {int(batch_size)}").cast("long")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.max(len_col).cast("long").alias("max_len"),
+            F.sum(len_col).cast("long").alias("sum_len"),
+        )
+        .withColumn(
+            "pad_waste",
+            (F.col("n_items") * F.col("max_len") - F.col("sum_len")).cast("long"),
+        )
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    weights: "tuple[int, ...]" = (8, 1, 1),
+    names: "tuple[str, ...]" = ("train", "val", "test"),
+    clusters: "DataFrame | None" = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment with the leakage rule: all
+    copies of the same content land in the SAME split (hashing each row's
+    own id would scatter a duplicated document across train AND test —
+    silent eval contamination). Every row hashes its GROUP CANONICAL id:
+    by default min(id) per exact-duplicate group (md5 of text — the
+    dedup_exact grouping); pass `clusters` = a (canonical_id, dup_id)
+    mapping (e.g. dup_clusters output over MinHash pairs) to widen the
+    closure to near-duplicates.
+
+    Split decision: det_hash(canonical) % sum(weights) against cumulative
+    weight boundaries — pure integer, retry-idempotent, oracle-exact, and
+    stable under corpus growth (a document's split never changes when
+    unrelated rows are added, unlike rank-based splits).
+
+    Scale shape: default path is one keyed window over md5(text) (hot key
+    = dup-group size, bounded like dedup_exact); clusters path is a
+    left join against the pair mapping (canonical side is the small
+    output of a dedup run — broadcastable in practice, left as an
+    equi-join so AQE decides).
+
+    Reference lineage: the seeded deterministic Bernoulli split
+    (db_preprocessing/downsample.py:8-32) with the sampling unit lifted
+    from row to duplicate group.
+    """
+    from .sampling import M32, det_hash
+
+    if len(weights) != len(names) or len(weights) < 2:
+        raise ValueError("weights and names must align, with >= 2 splits")
+    if clusters is None:
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        d = df.withColumn("__canon", F.min(id_col).over(w))
+    else:
+        m = clusters.select(
+            F.col("dup_id").alias(id_col), F.col("canonical_id").alias("__c")
+        )
+        d = df.join(m, id_col, "left").withColumn(
+            "__canon", F.coalesce("__c", F.col(id_col))
+        ).drop("__c")
+    total = int(sum(weights))
+    b = det_hash(F.col("__canon")) % total
+    expr, acc = None, 0
+    for wgt, nm in zip(weights[:-1], names[:-1]):
+        acc += int(wgt)
+        expr = (
+            F.when(b < acc, nm) if expr is None else expr.when(b < acc, nm)
+        )
+    return d.withColumn("split", expr.otherwise(names[-1])).drop("__canon")

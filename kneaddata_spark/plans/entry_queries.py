@@ -2040,6 +2040,60 @@ def audio_dup_pairs_q(spark, sf):
     return audio_dup_pairs(clips, min_bands=12)
 
 
+@q(
+    "leakage_safe_split",
+    f"""
+    WITH d AS ({_DOCS_DUPS_SQL}),
+    c AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END
+             AS split
+    FROM (SELECT doc_id,
+                 ((canon::BIGINT * 2654435761) % 4294967296) % 10 AS b
+          FROM c) q
+    """,
+)
+def leakage_safe_split_q(spark, sf):
+    """Leakage-safe train/val/test split (corpus.leakage_safe_split):
+    every row hashes its exact-dup group's canonical id, so the planted
+    byte-identical copies (doc_id+200000) provably land in the same split
+    as their originals. Integer Knuth-hash boundaries — oracle-exact."""
+    from ..operators.corpus import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs_with_dups(spark, sf), "doc_id", "text"
+    ).select("doc_id", "split")
+
+
+@q(
+    "length_buckets",
+    """
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk
+      FROM documents
+    )
+    SELECT rk // 32 AS batch_id,
+           count(*)::BIGINT AS n_items,
+           max(n_chars)::BIGINT AS max_len,
+           sum(n_chars)::BIGINT AS sum_len,
+           (count(*) * max(n_chars) - sum(n_chars))::BIGINT AS pad_waste
+    FROM r GROUP BY rk // 32
+    """,
+)
+def length_buckets_q(spark, sf):
+    """Length-bucketed batching (corpus.length_buckets): global (len, id)
+    sort via pairs.global_rank (no single-partition window), fixed batches
+    of 32, integer pad-waste accounting. The oracle's global row_number
+    window is fine IN DUCKDB — the no-global-window rule binds the engine
+    plan, which the audit checks."""
+    from ..operators.corpus import length_buckets
+
+    return length_buckets(_t(spark, sf, "documents"), "doc_id", "n_chars", 32)
+
+
 @q("vad_segments")
 def vad_segments_q(spark, sf):
     """Voice-activity segmentation (operators/vad): integer frame-energy

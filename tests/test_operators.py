@@ -1599,3 +1599,87 @@ def test_paragraph_dedup_random_corpora_vs_model(spark):
             for r in paragraph_dedup(df, window=w).collect()
         }
         assert got == model, f"case {case} (vocab={len(vocab)}, w={w})"
+
+
+def test_length_buckets_audio_batching(spark):
+    """The audio-training use: batch clips by duration. Exact python-model
+    parity (global (dur, id) sort, batches of 4, integer pad waste),
+    partition invariance, and the sorted-batching guarantee that total pad
+    waste is never worse than unsorted arrival-order batching."""
+    import numpy as np
+
+    from kneaddata_spark.operators.corpus import length_buckets
+
+    rng = np.random.default_rng(77)
+    rows = [(f"c{i:03d}", int(rng.integers(200, 40_000))) for i in range(103)]
+    df = spark.createDataFrame(rows, "clip_id string, dur_ms long")
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    model = {}
+    for b in range(0, len(order), 4):
+        batch = order[b : b + 4]
+        durs = [d for _, d in batch]
+        model[b // 4] = (
+            len(batch),
+            max(durs),
+            sum(durs),
+            len(batch) * max(durs) - sum(durs),
+        )
+    for n_part in (1, 6):
+        got = {
+            r["batch_id"]: (r["n_items"], r["max_len"], r["sum_len"], r["pad_waste"])
+            for r in length_buckets(
+                df.repartition(n_part), "clip_id", "dur_ms", 4
+            ).collect()
+        }
+        assert got == model
+    # sorted batching beats arrival-order batching on pad waste
+    unsorted_waste = 0
+    for b in range(0, len(rows), 4):
+        durs = [d for _, d in rows[b : b + 4]]
+        unsorted_waste += len(durs) * max(durs) - sum(durs)
+    assert sum(v[3] for v in model.values()) < unsorted_waste
+
+
+def test_leakage_safe_split(spark):
+    """The leakage rule: exact copies land in the same split (by md5
+    grouping); near-dups do too when a cluster mapping is supplied; split
+    fractions track the 8/1/1 weights; assignment is stable under corpus
+    growth (adding rows never moves an existing doc's split)."""
+    from kneaddata_spark.operators.corpus import leakage_safe_split
+
+    rows = [(i, f"unique text {i} {'x' * (i % 7)}") for i in range(300)]
+    dups = [(i + 10_000, rows[i][1]) for i in range(60)]  # exact copies
+    df = spark.createDataFrame(rows + dups, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(df, "doc_id").collect()
+    }
+    for i in range(60):
+        assert got[i + 10_000] == got[i]
+    frac = {s: sum(v == s for v in got.values()) / len(got) for s in set(got.values())}
+    assert 0.65 < frac["train"] < 0.95 and frac.get("val", 0) > 0.02
+
+    # near-dup closure via a cluster mapping
+    clusters = spark.createDataFrame(
+        [(0, 20_000), (1, 20_001)], "canonical_id long, dup_id long"
+    )
+    df2 = spark.createDataFrame(
+        rows + [(20_000, "almost the same as doc 0"), (20_001, "near of doc 1")],
+        "doc_id long, text string",
+    )
+    got2 = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(df2, "doc_id", clusters=clusters).collect()
+    }
+    assert got2[20_000] == got2[0] and got2[20_001] == got2[1]
+
+    # growth stability: the original 300 docs keep their split in df (which
+    # already contains extra rows) vs alone
+    alone = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            spark.createDataFrame(rows, "doc_id long, text string"), "doc_id"
+        ).collect()
+    }
+    assert all(alone[i] == got[i] for i in range(300))

@@ -45,3 +45,34 @@ def test_stream_retrigger_idempotent(spark, stream_dirs):
     q = stream_qc(spark, src, out, ckpt)  # same checkpoint: no new files
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_vad_matches_batch(spark, clips_path, tmp_path):
+    """vad_segments is stateless per clip, so it composes directly into a
+    Structured Streaming micro-batch plan: readStream over the same files
+    must emit exactly the batch segment set (the stream==batch contract
+    the QC pipeline holds, extended to the audio segmentation operator)."""
+    from kneaddata_spark.operators.vad import vad_segments
+
+    src = str(tmp_path / "vad_in")
+    spark.read.parquet(clips_path).repartition(3).write.mode("overwrite").parquet(src)
+    batch_df = spark.read.parquet(src)
+    want = sorted(
+        (r["clip_id"], r["seg_idx"], r["start_ms"], r["end_ms"], r["n_frames"])
+        for r in vad_segments(batch_df).collect()
+    )
+    out = str(tmp_path / "vad_out")
+    q = (
+        vad_segments(spark.readStream.schema(batch_df.schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "vad_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["clip_id"], r["seg_idx"], r["start_ms"], r["end_ms"], r["n_frames"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == want and len(want) > 50

@@ -69,6 +69,13 @@ AUDIT = [
     # r4c: VAD — one Arrow decode stage, ZERO shuffles (embarrassingly
     # parallel segment explode); same nondeterministic-UDF pin as audiodup
     ("vad_segments", {"max_exchanges": 0, "arrow_only": True}),
+    # r4c: length-bucketed batching — global_rank (range sort + offsets,
+    # no single-partition window: the scalar/global-window sweeps enforce
+    # that) + one batch-keyed agg, pure JVM
+    ("length_buckets", {"no_python": True, "broadcast_join": True}),
+    # r4c: leakage-safe split — one keyed window over md5(text) (dup-group
+    # bounded), integer hash split, pure JVM
+    ("leakage_safe_split", {"no_python": True, "max_exchanges": 1}),
 ]
 
 
