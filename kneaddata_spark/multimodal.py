@@ -256,6 +256,84 @@ def extract_image_features(df: DataFrame, strict: bool = False) -> DataFrame:
     return df.mapInPandas(image_feature_stage(strict=strict), schema=IMAGE_FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id string, mime string, orig_w int, orig_h int, "
+    "new_w int, new_h int, resized_crc bigint, resized_mean double"
+)
+
+
+def resize_nn(px: np.ndarray, target: int) -> np.ndarray:
+    """Nearest-neighbor downsample so max(h, w) == min(target, max(h, w)),
+    aspect preserved; integer index arithmetic only (idx = i*src // dst —
+    deterministic across platforms, no float rounding). Never upsamples."""
+    h, w = px.shape[0], px.shape[1]
+    m = max(h, w)
+    if m <= target:
+        return px
+    nh = max(1, h * target // m)
+    nw = max(1, w * target // m)
+    ri = (np.arange(nh, dtype=np.int64) * h) // nh
+    ci = (np.arange(nw, dtype=np.int64) * w) // nw
+    return px[ri][:, ci]
+
+
+def resize_stage(target: int = 32, strict: bool = False):
+    """mapInPandas body: decode registered mimes (IMAGE_DECODERS — the real
+    BMP kernel ships) and emit the nearest-neighbor thumbnail's dims, crc,
+    and mean — the resize step of the decode/resize/feature-extract trio.
+    The thumbnail BYTES stay in Python (the no-binary-Python->JVM
+    invariant): downstream consumers key on (media_id, resized_crc) and
+    re-derive pixels from the stored original, which is how a production
+    pipeline avoids writing a second multi-TB binary column. Unregistered
+    mimes emit NULL dims under strict=False or raise under strict=True
+    (the marked missing-kernel mode, same contract as image_feature_stage).
+    """
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mime, b in zip(pdf["media_id"], pdf["mime"], pdf["bytes"]):
+                decode = IMAGE_DECODERS.get(mime)
+                try:
+                    px = decode(bytes(b)) if (decode is not None and b is not None) else None
+                except Exception:
+                    px = None
+                if px is None:
+                    if strict:
+                        raise NotImplementedError(
+                            f"no registered image decoder for mime={mime!r}; "
+                            f"register_image_decoder() or run strict=False"
+                        )
+                    rows.append((mid, mime, None, None, None, None, None, None))
+                    continue
+                t = resize_nn(px, target)
+                rows.append(
+                    (
+                        mid,
+                        mime,
+                        px.shape[1],
+                        px.shape[0],
+                        t.shape[1],
+                        t.shape[0],
+                        zlib.crc32(np.ascontiguousarray(t).tobytes()),
+                        float(t.astype(np.float64).mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "mime", "orig_w", "orig_h",
+                    "new_w", "new_h", "resized_crc", "resized_mean",
+                ],
+            )
+
+    return stage
+
+
+def resize_images(df: DataFrame, target: int = 32, strict: bool = False) -> DataFrame:
+    return df.mapInPandas(resize_stage(target=target, strict=strict), schema=RESIZE_SCHEMA)
+
+
 def frame_sample_stage(
     every_n_bytes: int = 1024, strict: bool = False, every_n_frames: int = 1
 ):

@@ -207,6 +207,7 @@ def ann_ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 13,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors with KMeans
     (n_lists centroids, seeded -> deterministic), assign each vector to its
@@ -214,14 +215,21 @@ def ann_ivf_topk(
     nearest lists. The scale path: the centroid model is tiny (broadcast
     via the ML transform); the candidate join is an equi-join on list id
     (shuffle bounded by candidate lists), never a cross join. Recall tunes
-    with n_probe; n_lists ~ sqrt(corpus) at scale."""
+    with n_probe; n_lists ~ sqrt(corpus) at scale.
+
+    max_iter defaults to 8: a COARSE quantizer does not need a converged
+    clustering — k-means|| init is already centroid-quality, every extra
+    Lloyd iteration costs two full-data jobs, and recall is governed by
+    n_probe, not centroid polish (at 100 TB the fit runs on a SAMPLE and
+    the transform streams — the deterministic-assignment property that
+    the identical-vector oracle depends on holds for ANY centroids)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     dense = _with_norm(vectors, id_col, vec_col, "nbr_id", "nbr_vec", "nbr_n").withColumn(
         "features", array_to_vector(F.col("nbr_vec").cast("array<double>"))
     )
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(dense.select("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(dense.select("features"))
     centers = km.clusterCenters()
 
     lists = km.transform(dense).select(

@@ -381,3 +381,42 @@ def test_sample_frames_strict_raises_only_without_kernel(spark):
         mp4_df.mapInPandas(
             frame_sample_stage(strict=True), schema=FRAME_SAMPLE_SCHEMA
         ).collect()
+
+
+def test_resize_stage_real_bmp(spark):
+    """Real-kernel resize: a 10x6 gradient BMP downsampled to max-dim 4
+    matches the integer nearest-neighbor replica pixel-for-pixel (crc +
+    mean over exact expected pixels); small images pass through unscaled;
+    unregistered mimes emit NULL dims (and raise under strict=True)."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from kneaddata_spark.multimodal import resize_images, resize_nn
+
+    px = (np.arange(10 * 6 * 3, dtype=np.uint32) * 7 % 256).astype(np.uint8).reshape(10, 6, 3)
+    small = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+    rows = [
+        ("a", bytearray(make_bmp(px)), "image/bmp"),
+        ("b", bytearray(make_bmp(small)), "image/bmp"),
+        ("c", bytearray(b"\x89PNG fake"), "image/png"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary, mime string")
+    got = {r["media_id"]: r.asDict() for r in resize_images(df, target=4).collect()}
+
+    # independent replica of the integer NN rule for the 10x6 -> 4x2 case
+    ri = (np.arange(4, dtype=np.int64) * 10) // 4
+    ci = (np.arange(2, dtype=np.int64) * 6) // 2
+    want = px[ri][:, ci]
+    assert (got["a"]["new_h"], got["a"]["new_w"]) == (4, 2)
+    assert got["a"]["resized_crc"] == zlib.crc32(np.ascontiguousarray(want).tobytes())
+    assert got["a"]["resized_mean"] == float(want.astype(np.float64).mean())
+    assert resize_nn(px, 4).tolist() == want.tolist()
+    # small image passes through
+    assert (got["b"]["new_h"], got["b"]["new_w"]) == (2, 3)
+    assert got["b"]["resized_crc"] == zlib.crc32(np.ascontiguousarray(small).tobytes())
+    # unregistered mime: NULL dims (lenient) / raise (strict)
+    assert got["c"]["new_w"] is None and got["c"]["resized_crc"] is None
+    with pytest.raises(Exception):
+        resize_images(df, target=4, strict=True).collect()
