@@ -289,7 +289,7 @@ def leakage_safe_split(
     (db_preprocessing/downsample.py:8-32) with the sampling unit lifted
     from row to duplicate group.
     """
-    from .sampling import M32, det_hash
+    from .sampling import det_hash
 
     if len(weights) != len(names) or len(weights) < 2:
         raise ValueError("weights and names must align, with >= 2 splits")
@@ -304,7 +304,17 @@ def leakage_safe_split(
             "__canon", F.coalesce("__c", F.col(id_col))
         ).drop("__c")
     total = int(sum(weights))
-    b = det_hash(F.col("__canon")) % total
+    # integer ids feed det_hash directly (pure integer arithmetic — the
+    # DuckDB oracle reproduces it exactly); string ids are first reduced
+    # with xxhash64 (engine-deterministic; an oracle over string ids would
+    # need the portable string hash instead — document at the call site)
+    if dict(df.dtypes).get(id_col) in ("tinyint", "smallint", "int", "bigint"):
+        key = F.col("__canon").cast("long")
+    else:
+        # 2^31 cap keeps key * KNUTH inside int64 under ANSI (det_hash's
+        # own callers pass small integer ids; xxhash64 spans all of int64)
+        key = F.pmod(F.xxhash64(F.col("__canon")), F.lit(1 << 31)).cast("long")
+    b = det_hash(key) % total
     expr, acc = None, 0
     for wgt, nm in zip(weights[:-1], names[:-1]):
         acc += int(wgt)

@@ -197,3 +197,47 @@ def test_write_repartition_balance(spark, clips_path):
     assert len(by_hash) == 8 and max(by_hash) <= 1.5 * mean, by_hash
     by_codec = sizes(df.repartition(8, "codec"))
     assert max(by_codec) >= 2 * mean, by_codec  # the skew the salt avoids
+
+
+def test_audio_training_pipeline_composition(spark, clips_path, tmp_path):
+    """The audio-axis assembly line end-to-end: QC (keep/trim) -> VAD
+    segmentation of the KEPT clips -> length-bucketed batching of the
+    segments -> leakage-safe split keyed by segment text identity. Checks
+    the contracts compose: every segment comes from a kept clip, batches
+    partition the segments exactly, dur accounting is consistent, and the
+    split never separates clips sharing a transcript (the dup axis the
+    split guards)."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.corpus import leakage_safe_split, length_buckets
+    from kneaddata_spark.operators.vad import vad_segments
+    from kneaddata_spark.pipeline import run_qc
+
+    res = run_qc(spark, spark.read.parquet(clips_path), str(tmp_path / "qc"))
+    kept = spark.read.parquet(res.out_path).where("status = 'kept'")
+    n_kept = kept.count()
+    assert n_kept > 50
+
+    segs = vad_segments(kept)
+    seg_rows = segs.collect()
+    assert len(seg_rows) >= n_kept // 2
+    kept_ids = {r["clip_id"] for r in kept.select("clip_id").collect()}
+    assert {r["clip_id"] for r in seg_rows} <= kept_ids
+
+    seg_tbl = segs.withColumn(
+        "seg_id", F.concat_ws("#", "clip_id", F.col("seg_idx").cast("string"))
+    ).withColumn("dur", F.col("end_ms") - F.col("start_ms"))
+    batches = length_buckets(seg_tbl, "seg_id", "dur", 8).collect()
+    assert sum(r["n_items"] for r in batches) == len(seg_rows)
+    assert all(r["pad_waste"] >= 0 for r in batches)
+
+    split = leakage_safe_split(
+        kept.select("clip_id", "transcript"), "clip_id", "transcript"
+    )
+    per_transcript = (
+        split.groupBy("transcript")
+        .agg(F.countDistinct("split").alias("k"))
+        .agg(F.max("k"))
+        .collect()[0][0]
+    )
+    assert per_transcript == 1
