@@ -75,6 +75,7 @@ HEADLINE = R3_SET + [
     "vad_segments",
     "length_buckets",
     "leakage_safe_split",
+    "substring_dup_pairs",
 ]
 
 

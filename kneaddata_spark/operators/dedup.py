@@ -710,3 +710,78 @@ def paragraph_dedup(
             "n_total",
         )
     )
+
+
+def substring_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: "int | str" = "auto",
+) -> DataFrame:
+    """Intra-corpus SUBSTRING-level near-dup pairs: (id_a, id_b, n_shared)
+    for document pairs sharing >= min_shared distinct winnowing
+    fingerprint values — the self-join counterpart of
+    decontaminate_substrings, and the granularity n-gram MinHash misses
+    (a long passage pasted into an otherwise-unrelated document moves
+    whole-document Jaccard barely, but shares every fingerprint in the
+    pasted run; winnowing guarantees a shared value for any shared run of
+    >= k + window - 1 tokens, robust to edits shifting gram boundaries).
+
+    Scale shape (the audiodup screen, value-keyed): distinct (id, fp) rows
+    persisted once, a count-per-fp guard (count IS map-side combinable, so
+    unlike the collect-style shingle guard no salting is needed) dropping
+    values in more docs than max(AUTO_DF_MIN, n_docs div AUTO_DF_DIV)
+    under max_df='auto' — corpus-boilerplate phrases carry no pairing
+    signal and are the quadratic hot keys; the hot list is broadcastable
+    by the word_shingles argument (|hot| <= fp_rows/ceiling, corpus-size
+    independent, with n_docs entering the plan as a broadcast 1-row
+    frame). Then bucket-collect pair expansion (one scan, each pair once
+    per shared value) and a keyed count >= min_shared; pair fan-out is
+    bounded by ceiling^2 per fingerprint value.
+
+    Reference lineage: the TRF repeat screen's role (run.py:452-480) —
+    flag sequences sharing long exact runs — executed corpus-vs-itself.
+    """
+    from .textstats import winnowing_fingerprints
+
+    fp = (
+        winnowing_fingerprints(corpus, id_col, text_col, k, window)
+        .select(F.col(id_col).alias("id"), "fp")
+        .distinct()
+    )
+    fp = persist_tracked(fp)
+    dfc = fp.groupBy("fp").agg(F.count("*").alias("__df"))
+    if max_df == "auto":
+        n_docs = corpus.select(F.count("*").alias("__nd"))
+        ceiling = F.greatest(
+            F.lit(AUTO_DF_MIN), F.expr(f"__nd div {AUTO_DF_DIV}")
+        )
+        hot = dfc.crossJoin(F.broadcast(n_docs)).where(F.col("__df") > ceiling)
+    else:
+        hot = dfc.where(F.col("__df") > int(max_df))
+    hot = hot.select("fp")
+    kept = fp.join(F.broadcast(hot), "fp", "left_anti")
+    buckets = (
+        kept.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x as id_a, y as id_b)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -2041,6 +2041,34 @@ def audio_dup_pairs_q(spark, sf):
 
 
 @q(
+    "substring_dup_pairs",
+    f"""
+    WITH d AS ({_DOCS_DUPS_SQL}),
+    f AS (SELECT DISTINCT doc_id, fp FROM ({_winnow_sql("d")})),
+    cnt AS (SELECT fp, count(*)::BIGINT AS dfq FROM f GROUP BY fp),
+    ok AS (SELECT fp FROM cnt
+           WHERE dfq <= greatest(5, (SELECT count(*) FROM d) // 100)),
+    g AS (SELECT doc_id, fp FROM f WHERE fp IN (SELECT fp FROM ok))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+    FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def substring_dup_pairs_q(spark, sf):
+    """Intra-corpus substring-level near-dup pairs
+    (dedup.substring_dup_pairs): planted near-dups (' tail extra') share
+    almost every winnowing fingerprint with their originals, so every
+    planted pair must surface; the auto df guard (ceiling = max(5,
+    n_docs div 100), n_docs as a broadcast 1-row frame) drops
+    corpus-boilerplate values exactly like the oracle's correlated
+    count."""
+    from ..operators.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(_docs_with_dups(spark, sf), "doc_id", "text")
+
+
+@q(
     "leakage_safe_split",
     f"""
     WITH d AS ({_DOCS_DUPS_SQL}),

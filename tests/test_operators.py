@@ -1683,3 +1683,53 @@ def test_leakage_safe_split(spark):
         ).collect()
     }
     assert all(alone[i] == got[i] for i in range(300))
+
+
+def test_substring_dup_pairs_paste_and_boilerplate(spark):
+    """The substring granularity MinHash misses: two long UNRELATED docs
+    sharing one pasted 14-token passage pair up (winnowing guarantees a
+    shared fingerprint for runs >= k + window - 1 = 7 tokens), while a
+    short boilerplate phrase present in EVERY doc is df-guarded and pairs
+    nothing. Engine pairs == a pure within-python expectation built from
+    the engine's own fingerprint frame (the pair-expansion logic under
+    test, not the hash)."""
+    import numpy as np
+
+    from kneaddata_spark.operators.dedup import substring_dup_pairs
+    from kneaddata_spark.operators.textstats import winnowing_fingerprints
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(500)]
+    paste = " ".join(vocab[200 + i] for i in range(14))
+    banner = "subscribe to our newsletter today"
+    rows = []
+    for i in range(30):
+        body = " ".join(vocab[int(rng.integers(0, 200))] for _ in range(40))
+        text = f"{banner} {body}"
+        if i in (3, 17):  # the pasted passage lands in two unrelated docs
+            text = f"{text} {paste}"
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in substring_dup_pairs(df, min_shared=2).collect()
+    }
+    assert (3, 17) in got and got[(3, 17)] >= 2
+
+    # expectation from the fingerprint frame itself (df guard replicated)
+    fps = winnowing_fingerprints(df, "doc_id", "text").select("doc_id", "fp").distinct().collect()
+    from collections import Counter, defaultdict
+
+    dfc = Counter(r["fp"] for r in fps)
+    ceiling = max(5, len(rows) // 100)
+    docs_by_fp = defaultdict(set)
+    for r in fps:
+        if dfc[r["fp"]] <= ceiling:
+            docs_by_fp[r["fp"]].add(r["doc_id"])
+    want = Counter()
+    for ids in docs_by_fp.values():
+        s = sorted(ids)
+        for x in range(len(s)):
+            for y in range(x + 1, len(s)):
+                want[(s[x], s[y])] += 1
+    assert got == {p: n for p, n in want.items() if n >= 2}

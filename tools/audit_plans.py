@@ -76,6 +76,9 @@ AUDIT = [
     # r4c: leakage-safe split — one keyed window over md5(text) (dup-group
     # bounded), integer hash split, pure JVM
     ("leakage_safe_split", {"no_python": True, "max_exchanges": 1}),
+    # r4c: substring dup pairs — fp frame persisted once, broadcast df
+    # guard, bucket-collect pair expansion; pure JVM
+    ("substring_dup_pairs", {"no_python": True, "broadcast_join": True}),
 ]
 
 
