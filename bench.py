@@ -76,6 +76,10 @@ HEADLINE = R3_SET + [
     "length_buckets",
     "leakage_safe_split",
     "substring_dup_pairs",
+    "snapshot_diff",
+    "speech_rate_screen",
+    "threshold_sweep",
+    "normalized_dedup",
 ]
 
 

@@ -170,3 +170,23 @@ def scrub_col(col: Column) -> Column:
     for pat, repl in rules.SCRUB_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def normalize_col(col: Column) -> Column:
+    """CCNet-style dedup normalization: lowercase, strip every
+    non-alphanumeric character except whitespace, collapse whitespace
+    runs, trim. Exact dedup over THIS value catches the
+    case/punctuation/spacing variants that raw-md5 dedup misses (the
+    dominant near-dup class in web text) at exact-dedup cost — no
+    shingling, no LSH. Pure JVM Column algebra; the DuckDB oracle
+    replays the same regex pipeline (RE2 needs the explicit 'g' flag
+    where Java replaces globally by default).
+
+    Deliberately NOT applied to the stored text: dedup keys on the
+    normalized form, emission keeps the original bytes (the reference's
+    rule for FASTQ identity, SURVEY §2.6, applied to text payloads).
+    """
+    out = F.lower(col)
+    out = F.regexp_replace(out, r"[^a-z0-9\s]", "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)

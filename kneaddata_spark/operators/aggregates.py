@@ -133,3 +133,54 @@ def rollup_lattice(
             cur.select(F.lit(g).alias("grain"), "bucket", *key_cols, "n", "v")
         )
     return out
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    max_buckets: int = 10_000,
+) -> DataFrame:
+    """Filter-calibration curve: for every observed integer score value
+    t, how many rows have score >= t (and what keep-fraction that
+    cutoff implies, in permille). This is the table a pipeline operator
+    reads to CHOOSE a quality/length/perplexity threshold — sweep once,
+    pick the cutoff that keeps the target fraction — instead of
+    re-running the filter per candidate value.
+
+    score_col must be a bounded-cardinality integer (a bucketed score:
+    length div 100, ppl permille, cps_centi div 10 ...) — enforced by
+    max_buckets, because the sweep's cost is quadratic in DISTINCT
+    scores, not in rows.
+
+    Scale shape: one map-side-combinable groupBy(score) reduces the
+    corpus to <= max_buckets rows; the cumulative count is then a
+    broadcast >=-self-join over that TINY frame (bounded by
+    max_buckets^2 pairs, corpus-size independent) — NOT a running-total
+    window, which would be a single-partition global Window (banned by
+    the plan audit; same reasoning as pairs.global_rank). keep_permille
+    uses integer div so the DuckDB oracle matches bit-for-bit.
+    """
+    counts = persist_tracked(
+        df.groupBy(F.col(score_col).cast("long").alias("threshold")).agg(
+            F.count("*").cast("long").alias("n_at")
+        )
+    )
+    n_buckets = counts.limit(max_buckets + 1).count()
+    if n_buckets > max_buckets:
+        raise ValueError(
+            f"{score_col} has > {max_buckets} distinct values — bucket the "
+            "score first (the sweep is quadratic in distinct scores)"
+        )
+    tot = counts.groupBy().agg(F.sum("n_at").alias("__total"))
+    c = counts.select(F.col("threshold").alias("__t2"), F.col("n_at").alias("__n2"))
+    return (
+        counts.join(F.broadcast(c), F.col("__t2") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.sum("__n2").cast("long").alias("n_kept"))
+        .join(F.broadcast(tot))
+        .select(
+            "threshold",
+            "n_kept",
+            F.expr("(n_kept * 1000L) div __total").alias("keep_permille"),
+        )
+    )

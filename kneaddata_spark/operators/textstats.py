@@ -426,3 +426,51 @@ def importance_weights(
         "score",
         (F.col("score") > 0).cast("int").alias("keep"),
     )
+
+
+def speech_rate_screen(
+    df: DataFrame,
+    id_col: str = "clip_id",
+    text_col: str = "transcript",
+    dur_col: str = "dur_ms",
+    min_cps_centi: int = 300,
+    max_cps_centi: int = 3000,
+) -> DataFrame:
+    """Transcript/audio COHERENCE screen: characters-per-second outside
+    [min, max] marks a clip whose transcript cannot plausibly belong to
+    its audio — the cross-modal QC rule ASR-data pipelines run after
+    per-modality checks pass (a 2 s clip with a 400-char transcript is a
+    mis-alignment or hallucinated transcript; a 30 s clip with 4 chars
+    is music/silence mislabeled as speech). Human speech sits around
+    10-18 chars/s for alphabetic languages; the defaults (3-30 cps)
+    bracket that generously.
+
+    Pure integer arithmetic end-to-end (the cross-engine determinism
+    rule): cps_centi = n_chars * 100000 div dur_ms (chars/sec x 100,
+    truncated — Spark `div` == DuckDB `//`), and the verdict compares
+    cps_centi against integer bounds. Zero shuffles, zero Python — a
+    row-local projection that fuses into whatever scan precedes it.
+
+    Reference lineage: the paired length/quality coherence checks
+    (run.py:318-341 MINLEN after trimming — a duration-vs-content rule)
+    generalized across modalities.
+    """
+    n_chars = F.length(F.col(text_col)).cast("long")
+    # the div is INSIDE the zero-guard CASE: ANSI mode raises on a plain
+    # div-by-zero even for rows the verdict would discard anyway
+    cps_centi = F.expr(
+        f"CASE WHEN {dur_col} > 0"
+        f" THEN (length({text_col}) * 100000L) div {dur_col} END"
+    )
+    keep = (
+        (F.col(dur_col) > 0)
+        & (cps_centi >= F.lit(int(min_cps_centi)))
+        & (cps_centi <= F.lit(int(max_cps_centi)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        F.col(dur_col).cast("long").alias("dur_ms"),
+        cps_centi.alias("cps_centi"),
+        F.coalesce(keep, F.lit(False)).cast("int").alias("keep"),
+    )

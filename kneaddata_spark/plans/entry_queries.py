@@ -2180,6 +2180,171 @@ def paragraph_dedup_q(spark, sf):
     return paragraph_dedup(_t(spark, sf, "documents"), "doc_id", "text", window=3)
 
 
+# The deterministic "next crawl" snapshot both engines derive from
+# documents: drop ids = 3 (mod 17), edit text on ids = 5 (mod 13),
+# add fresh ids (+300000 for doc_id < 25) — every change kind present.
+_SNAPSHOT_NEW_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 3
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id < 25
+"""
+
+
+@q(
+    "snapshot_diff",
+    f"""
+    WITH oldt AS (SELECT doc_id, text FROM documents),
+    newt AS ({_SNAPSHOT_NEW_SQL})
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR md5(o.text) <> md5(n.text)
+    """,
+)
+def snapshot_diff_q(spark, sf):
+    """Corpus snapshot delta (delta.snapshot_diff): old = documents, new
+    = a deterministic perturbation (drops, edits, additions). Both sides
+    reduce to (id, md5) before the full-outer join, so only ids + hashes
+    shuffle; unchanged rows — the 100 TB majority — never emit."""
+    from ..operators.delta import snapshot_diff
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    mod = d.where("doc_id % 17 != 3").select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END").alias(
+            "text"
+        ),
+    )
+    added = d.where("doc_id < 25").select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return snapshot_diff(d, mod.unionByName(added), "doc_id", ("text",))
+
+
+@q(
+    "speech_rate_screen",
+    """
+    WITH c AS (
+      SELECT doc_id AS clip_id,
+             substring(text, 1,
+               (40 + ((doc_id * 2654435761) % 4294967296) % 160)::INT)
+               AS transcript,
+             (400 + (((doc_id + 7) * 2654435761) % 4294967296) % 19600)::BIGINT
+               AS dur_ms
+      FROM documents
+    )
+    SELECT clip_id,
+           length(transcript)::BIGINT AS n_chars,
+           dur_ms,
+           ((length(transcript) * 100000) // dur_ms)::BIGINT AS cps_centi,
+           CASE WHEN dur_ms > 0
+                 AND (length(transcript) * 100000) // dur_ms BETWEEN 300 AND 3000
+                THEN 1 ELSE 0 END AS keep
+    FROM c
+    """,
+)
+def speech_rate_screen_q(spark, sf):
+    """Transcript/audio coherence screen (textstats.speech_rate_screen):
+    chars-per-second outside [3, 30] cps flags mis-aligned transcripts.
+    The clip frame is derived deterministically from documents on BOTH
+    engines (Knuth-hash transcript length 40-200 chars, duration
+    0.4-20 s), so verdicts span keep AND both drop directions. Integer
+    cps (div/`//`) end-to-end — oracle-exact."""
+    from ..operators.textstats import speech_rate_screen
+
+    c = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("clip_id"),
+        F.expr(
+            "substring(text, 1,"
+            " cast(40 + ((doc_id * 2654435761L) % 4294967296L) % 160 as int))"
+        ).alias("transcript"),
+        F.expr(
+            "cast(400 + (((doc_id + 7) * 2654435761L) % 4294967296L) % 19600 as bigint)"
+        ).alias("dur_ms"),
+    )
+    return speech_rate_screen(c, "clip_id", "transcript", "dur_ms", 300, 3000)
+
+
+@q(
+    "threshold_sweep",
+    """
+    WITH s AS (SELECT least(n_chars // 100, 50)::BIGINT AS threshold
+               FROM documents),
+    c AS (SELECT threshold, count(*)::BIGINT AS n_at FROM s GROUP BY threshold),
+    k AS (SELECT threshold,
+                 sum(n_at) OVER (ORDER BY threshold DESC)::BIGINT AS n_kept
+          FROM c)
+    SELECT threshold, n_kept,
+           ((n_kept * 1000) // (SELECT sum(n_at)::BIGINT FROM c))::BIGINT
+             AS keep_permille
+    FROM k
+    """,
+)
+def threshold_sweep_q(spark, sf):
+    """Min-length filter calibration (aggregates.threshold_sweep): for
+    each observed length bucket (n_chars div 100, capped at 50), how many
+    docs survive a >= cutoff there and the implied keep-permille. The
+    engine's cumulative count is a broadcast >=-self-join over the tiny
+    bucket frame — NOT a global running-total window (audit rule); the
+    oracle's DESC window cumsum is the same number."""
+    from ..operators.aggregates import threshold_sweep
+
+    scored = _t(spark, sf, "documents").select(
+        F.expr("least(n_chars div 100, 50L)").alias("len_bucket")
+    )
+    return threshold_sweep(scored, "len_bucket")
+
+
+@q(
+    "normalized_dedup",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id, upper(text) AS text
+      FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text || ' !!!' AS text
+      FROM documents WHERE doc_id >= 30 AND doc_id < 50
+    ),
+    n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+      FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+                THEN 1 ELSE 0 END AS keep,
+           min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+           count(*) OVER (PARTITION BY h)::BIGINT AS n_copies
+    FROM n
+    """,
+)
+def normalized_dedup_q(spark, sf):
+    """Normalization-keyed exact dedup (dedup.normalized_dedup): planted
+    SHOUTED copies (upper, +400000) and punctuation-tail variants
+    (' !!!', +500000) — invisible to raw-md5 dedup_exact — collapse onto
+    their originals under the lower/strip-punct/collapse-space key. The
+    oracle replays the identical regex pipeline (RE2 'g' flag == Java
+    global default; corpus is ASCII so lower() agrees byte-for-byte)."""
+    from ..operators.dedup import normalized_dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    shout = d.where("doc_id < 30").select(
+        (F.col("doc_id") + 400000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    punct = d.where("doc_id >= 30 and doc_id < 50").select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" !!!")).alias("text"),
+    )
+    return normalized_dedup(d.unionByName(shout).unionByName(punct), "doc_id", "text")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -1733,3 +1733,108 @@ def test_substring_dup_pairs_paste_and_boilerplate(spark):
             for y in range(x + 1, len(s)):
                 want[(s[x], s[y])] += 1
     assert got == {p: n for p, n in want.items() if n >= 2}
+
+
+def test_snapshot_diff_classification(spark):
+    """Every change kind classified; unchanged rows suppressed by
+    default; multi-column payload hashes respect the column separator
+    (a payload split ambiguity would alias ('ab','c') with ('a','bc'))."""
+    from kneaddata_spark.operators.delta import snapshot_diff, snapshot_diff_counts
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z"), (4, "ab", "c")],
+        "doc_id long, t1 string, t2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "y"), (5, "n", "w"), (4, "a", "bc")],
+        "doc_id long, t1 string, t2 string",
+    )
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(old, new, "doc_id", ("t1", "t2")).collect()
+    }
+    # id 4: ('ab','c') vs ('a','bc') MUST be changed, not unchanged
+    assert got == {2: "changed", 3: "removed", 5: "added", 4: "changed"}
+    counts = {
+        r["change"]: r["n"]
+        for r in snapshot_diff_counts(old, new, "doc_id", ("t1", "t2")).collect()
+    }
+    assert counts == {"added": 1, "removed": 1, "changed": 2, "unchanged": 1}
+
+
+def test_speech_rate_screen_bounds(spark):
+    """Keep iff cps_centi in [min,max] with integer truncation; zero/NULL
+    duration drops with NULL cps. Bound edges: 60 chars in 20.0s = 300
+    cps_centi keeps (inclusive); 60 chars in 20.001s truncates to 299 and
+    drops."""
+    from kneaddata_spark.operators.textstats import speech_rate_screen
+
+    rows = [
+        ("keep_mid", "x" * 140, 10_000),   # 14 cps -> 1400
+        ("too_fast", "x" * 400, 2_000),    # 200 cps -> 20000
+        ("too_slow", "x" * 4, 30_000),     # 0.13 cps -> 13
+        ("edge_in", "x" * 60, 20_000),     # exactly 300
+        ("edge_out", "x" * 60, 20_001),    # 299 (truncated)
+        ("zero_dur", "x" * 50, 0),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string, dur_ms long")
+    got = {r["clip_id"]: r for r in speech_rate_screen(df).collect()}
+    assert {k: v["keep"] for k, v in got.items()} == {
+        "keep_mid": 1, "too_fast": 0, "too_slow": 0,
+        "edge_in": 1, "edge_out": 0, "zero_dur": 0,
+    }
+    assert got["edge_in"]["cps_centi"] == 300
+    assert got["edge_out"]["cps_centi"] == 299
+    assert got["zero_dur"]["cps_centi"] is None
+
+
+def test_threshold_sweep_replica_and_guard(spark):
+    """Sweep equals a python cumulative model on a skewed score set, and
+    the distinct-score guard raises instead of going quadratic."""
+    import pytest as _pytest
+
+    from kneaddata_spark.operators.aggregates import threshold_sweep
+
+    scores = [0] * 5 + [1] * 3 + [3] * 7 + [9] * 2
+    df = spark.createDataFrame([(s,) for s in scores], "s long")
+    got = {
+        r["threshold"]: (r["n_kept"], r["keep_permille"])
+        for r in threshold_sweep(df, "s").collect()
+    }
+    total = len(scores)
+    want = {
+        t: (
+            sum(1 for s in scores if s >= t),
+            sum(1 for s in scores if s >= t) * 1000 // total,
+        )
+        for t in set(scores)
+    }
+    assert got == want
+    wide = spark.range(0, 500).selectExpr("id as s")
+    with _pytest.raises(ValueError, match="distinct"):
+        threshold_sweep(wide, "s", max_buckets=100).collect()
+
+
+def test_normalized_dedup_variants_collapse(spark):
+    """Case / punctuation / whitespace variants collapse onto the
+    original (keep=0, canonical=original); distinct texts keep; raw
+    dedup_exact misses every planted variant (the operator's reason to
+    exist)."""
+    from kneaddata_spark.operators.dedup import dedup_exact, normalized_dedup
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "THE QUICK BROWN FOX!!"),
+        (3, "  the   quick brown... fox  "),
+        (4, "a different document"),
+        (5, "A different, document?"),
+        (6, "entirely unrelated text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalized_dedup(df).collect()}
+    assert [got[i]["keep"] for i in range(1, 7)] == [1, 0, 0, 1, 0, 1]
+    assert got[2]["canonical_id"] == 1 and got[3]["canonical_id"] == 1
+    assert got[5]["canonical_id"] == 4
+    assert got[1]["n_copies"] == 3 and got[4]["n_copies"] == 2 and got[6]["n_copies"] == 1
+    # raw exact dedup keeps all 6 — none of the variants are byte-equal
+    assert dedup_exact(df, "doc_id", "text").count() == 6

@@ -79,6 +79,19 @@ AUDIT = [
     # r4c: substring dup pairs — fp frame persisted once, broadcast df
     # guard, bucket-collect pair expansion; pure JVM
     ("substring_dup_pairs", {"no_python": True, "broadcast_join": True}),
+    # r4d: snapshot diff — both sides reduce to (id, md5) pre-join, so
+    # the full-outer SMJ shuffles ids+hashes only (one exchange per side;
+    # bucketed snapshots would drop both)
+    ("snapshot_diff", {"no_python": True, "max_exchanges": 2}),
+    # r4d: speech-rate screen — row-local integer projection, no shuffle
+    ("speech_rate_screen", {"no_python": True, "max_exchanges": 0}),
+    # r4d: threshold sweep — one combinable bucket agg, then a broadcast
+    # >=-self-join over the tiny bucket frame (no global running-total
+    # window; cached frame re-prints its subplan so no exchange cap)
+    ("threshold_sweep", {"no_python": True, "broadcast_join": True}),
+    # r4d: normalization-keyed dedup — same single-window shape as
+    # dedup_exact, key = md5(normalize); zero Python
+    ("normalized_dedup", {"no_python": True, "max_exchanges": 1}),
 ]
 
 
