@@ -80,6 +80,7 @@ HEADLINE = R3_SET + [
     "speech_rate_screen",
     "threshold_sweep",
     "normalized_dedup",
+    "audio_resample",
 ]
 
 

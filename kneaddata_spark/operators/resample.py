@@ -1,0 +1,145 @@
+"""Sample-rate normalization: resample every kept clip to one target rate.
+
+The fourth audio-axis operator (QC trim -> acoustic near-dup -> VAD ->
+resample): an acoustic-model training run consumes ONE sample rate, and a
+web-scale clip corpus arrives at five (rules.VALID_SR_HZ) — so the
+pipeline's last audio stage is "everything to 16 kHz". The reference's
+analog is the format-unification role of its FASTQ re-emission stage
+(every accepted read leaves in one canonical format regardless of how it
+arrived, utilities.py bam/sam->fastq); here the canonical form is the
+sample RATE rather than the container.
+
+Kernel (integer-exact linear interpolation; the replica in tests
+re-derives it from this paragraph): for output index i, the source
+position is num = i * sr_src, split as k = num // sr_dst and
+rem = num - k * sr_dst; the sample is
+``(x[k] * (sr_dst - rem) + x[min(k+1, n-1)] * rem) // sr_dst``
+(floor division, int64 intermediates), with n_out = n * sr_dst // sr_src
+and the identity shortcut when sr_src == sr_dst. Pure integers — no
+float phase accumulator, so engine and replica agree bit-for-bit at any
+ratio (48000->16000 integer, 22050->16000 non-integer alike). Linear
+interpolation (not windowed-sinc) is the documented quality/cost choice:
+one pass, no transcendentals, adequate for 16 kHz speech targets; a
+sinc kernel drops into the same seam without touching the plan.
+
+Boundary contract (the VAD/audiodup shape): bytes crosses JVM->Python
+once inside ONE ArrowEvalPython stage and only SCALARS return — sample
+counts and the crc32 of the resampled little-endian int16 stream.
+Resampled BYTES stay Python-side (the no-binary-Python->JVM invariant;
+same rule as multimodal.resize_images thumbnails): a production run
+writes them to the output table from inside the stage partition, and
+downstream consumers key on (clip_id, resampled_crc).
+
+Scale shape: embarrassingly parallel, zero shuffles — the stage fuses
+over whatever partitioning the scan provides.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def resample_linear(x: np.ndarray, sr_src: int, sr_dst: int) -> np.ndarray:
+    """int16 samples at sr_src -> int16 samples at sr_dst (see module
+    docstring for the exact integer formula). Empty in -> empty out."""
+    if sr_src <= 0 or sr_dst <= 0:
+        raise ValueError(f"sample rates must be positive ({sr_src}->{sr_dst})")
+    if sr_src == sr_dst:
+        return x
+    n = len(x)
+    n_out = n * sr_dst // sr_src
+    if n == 0 or n_out == 0:
+        return np.empty(0, dtype=np.int16)
+    i = np.arange(n_out, dtype=np.int64)
+    num = i * sr_src
+    k = num // sr_dst
+    rem = num - k * sr_dst
+    k1 = np.minimum(k + 1, n - 1)
+    xs = x.astype(np.int64)
+    val = (xs[k] * (sr_dst - rem) + xs[k1] * rem) // sr_dst
+    return val.astype(np.int16)
+
+
+_RES_T = T.StructType(
+    [
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("crc_out", T.LongType()),
+    ]
+)
+
+
+def _make_udf(target_sr: int):
+    @F.arrow_udf(_RES_T)
+    def _resample_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
+        from ..functions.audio import _binary_bounds
+        from .audiodup import _decode_s16
+
+        data, starts, ends = _binary_bounds(raw)
+        codecs = codec.to_pylist()
+        srs = sr.to_pylist()
+        out = []
+        for i in range(len(codecs)):
+            x = _decode_s16(data, int(starts[i]), int(ends[i]), codecs[i])
+            if x is None or not srs[i] or srs[i] <= 0:
+                out.append(None)
+                continue
+            y = resample_linear(x, int(srs[i]), target_sr)
+            out.append(
+                {
+                    "n_in": len(x),
+                    "n_out": len(y),
+                    # crc over the canonical little-endian stream: the
+                    # consumer-side join key for the Python-side payload
+                    "crc_out": zlib.crc32(y.astype("<i2").tobytes()),
+                }
+            )
+        return pa.array(
+            out,
+            type=pa.struct(
+                [("n_in", pa.int64()), ("n_out", pa.int64()), ("crc_out", pa.int64())]
+            ),
+        )
+
+    # decode+resample must evaluate exactly once per row: without the pin,
+    # optimizer rules that duplicate deterministic projections re-run the
+    # Arrow stage (the audiodup/VAD lesson, plan-audit-enforced)
+    return _resample_udf.asNondeterministic()
+
+
+def resample_audio(
+    clips: DataFrame,
+    target_sr: int = 16000,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """(clip_id, sr_src, sr_dst, n_in, n_out, crc_out, passthrough) — one
+    row per decodable clip; undecodable payloads/invalid rates drop (a QC
+    stage upstream already labeled them). passthrough=1 marks clips
+    already at target_sr (crc is then the crc of the ORIGINAL stream —
+    the identity shortcut, byte-for-byte). Zero shuffles, one Arrow
+    stage."""
+    st = _make_udf(int(target_sr))(
+        F.col(bytes_col), F.col(codec_col), F.col(sr_col)
+    ).alias("__r")
+    return (
+        clips.select(F.col(id_col), F.col(sr_col), st)
+        .where(F.col("__r").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(sr_col).cast("long").alias("sr_src"),
+            F.lit(int(target_sr)).cast("long").alias("sr_dst"),
+            F.col("__r.n_in").alias("n_in"),
+            F.col("__r.n_out").alias("n_out"),
+            F.col("__r.crc_out").alias("crc_out"),
+            (F.col(sr_col) == F.lit(int(target_sr))).cast("int").alias("passthrough"),
+        )
+    )

@@ -2139,6 +2139,21 @@ def vad_segments_q(spark, sf):
     return vad_segments(clips_spark_df(spark, 400, n_partitions=8))
 
 
+@q("audio_resample")
+def audio_resample_q(spark, sf):
+    """Sample-rate normalization (operators/resample.resample_audio):
+    every decodable synth clip resampled to 16 kHz with the integer-exact
+    linear kernel; output is scalar rows (clip_id, sr_src, sr_dst, n_in,
+    n_out, crc_out, passthrough) — resampled bytes stay Python-side.
+    Rows-only by necessity (binary PCM decode, the vad_segments basis);
+    the pytest gate checks (n_in, n_out, crc) against a pure-python
+    replica over the independent oracle.decode_pcm. Zero shuffles."""
+    from ..operators.resample import resample_audio
+    from ..synth import clips_spark_df
+
+    return resample_audio(clips_spark_df(spark, 400, n_partitions=8))
+
+
 @q(
     "paragraph_dedup",
     """

@@ -1838,3 +1838,90 @@ def test_normalized_dedup_variants_collapse(spark):
     assert got[1]["n_copies"] == 3 and got[4]["n_copies"] == 2 and got[6]["n_copies"] == 1
     # raw exact dedup keeps all 6 — none of the variants are byte-equal
     assert dedup_exact(df, "doc_id", "text").count() == 6
+
+
+def _resample_replica(x16, sr_src, sr_dst):
+    """Per-sample pure-python replica derived from the resample module
+    docstring (independent of the numpy kernel's vectorized code)."""
+    if sr_src == sr_dst:
+        return list(x16)
+    n = len(x16)
+    n_out = n * sr_dst // sr_src
+    out = []
+    for i in range(n_out):
+        num = i * sr_src
+        k = num // sr_dst
+        rem = num - k * sr_dst
+        k1 = min(k + 1, n - 1)
+        out.append((x16[k] * (sr_dst - rem) + x16[k1] * rem) // sr_dst)
+    return out
+
+
+def test_resample_kernel_exactness():
+    """Upsample-by-2 of a ramp hits exact midpoints; non-integer ratio
+    obeys the length formula; floor semantics on negatives match the
+    replica; identity at equal rates returns the same array object."""
+    import numpy as np
+
+    from kneaddata_spark.operators.resample import resample_linear
+
+    ramp = np.arange(-5, 6, dtype=np.int16) * 1000
+    up = resample_linear(ramp, 8000, 16000)
+    assert len(up) == len(ramp) * 2
+    assert list(up[0::2]) == list(ramp)
+    mids = [(int(ramp[i]) + int(ramp[min(i + 1, len(ramp) - 1)])) // 2
+            for i in range(len(ramp))]
+    assert list(up[1::2]) == mids
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32768, 32768, size=2205, dtype=np.int16)
+    y = resample_linear(x, 22050, 16000)
+    assert len(y) == 2205 * 16000 // 22050
+    assert list(y) == _resample_replica([int(v) for v in x], 22050, 16000)
+    assert resample_linear(x, 16000, 16000) is x
+
+
+def test_resample_audio_matches_replica_and_plan(spark):
+    """Engine (n_in, n_out, crc_out) per synth clip == the pure-python
+    replica over the INDEPENDENT oracle.decode_pcm decoder; passthrough
+    crc equals the crc of the original stream; undecodables absent.
+    Plan: one ArrowEvalPython, zero operator-added exchanges."""
+    import re as _re
+    import zlib
+
+    import numpy as np
+
+    from kneaddata_spark import oracle
+    from kneaddata_spark.operators.resample import resample_audio
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(80)
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).repartition(5)
+    out = resample_audio(df, 16000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("BatchEvalPython") == 0
+    assert [
+        m for m in _re.findall(r"Exchange \w+", plan)
+    ] == ["Exchange RoundRobinPartitioning"]
+
+    got = {
+        r["clip_id"]: (r["sr_src"], r["n_in"], r["n_out"], r["crc_out"], r["passthrough"])
+        for r in out.collect()
+    }
+    want = {}
+    for _, row in pdf.iterrows():
+        f = oracle.decode_pcm(row["bytes"], row["codec"])
+        sr = int(row["sr_hz"])
+        if f is None or sr <= 0:
+            continue
+        x16 = [int(v) for v in (f.astype(np.float64) * 32768.0)]
+        y = _resample_replica(x16, sr, 16000)
+        crc = zlib.crc32(np.array(y, dtype="<i2").tobytes())
+        want[row["clip_id"]] = (sr, len(x16), len(y), crc, int(sr == 16000))
+    assert got == want
+    assert any(v[4] == 1 for v in want.values())  # passthrough exercised
+    assert any(v[0] > 16000 for v in want.values())  # downsample exercised
+    assert any(v[0] < 16000 for v in want.values())  # upsample exercised

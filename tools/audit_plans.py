@@ -92,6 +92,9 @@ AUDIT = [
     # r4d: normalization-keyed dedup — same single-window shape as
     # dedup_exact, key = md5(normalize); zero Python
     ("normalized_dedup", {"no_python": True, "max_exchanges": 1}),
+    # r4d: sample-rate normalization — ONE Arrow decode+resample stage,
+    # scalars out, zero shuffles (same nondeterministic pin as VAD)
+    ("audio_resample", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
