@@ -81,6 +81,7 @@ HEADLINE = R3_SET + [
     "threshold_sweep",
     "normalized_dedup",
     "audio_resample",
+    "bm25_hard_negatives",
 ]
 
 

@@ -57,10 +57,16 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     classic_idf: bool = False,
+    exclude: "DataFrame | None" = None,
 ) -> DataFrame:
     """Top-k documents per query under BM25 (rational idf by default; see
     module docstring). Returns (query_id, doc_id, rank, score); score is
     the quantized sum / 2^20 rounded to 4 decimals; ties break on doc_id.
+
+    exclude: optional (query_id, doc_id) pairs removed BEFORE ranking
+    (broadcast anti-join — per-query exclusion sets are small by
+    contract: a dup cluster, a positives list), so returned ranks stay
+    contiguous 1..k rather than leaving holes where excluded docs stood.
     """
     toks = _tokens(docs, id_col, text_col, "doc_id")
     # postings is the single materialized index artifact: dl, dfreq and
@@ -111,6 +117,12 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("tq").alias("sq"))
     )
+    if exclude is not None:
+        agg = agg.join(
+            F.broadcast(exclude.select("query_id", "doc_id")),
+            ["query_id", "doc_id"],
+            "left_anti",
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("sq").desc(), F.col("doc_id").asc())
     return (
         agg.withColumn("rank", F.row_number().over(w))
@@ -121,4 +133,49 @@ def bm25_topk(
             "rank",
             F.round(F.col("sq").cast("double") / F.lit(float(QUANT)), 4).alias("score"),
         )
+    )
+
+
+def bm25_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval/embedding training
+    (the DPR/E5 recipe): for each query, the k documents BM25 ranks
+    highest AFTER removing the query's positives — the lexically-closest
+    non-answers that carry the gradient signal random negatives don't.
+
+    positives: (query_id, doc_id) pairs to exclude — the query's source
+    document, its exact/near-dup closure (exact_dup_groups /
+    dup_clusters output keyed to the query), and any labeled relevant
+    docs. Exclusion happens BEFORE ranking, so a query whose top hit is
+    its own duplicate still yields k true negatives with contiguous
+    ranks. Without the dup closure the mined 'negatives' are the classic
+    false-negative trap: byte-near-copies of the positive labeled as
+    negatives poison the contrastive loss.
+
+    Scale shape: identical to bm25_topk (it IS bm25_topk with a
+    broadcast anti-join on the pre-rank aggregate) — corpus postings
+    never reshuffle; the positives frame is per-query-bounded and
+    broadcastable by contract.
+    """
+    return bm25_topk(
+        docs,
+        queries,
+        id_col=id_col,
+        text_col=text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        k=k,
+        k1=k1,
+        b=b,
+        exclude=positives,
     )

@@ -1156,6 +1156,86 @@ def bm25_topk_q(spark, sf):
     return bm25_topk(d, queries, k=10)
 
 
+_HARDNEG_SQL = f"""
+    WITH d AS ({_DOCS_DUPS_SQL}),
+    dt AS (
+      SELECT doc_id, t.term
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM d),
+           LATERAL (SELECT unnest(toks) AS term) t
+      WHERE t.term <> ''
+    ),
+    postings AS (SELECT doc_id, term, count(*) AS tf FROM dt GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM dt GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                     sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    q AS (SELECT doc_id AS query_id, lower(text) AS query_text
+          FROM d WHERE doc_id IN (40, 41, 42)),
+    qt AS (
+      SELECT DISTINCT query_id, t.term
+      FROM (SELECT query_id, string_split(query_text, ' ') AS toks FROM q),
+           LATERAL (SELECT unnest(toks) AS term) t
+      WHERE t.term <> ''
+    ),
+    ex AS (
+      SELECT qh.query_id, d2.doc_id
+      FROM (SELECT doc_id AS query_id, md5(text) AS h
+            FROM d WHERE doc_id IN (40, 41, 42)) qh
+      JOIN (SELECT doc_id, md5(text) AS h FROM d) d2 USING (h)
+    ),
+    scored AS (
+      SELECT qt.query_id, p.doc_id,
+             floor(((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                   * ((p.tf::DOUBLE * 2.2)
+                      / (p.tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl::DOUBLE / s.avgdl)))
+                   * 1048576.0)::BIGINT AS tq
+      FROM postings p
+      JOIN qt ON qt.term = p.term
+      JOIN dl ON dl.doc_id = p.doc_id
+      JOIN dfreq f ON f.term = p.term
+      CROSS JOIN stats s
+    ),
+    agg AS (SELECT query_id, doc_id, sum(tq)::BIGINT AS sq
+            FROM scored GROUP BY query_id, doc_id),
+    filt AS (
+      SELECT a.query_id, a.doc_id, a.sq
+      FROM agg a LEFT JOIN ex
+        ON ex.query_id = a.query_id AND ex.doc_id = a.doc_id
+      WHERE ex.doc_id IS NULL
+    )
+    SELECT query_id, doc_id, rank, round(sq::DOUBLE / 1048576.0, 4) AS score FROM (
+      SELECT query_id, doc_id, sq,
+             row_number() OVER (PARTITION BY query_id ORDER BY sq DESC, doc_id ASC) AS rank
+      FROM filt)
+    WHERE rank <= 5
+"""
+
+
+@q("bm25_hard_negatives", _HARDNEG_SQL)
+def bm25_hard_negatives_q(spark, sf):
+    """Hard-negative mining (retrieval.bm25_hard_negatives): queries =
+    docs 40-42 of the dup-planted corpus — each has a BYTE-EXACT copy at
+    +200000 that BM25 would rank #1; the positives frame (md5 dup-group
+    closure, broadcast) excludes self + copies BEFORE ranking, so the
+    emitted negatives are contiguous ranks 1-5 of true non-answers. Same
+    quantized scorer as bm25_topk — oracle-exact."""
+    from ..operators.retrieval import bm25_hard_negatives
+
+    d = _docs_with_dups(spark, sf)
+    qs = d.where("doc_id in (40, 41, 42)").select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    qh = d.where("doc_id in (40, 41, 42)").select(
+        F.col("doc_id").alias("query_id"), F.md5("text").alias("qh")
+    )
+    positives = (
+        d.select("doc_id", F.md5("text").alias("h"))
+        .join(F.broadcast(qh), F.col("h") == F.col("qh"))
+        .select("query_id", "doc_id")
+    )
+    return bm25_hard_negatives(d, qs, positives, k=5)
+
+
 @q(
     "pack_contexts",
     f"""

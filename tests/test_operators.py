@@ -1925,3 +1925,35 @@ def test_resample_audio_matches_replica_and_plan(spark):
     assert any(v[4] == 1 for v in want.values())  # passthrough exercised
     assert any(v[0] > 16000 for v in want.values())  # downsample exercised
     assert any(v[0] < 16000 for v in want.values())  # upsample exercised
+
+
+def test_bm25_hard_negatives_excludes_before_rank(spark):
+    """The false-negative trap: the query's exact copy tops unexcluded
+    BM25; with the positives closure it vanishes and the k negatives are
+    the overlap-ordered true non-answers with CONTIGUOUS ranks (exclusion
+    before ranking, not a post-filter that leaves holes)."""
+    from kneaddata_spark.operators.retrieval import bm25_hard_negatives, bm25_topk
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # exact copy of the positive
+        (3, "alpha beta gamma zz1 zz2"),        # 3 shared terms
+        (4, "alpha beta yy1 yy2 yy3"),          # 2 shared
+        (5, "alpha xx1 xx2 xx3 xx4"),           # 1 shared
+        (6, "ww1 ww2 ww3 ww4 ww5"),             # none
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = d.where("doc_id = 1").selectExpr(
+        "doc_id as query_id", "text as query_text"
+    )
+    # unexcluded: the copy (or self) owns rank 1
+    base = bm25_topk(d, qs, k=2).collect()
+    assert {r["doc_id"] for r in base} == {1, 2}
+
+    pos = spark.createDataFrame([(1, 1), (1, 2)], "query_id long, doc_id long")
+    neg = sorted(
+        bm25_hard_negatives(d, qs, pos, k=3).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["doc_id"] for r in neg] == [3, 4, 5]
+    assert [r["rank"] for r in neg] == [1, 2, 3]
+    assert all(r["doc_id"] not in (1, 2) for r in neg)

@@ -95,6 +95,10 @@ AUDIT = [
     # r4d: sample-rate normalization — ONE Arrow decode+resample stage,
     # scalars out, zero shuffles (same nondeterministic pin as VAD)
     ("audio_resample", {"max_exchanges": 0, "arrow_only": True}),
+    # r4d: hard negatives = bm25_topk + broadcast anti-join of the
+    # positives closure on the pre-rank aggregate; postings broadcast
+    # shape unchanged
+    ("bm25_hard_negatives", {"broadcast_join": True, "no_python": True}),
 ]
 
 
