@@ -82,6 +82,8 @@ HEADLINE = R3_SET + [
     "normalized_dedup",
     "audio_resample",
     "bm25_hard_negatives",
+    "vocab_build",
+    "audio_loudnorm",
 ]
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
 from .sampling import M32, det_hash
 
 
@@ -322,3 +323,62 @@ def leakage_safe_split(
             F.when(b < acc, nm) if expr is None else expr.when(b < acc, nm)
         )
     return d.withColumn("split", expr.otherwise(names[-1])).drop("__canon")
+
+
+def vocab_build(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Tokenizer-prep vocabulary table: the top_n corpus terms by
+    frequency with cumulative token-mass coverage — (rank, term, n,
+    cum_n, coverage_permille). The table a tokenizer-training /
+    vocab-truncation decision reads: "how many symbols until 99% of the
+    token stream is covered" is coverage_permille at the chosen rank.
+
+    Scale shape: one map-side-combinable groupBy(term) reduces the
+    corpus to its vocabulary; the global top-n is orderBy(...).limit(n)
+    — Spark plans TakeOrderedAndProject (per-partition heaps + one
+    bounded merge), NOT a single-partition sort or global Window (the
+    audit rule). Rank and running coverage are then a triangular
+    broadcast self-join over the top_n-row frame (<= top_n^2 pairs,
+    corpus-size independent), with the corpus token total riding in as
+    a broadcast 1-row frame. Integer permille (div) — oracle-exact.
+
+    Tie order: (n DESC, term ASC) — total and deterministic, so rank,
+    cum_n and the cut set match the oracle bit-for-bit even when the
+    frequency histogram has long tie runs (it always does in the tail).
+    """
+    toks = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    # the vocabulary frame feeds three consumers (total, top-n, and the
+    # self-join's second leg) — persist so the corpus explode+aggregate
+    # runs once (MEMORY_AND_DISK + released at the next query build)
+    counts = persist_tracked(
+        toks.groupBy("term").agg(F.count("*").cast("long").alias("n"))
+    )
+    total = counts.groupBy().agg(F.sum("n").alias("__total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(int(top_n))
+    c2 = top.select(F.col("term").alias("__t2"), F.col("n").alias("__n2"))
+    before_or_self = (F.col("__n2") > F.col("n")) | (
+        (F.col("__n2") == F.col("n")) & (F.col("__t2") <= F.col("term"))
+    )
+    return (
+        top.join(F.broadcast(c2), before_or_self)
+        .groupBy("term", "n")
+        .agg(
+            F.count("*").cast("long").alias("rank"),
+            F.sum("__n2").cast("long").alias("cum_n"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "rank",
+            "term",
+            "n",
+            "cum_n",
+            F.expr("(cum_n * 1000L) div __total").alias("coverage_permille"),
+        )
+    )

@@ -143,3 +143,117 @@ def resample_audio(
             (F.col(sr_col) == F.lit(int(target_sr))).cast("int").alias("passthrough"),
         )
     )
+
+
+# ------------------------------------------------------------- loudness --
+# The second canonical-form audio stage: after everyone is at one sample
+# rate, bring everyone to one loudness. Integer Q15 fixed-point gain so
+# engine and replica agree bit-for-bit:
+#   rms_in  = isqrt(sum(x^2) // n)            (integer RMS, int64 safe)
+#   gain    = min(target_rms * 32768 // max(rms_in, 1), max_gain_q15)
+#   y       = clip((x * gain) >> 15, -32768, 32767)
+# (>> on negatives is an arithmetic shift = floor division by 2^15 in
+# both numpy int64 and python int — same rounding everywhere.)
+# max_gain caps the boost on near-silent clips: amplifying noise-floor
+# clips 1000x manufactures garbage, not loudness parity.
+
+import math
+
+
+def loudness_gain(x: np.ndarray, target_rms: int, max_gain_q15: int) -> tuple[int, int]:
+    """-> (rms_in, gain_q15) for int16 samples; empty input -> (0, cap)."""
+    n = len(x)
+    if n == 0:
+        return 0, int(max_gain_q15)
+    acc = int((x.astype(np.int64) ** 2).sum())
+    rms = math.isqrt(acc // n)
+    gain = min(int(target_rms) * 32768 // max(rms, 1), int(max_gain_q15))
+    return rms, gain
+
+
+def apply_gain(x: np.ndarray, gain_q15: int) -> np.ndarray:
+    y = (x.astype(np.int64) * int(gain_q15)) >> 15
+    return np.clip(y, -32768, 32767).astype(np.int16)
+
+
+_LN_T = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("rms_in", T.LongType()),
+        T.StructField("rms_out", T.LongType()),
+        T.StructField("gain_q15", T.LongType()),
+        T.StructField("crc_out", T.LongType()),
+    ]
+)
+
+
+def _make_loudnorm_udf(target_rms: int, max_gain_q15: int):
+    @F.arrow_udf(_LN_T)
+    def _ln_udf(raw: pa.Array, codec: pa.Array) -> pa.Array:
+        from ..functions.audio import _binary_bounds
+        from .audiodup import _decode_s16
+
+        data, starts, ends = _binary_bounds(raw)
+        codecs = codec.to_pylist()
+        out = []
+        for i in range(len(codecs)):
+            x = _decode_s16(data, int(starts[i]), int(ends[i]), codecs[i])
+            if x is None:
+                out.append(None)
+                continue
+            rms_in, gain = loudness_gain(x, target_rms, max_gain_q15)
+            y = apply_gain(x, gain)
+            rms_out, _ = loudness_gain(y, target_rms, max_gain_q15)
+            out.append(
+                {
+                    "n": len(x),
+                    "rms_in": rms_in,
+                    "rms_out": rms_out,
+                    "gain_q15": gain,
+                    "crc_out": zlib.crc32(y.astype("<i2").tobytes()),
+                }
+            )
+        return pa.array(
+            out,
+            type=pa.struct(
+                [
+                    ("n", pa.int64()),
+                    ("rms_in", pa.int64()),
+                    ("rms_out", pa.int64()),
+                    ("gain_q15", pa.int64()),
+                    ("crc_out", pa.int64()),
+                ]
+            ),
+        )
+
+    return _ln_udf.asNondeterministic()  # the decode-once pin (VAD lesson)
+
+
+def loudness_normalize(
+    clips: DataFrame,
+    target_rms: int = 4096,
+    max_gain_q15: int = 1 << 18,  # 8x boost cap
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """(clip_id, n, rms_in, rms_out, gain_q15, crc_out) — one row per
+    decodable clip, normalized toward target_rms (~ -18 dBFS at the 4096
+    default) under the Q15 integer kernel above; normalized BYTES stay
+    Python-side (the resample/resize rule), consumers key on
+    (clip_id, crc_out). Zero shuffles, one Arrow stage."""
+    st = _make_loudnorm_udf(int(target_rms), int(max_gain_q15))(
+        F.col(bytes_col), F.col(codec_col)
+    ).alias("__l")
+    return (
+        clips.select(F.col(id_col), st)
+        .where(F.col("__l").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("__l.n").alias("n"),
+            F.col("__l.rms_in").alias("rms_in"),
+            F.col("__l.rms_out").alias("rms_out"),
+            F.col("__l.gain_q15").alias("gain_q15"),
+            F.col("__l.crc_out").alias("crc_out"),
+        )
+    )

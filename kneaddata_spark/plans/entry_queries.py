@@ -1156,6 +1156,42 @@ def bm25_topk_q(spark, sf):
     return bm25_topk(d, queries, k=10)
 
 
+@q(
+    "vocab_build",
+    """
+    WITH t AS (
+      SELECT g.term
+      FROM (SELECT string_split(lower(text), ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(toks) AS term) g
+      WHERE g.term <> ''
+    ),
+    c AS (SELECT term, count(*)::BIGINT AS n FROM t GROUP BY term),
+    r AS (
+      SELECT term, n,
+             row_number() OVER (ORDER BY n DESC, term ASC)::BIGINT AS rank,
+             sum(n) OVER (ORDER BY n DESC, term ASC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n
+      FROM c
+    )
+    SELECT rank, term, n, cum_n,
+           ((cum_n * 1000) // (SELECT sum(n)::BIGINT FROM c))::BIGINT
+             AS coverage_permille
+    FROM r WHERE rank <= 200
+    """,
+)
+def vocab_build_q(spark, sf):
+    """Tokenizer vocabulary table (corpus.vocab_build): top-200 terms
+    with cumulative token-mass coverage. The engine's global top-n is
+    TakeOrderedAndProject + a triangular broadcast self-join over the
+    200-row frame (no global Window — audit rule); the oracle's global
+    row_number/cumsum windows are the same numbers in DuckDB. Tie order
+    (n DESC, term ASC) is total, so the cut set and every cum_n match
+    exactly."""
+    from ..operators.corpus import vocab_build
+
+    return vocab_build(_t(spark, sf, "documents"), "doc_id", "text", 200)
+
+
 _HARDNEG_SQL = f"""
     WITH d AS ({_DOCS_DUPS_SQL}),
     dt AS (
@@ -2217,6 +2253,21 @@ def vad_segments_q(spark, sf):
     from ..synth import clips_spark_df
 
     return vad_segments(clips_spark_df(spark, 400, n_partitions=8))
+
+
+@q("audio_loudnorm")
+def audio_loudnorm_q(spark, sf):
+    """Loudness normalization (operators/resample.loudness_normalize):
+    every decodable synth clip gain-normalized toward RMS 4096
+    (~ -18 dBFS) with the integer Q15 kernel; scalar rows (clip_id, n,
+    rms_in, rms_out, gain_q15, crc_out), normalized bytes stay
+    Python-side. Rows-only by necessity (binary PCM decode); pytest
+    replica-gates every output against oracle.decode_pcm. Zero
+    shuffles."""
+    from ..operators.resample import loudness_normalize
+    from ..synth import clips_spark_df
+
+    return loudness_normalize(clips_spark_df(spark, 400, n_partitions=8))
 
 
 @q("audio_resample")

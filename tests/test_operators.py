@@ -1957,3 +1957,76 @@ def test_bm25_hard_negatives_excludes_before_rank(spark):
     assert [r["doc_id"] for r in neg] == [3, 4, 5]
     assert [r["rank"] for r in neg] == [1, 2, 3]
     assert all(r["doc_id"] not in (1, 2) for r in neg)
+
+
+def test_loudness_kernel_exactness():
+    """Constant-amplitude signal lands exactly on the integer-RMS math;
+    a lone spike over silence hits the gain cap and saturates at the
+    int16 rails; empty input returns the documented (0, cap)."""
+    import numpy as np
+
+    from kneaddata_spark.operators.resample import apply_gain, loudness_gain
+
+    sq = np.tile(np.array([1000, -1000], dtype=np.int16), 500)
+    rms, gain = loudness_gain(sq, 4096, 1 << 18)
+    assert rms == 1000
+    assert gain == 4096 * 32768 // 1000
+    y = apply_gain(sq, gain)
+    # (1000 * gain) >> 15 for both signs, floor semantics on the negative
+    assert int(y[0]) == (1000 * gain) >> 15
+    assert int(y[1]) == (-1000 * gain) >> 15
+    assert abs(int(y[0]) - 4096) <= 1
+
+    spike = np.zeros(10_000, dtype=np.int16)
+    spike[5000] = 32000
+    rms_s, gain_s = loudness_gain(spike, 4096, 1 << 18)
+    assert gain_s == 1 << 18  # silence-dominated rms -> cap
+    ys = apply_gain(spike, gain_s)
+    assert int(ys[5000]) == 32767 and int(ys.max()) == 32767  # saturated
+    assert loudness_gain(np.empty(0, dtype=np.int16), 4096, 7) == (0, 7)
+
+
+def test_loudness_normalize_matches_replica(spark):
+    """Engine (n, rms_in, rms_out, gain_q15, crc_out) per synth clip ==
+    a pure-python replica of the documented Q15 kernel over the
+    INDEPENDENT oracle.decode_pcm; undecodables absent; plan is one
+    ArrowEvalPython with no operator-added exchange."""
+    import math
+    import zlib
+
+    import numpy as np
+
+    from kneaddata_spark import oracle
+    from kneaddata_spark.operators.resample import loudness_normalize
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(60)
+    df = spark.createDataFrame(pdf[["clip_id", "bytes", "codec"]]).repartition(4)
+    out = loudness_normalize(df, 4096)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1 and plan.count("BatchEvalPython") == 0
+
+    got = {
+        r["clip_id"]: (r["n"], r["rms_in"], r["rms_out"], r["gain_q15"], r["crc_out"])
+        for r in out.collect()
+    }
+
+    def rep_gain(xs):
+        n = len(xs)
+        if n == 0:
+            return 0, 1 << 18
+        rms = math.isqrt(sum(v * v for v in xs) // n)
+        return rms, min(4096 * 32768 // max(rms, 1), 1 << 18)
+
+    want = {}
+    for _, row in pdf.iterrows():
+        f = oracle.decode_pcm(row["bytes"], row["codec"])
+        if f is None:
+            continue
+        xs = [int(v) for v in (f.astype(np.float64) * 32768.0)]
+        rms_in, g = rep_gain(xs)
+        ys = [max(-32768, min(32767, (v * g) >> 15)) for v in xs]
+        rms_out, _ = rep_gain(ys)
+        crc = zlib.crc32(np.array(ys, dtype="<i2").tobytes())
+        want[row["clip_id"]] = (len(xs), rms_in, rms_out, g, crc)
+    assert got == want and len(want) > 30

@@ -99,6 +99,12 @@ AUDIT = [
     # positives closure on the pre-rank aggregate; postings broadcast
     # shape unchanged
     ("bm25_hard_negatives", {"broadcast_join": True, "no_python": True}),
+    # r4d: vocab build — TakeOrderedAndProject top-n (no global Window)
+    # + triangular broadcast self-join over the tiny top-n frame
+    ("vocab_build", {"no_python": True, "broadcast_join": True}),
+    # r4d: loudness normalization — ONE Arrow decode+gain stage, zero
+    # shuffles (same pin as resample/VAD)
+    ("audio_loudnorm", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
