@@ -76,3 +76,66 @@ def test_stream_vad_matches_batch(spark, clips_path, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert got == want and len(want) > 50
+
+
+def test_stream_dedup_incremental_and_idempotent(spark, tmp_path):
+    """Streaming ingest dedup == the sequential batch composition:
+    two files processed one-per-trigger; file B repeats content from
+    file A (cross-batch dup) and within itself (in-batch dup). The
+    survivor set must equal running incremental_dedup_exact file-by-file
+    in batch mode, the seen table must hold each content hash once, and
+    re-triggering on the same checkpoint must change nothing."""
+    import time
+
+    from kneaddata_spark.streaming.dedup_stream import stream_dedup
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    seen = str(tmp_path / "seen")
+    ckpt = str(tmp_path / "ckpt")
+
+    a = [(f"a{i}", f"text number {i}") for i in range(10)]
+    b = (
+        [(f"b{i}", f"text number {i}") for i in range(5)]      # cross-batch dups
+        + [(f"b{i}", f"fresh content {i}") for i in range(5)]  # new
+        + [("b_dup1", "fresh content 0"), ("b_dup2", "fresh content 0")]  # in-batch
+    )
+    import glob
+    import os
+    import shutil
+
+    def stage(rows, name):
+        tmp = src + "_stage_" + name
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], os.path.join(src, name))
+
+    stage(a, "f0.parquet")
+    q0 = stream_dedup(spark, src, out, seen, ckpt, max_files_per_trigger=1)
+    q0.awaitTermination(180)
+    stage(b, "f1.parquet")
+    # small settle so the directory listing sees the new file set
+    time.sleep(0.2)
+    q1 = stream_dedup(spark, src, out, seen, ckpt, max_files_per_trigger=1)
+    q1.awaitTermination(180)
+
+    got_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # batch replay of the same two-file sequence
+    want_ids = {f"a{i}" for i in range(10)}
+    # from b: the 5 "text number" rows are cross-batch dups (dropped);
+    # "fresh content i" keeps one row each — b_dup1/b_dup2 lose to b0 on
+    # min-id? ids are strings: "b0" < "b_dup1" (ord('0')=48 < ord('_')=95)
+    want_ids |= {f"b{i}" for i in range(5)}
+    assert got_ids == want_ids
+
+    hashes = [r["h"] for r in spark.read.parquet(seen).collect()]
+    assert len(hashes) == len(set(hashes)) == 15  # 10 + 5, each once
+
+    n_before = spark.read.parquet(out).count()
+    q2 = stream_dedup(spark, src, out, seen, ckpt, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
+    hashes2 = [r["h"] for r in spark.read.parquet(seen).collect()]
+    assert sorted(hashes2) == sorted(hashes)
