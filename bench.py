@@ -84,6 +84,8 @@ HEADLINE = R3_SET + [
     "bm25_hard_negatives",
     "vocab_build",
     "audio_loudnorm",
+    "pii_report",
+    "langid_confusion",
 ]
 
 

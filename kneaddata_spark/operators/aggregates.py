@@ -184,3 +184,17 @@ def threshold_sweep(
             F.expr("(n_kept * 1000L) div __total").alias("keep_permille"),
         )
     )
+
+
+def confusion_matrix(
+    preds: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """(label, pred, n) — the model-evaluation pivot for any classifier
+    column pair (language-ID votes vs labeled lang, quality verdict vs
+    human rating). One map-side-combinable aggregation; cardinality is
+    |labels| x |preds|, corpus-independent."""
+    return preds.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("pred")
+    ).agg(F.count("*").cast("long").alias("n"))

@@ -474,3 +474,44 @@ def speech_rate_screen(
         cps_centi.alias("cps_centi"),
         F.coalesce(keep, F.lit(False)).cast("int").alias("keep"),
     )
+
+
+def pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-rule PII DETECTION report over the corpus: (rule_idx, tag,
+    n_docs, n_hits) for every rules.SCRUB_PATTERNS entry — the
+    observability table a scrub deployment watches (a sudden email-rule
+    spike in one ingest source is an upstream leak alarm; the scrub
+    itself, functions.text.scrub_col, stays a row-level transform).
+
+    Counts are SEQUENTIAL exactly like the scrub: rule i is counted on
+    text already scrubbed of rules < i, so a credit-card number consumed
+    by the CCNUM rule is not double-counted by the PHONE rule — report
+    numbers always reconcile with what scrub_col actually replaced.
+
+    Scale shape: a row-local projection (size of regexp_extract_all per
+    rule, JVM regex, zero Python) exploded to |rules| tagged rows, then
+    one map-side-combinable aggregation to |rules| output rows.
+    """
+    from .. import rules
+
+    cur = F.col(text_col)
+    structs = []
+    for i, (pat, tag) in enumerate(rules.SCRUB_PATTERNS):
+        hits = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        structs.append(
+            F.struct(
+                F.lit(i).cast("long").alias("rule_idx"),
+                F.lit(tag).alias("tag"),
+                hits.cast("long").alias("h"),
+            )
+        )
+        cur = F.regexp_replace(cur, pat, tag)
+    return (
+        df.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .groupBy("rule_idx", "tag")
+        .agg(
+            F.sum((F.col("h") > 0).cast("long")).alias("n_docs"),
+            F.sum("h").alias("n_hits"),
+        )
+    )

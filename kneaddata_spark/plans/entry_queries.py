@@ -1157,6 +1157,113 @@ def bm25_topk_q(spark, sf):
 
 
 @q(
+    "pii_report",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             substring(text, 1, 30)
+               || CASE doc_id % 4
+                    WHEN 0 THEN ' mail bob.smith@corp.example.org now'
+                    WHEN 1 THEN ' ssn 523-12-9876 leaked'
+                    WHEN 2 THEN ' card 4111 1111 1111 1111 used'
+                    ELSE ' host 10.20.30.40 down' END AS t0
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, t0,
+             regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t1 FROM p),
+    s2 AS (SELECT doc_id, t0, t1,
+             regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t2
+           FROM s1),
+    s3 AS (SELECT doc_id, t0, t1, t2,
+             regexp_replace(t2, '\b(?:\d[ -]?){13,16}\b', '<CCNUM>', 'g') AS t3
+           FROM s2),
+    s4 AS (SELECT doc_id, t0, t1, t2, t3,
+             regexp_replace(t3,
+               '\+?\d{1,3}[ .-]?\(?\d{2,3}\)?[ .-]?\d{3}[ .-]?\d{4}',
+               '<PHONE>', 'g') AS t4 FROM s3),
+    cnt AS (
+      SELECT doc_id,
+        len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS h0,
+        len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS h1,
+        len(regexp_extract_all(t2, '\b(?:\d[ -]?){13,16}\b'))::BIGINT AS h2,
+        len(regexp_extract_all(t3, '\+?\d{1,3}[ .-]?\(?\d{2,3}\)?[ .-]?\d{3}[ .-]?\d{4}'))::BIGINT AS h3,
+        len(regexp_extract_all(t4, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS h4
+      FROM s4
+    )
+    SELECT 0::BIGINT AS rule_idx, '<EMAIL>' AS tag,
+           sum(CASE WHEN h0 > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+           sum(h0)::BIGINT AS n_hits FROM cnt
+    UNION ALL
+    SELECT 1, '<SSN>', sum(CASE WHEN h1 > 0 THEN 1 ELSE 0 END)::BIGINT,
+           sum(h1)::BIGINT FROM cnt
+    UNION ALL
+    SELECT 2, '<CCNUM>', sum(CASE WHEN h2 > 0 THEN 1 ELSE 0 END)::BIGINT,
+           sum(h2)::BIGINT FROM cnt
+    UNION ALL
+    SELECT 3, '<PHONE>', sum(CASE WHEN h3 > 0 THEN 1 ELSE 0 END)::BIGINT,
+           sum(h3)::BIGINT FROM cnt
+    UNION ALL
+    SELECT 4, '<IP>', sum(CASE WHEN h4 > 0 THEN 1 ELSE 0 END)::BIGINT,
+           sum(h4)::BIGINT FROM cnt
+    """,
+)
+def pii_report_q(spark, sf):
+    """PII detection report (textstats.pii_report): per-rule doc and hit
+    counts over the scrub_pii planted corpus (each doc_id%4 class plants
+    one PII kind). Counting is SEQUENTIAL like the scrub — rule i counts
+    on text scrubbed of rules < i — so report numbers reconcile with
+    scrub_col replacements on both engines."""
+    from ..operators.textstats import pii_report
+
+    d = _t(spark, sf, "documents")
+    planted = F.concat(
+        F.substring("text", 1, 30),
+        F.when(F.col("doc_id") % 4 == 0, " mail bob.smith@corp.example.org now")
+        .when(F.col("doc_id") % 4 == 1, " ssn 523-12-9876 leaked")
+        .when(F.col("doc_id") % 4 == 2, " card 4111 1111 1111 1111 used")
+        .otherwise(" host 10.20.30.40 down"),
+    )
+    return pii_report(d.select(planted.alias("text")), "text")
+
+
+@q(
+    "langid_confusion",
+    """
+    WITH t AS (SELECT doc_id, lang,
+                      string_split(lower(trim(text)), ' ') AS toks
+               FROM documents),
+    v AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> list_contains(['the','and','of','to','in','that','it','was','for','on'], x))) AS votes_en,
+        len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','se','no','por'], x))) AS votes_es
+      FROM t)
+    SELECT lang AS label,
+           CASE WHEN greatest(votes_en, votes_es) = 0 THEN 'und'
+                WHEN votes_en >= votes_es THEN 'en' ELSE 'es' END AS pred,
+           count(*)::BIGINT AS n
+    FROM v GROUP BY label, pred
+    """,
+)
+def langid_confusion_q(spark, sf):
+    """Language-ID confusion matrix (aggregates.confusion_matrix over
+    lang_stopword_votes): labeled lang vs stopword-vote prediction — the
+    classifier-evaluation pivot every model-gated filter stage needs
+    before its threshold is trusted. One co-keyed join + one combinable
+    aggregation; output cardinality |langs|^2."""
+    from ..operators import textstats
+    from ..operators.aggregates import confusion_matrix
+
+    d = _t(spark, sf, "documents")
+    v = textstats.lang_stopword_votes(d, "doc_id", "text").select(
+        "doc_id", "pred_lang"
+    )
+    return confusion_matrix(
+        d.select("doc_id", "lang").join(v, "doc_id"), "lang", "pred_lang"
+    )
+
+
+@q(
     "vocab_build",
     """
     WITH t AS (

@@ -2030,3 +2030,54 @@ def test_loudness_normalize_matches_replica(spark):
         crc = zlib.crc32(np.array(ys, dtype="<i2").tobytes())
         want[row["clip_id"]] = (len(xs), rms_in, rms_out, g, crc)
     assert got == want and len(want) > 30
+
+
+def test_pii_report_sequential_reconciliation(spark):
+    """Report counts == an independent python-re replica applying the
+    SAME sequential scrub order; in particular the credit-card digits
+    consumed by CCNUM are not re-counted by PHONE (the reconciliation
+    property the sequential contract exists for)."""
+    import re
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.textstats import pii_report
+
+    rows = [
+        (0, "write a@b.co and c@d.org today"),          # 2 emails
+        (1, "ssn 523-12-9876 and card 4111 1111 1111 1111"),
+        (2, "call +1 (212) 555-0199 or ping 10.0.0.1"),
+        (3, "nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["rule_idx"]: (r["tag"], r["n_docs"], r["n_hits"])
+        for r in pii_report(df, "text").collect()
+    }
+
+    per_rule = {i: [0, 0] for i in range(len(rules.SCRUB_PATTERNS))}
+    for _, text in rows:
+        cur = text
+        for i, (pat, tag) in enumerate(rules.SCRUB_PATTERNS):
+            hits = len(re.findall(pat, cur))
+            per_rule[i][1] += hits
+            per_rule[i][0] += 1 if hits else 0
+            cur = re.sub(pat, tag, cur)
+    want = {
+        i: (rules.SCRUB_PATTERNS[i][1], per_rule[i][0], per_rule[i][1])
+        for i in per_rule
+    }
+    assert got == want
+    # the planted CC number is counted once, by CCNUM — not again by PHONE
+    assert got[2][2] == 1 and got[3][2] == 1  # CCNUM=1 (doc 1), PHONE=1 (doc 2)
+
+
+def test_confusion_matrix(spark):
+    from kneaddata_spark.operators.aggregates import confusion_matrix
+
+    rows = [("en", "en"), ("en", "en"), ("en", "es"), ("es", "es"), ("es", "und")]
+    df = spark.createDataFrame(rows, "lang string, pred string")
+    got = {
+        (r["label"], r["pred"]): r["n"]
+        for r in confusion_matrix(df, "lang", "pred").collect()
+    }
+    assert got == {("en", "en"): 2, ("en", "es"): 1, ("es", "es"): 1, ("es", "und"): 1}

@@ -105,6 +105,11 @@ AUDIT = [
     # r4d: loudness normalization — ONE Arrow decode+gain stage, zero
     # shuffles (same pin as resample/VAD)
     ("audio_loudnorm", {"max_exchanges": 0, "arrow_only": True}),
+    # r4d: PII report — row-local regex projection exploded to |rules|
+    # tagged rows + ONE combinable agg; zero Python
+    ("pii_report", {"no_python": True, "max_exchanges": 1}),
+    # r4d: confusion matrix — co-keyed join + one combinable agg
+    ("langid_confusion", {"no_python": True}),
 ]
 
 
