@@ -86,6 +86,7 @@ HEADLINE = R3_SET + [
     "audio_loudnorm",
     "pii_report",
     "langid_confusion",
+    "audio_prep",
 ]
 
 

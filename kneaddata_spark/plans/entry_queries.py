@@ -2362,6 +2362,20 @@ def vad_segments_q(spark, sf):
     return vad_segments(clips_spark_df(spark, 400, n_partitions=8))
 
 
+@q("audio_prep")
+def audio_prep_q(spark, sf):
+    """Fused canonical-form prep (operators/audioprep.prep_audio): ONE
+    decode drives resample->loudness->stats — the stage-fusion shape a
+    100 TB pipeline must use (chaining the scalar stages re-decodes the
+    corpus per stage; decode is the per-core ceiling, BASELINE.md).
+    Bit-identical to the staged chain (pytest). Rows-only (PCM decode);
+    zero shuffles."""
+    from ..operators.audioprep import prep_audio
+    from ..synth import clips_spark_df
+
+    return prep_audio(clips_spark_df(spark, 400, n_partitions=8))
+
+
 @q("audio_loudnorm")
 def audio_loudnorm_q(spark, sf):
     """Loudness normalization (operators/resample.loudness_normalize):

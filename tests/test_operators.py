@@ -2081,3 +2081,55 @@ def test_confusion_matrix(spark):
         for r in confusion_matrix(df, "lang", "pred").collect()
     }
     assert got == {("en", "en"): 2, ("en", "es"): 1, ("es", "es"): 1, ("es", "und"): 1}
+
+
+def test_prep_audio_fusion_equals_staged_chain(spark):
+    """The fused one-decode prep stage emits BIT-IDENTICAL results to
+    running the per-stage kernels in sequence over the independent
+    oracle decoder (resample THEN loudness on the resampled stream) —
+    fusion changes the decode count, never the numbers. Plan: exactly
+    one ArrowEvalPython for the whole chain."""
+    import zlib
+
+    import numpy as np
+
+    from kneaddata_spark import oracle
+    from kneaddata_spark.operators.audioprep import prep_audio
+    from kneaddata_spark.operators.resample import (
+        apply_gain,
+        loudness_gain,
+        resample_linear,
+    )
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(60)
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).repartition(4)
+    out = prep_audio(df, 16000, 4096)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1 and plan.count("BatchEvalPython") == 0
+
+    got = {
+        r["clip_id"]: (
+            r["sr_src"], r["n_in"], r["n_out"], r["rms_in"], r["rms_out"],
+            r["gain_q15"], r["crc_out"],
+        )
+        for r in out.collect()
+    }
+    want = {}
+    for _, row in pdf.iterrows():
+        f = oracle.decode_pcm(row["bytes"], row["codec"])
+        sr = int(row["sr_hz"])
+        if f is None or sr <= 0:
+            continue
+        x = (f.astype(np.float64) * 32768.0).astype(np.int16)
+        y = resample_linear(x, sr, 16000)
+        rms_in, g = loudness_gain(y, 4096, 1 << 18)
+        z = apply_gain(y, g)
+        rms_out, _ = loudness_gain(z, 4096, 1 << 18)
+        want[row["clip_id"]] = (
+            sr, len(x), len(z), rms_in, rms_out, g,
+            zlib.crc32(z.astype("<i2").tobytes()),
+        )
+    assert got == want and len(want) > 30

@@ -110,6 +110,9 @@ AUDIT = [
     ("pii_report", {"no_python": True, "max_exchanges": 1}),
     # r4d: confusion matrix — co-keyed join + one combinable agg
     ("langid_confusion", {"no_python": True}),
+    # r4d: fused prep — the whole resample+loudness chain in ONE Arrow
+    # stage (decode-once fusion), zero shuffles
+    ("audio_prep", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
