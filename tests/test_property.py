@@ -190,3 +190,64 @@ def test_vad_kernel_property(samples, sr):
             merged.append((s, e))
     want = [(s, e) for s, e in merged if e - s >= rules.VAD_MIN_FRAMES]
     assert got == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    st.sampled_from(rules.VALID_SR_HZ),
+    st.sampled_from(rules.VALID_SR_HZ),
+)
+def test_resample_kernel_property_vs_replica(samples, sr_src, sr_dst):
+    """resample_linear == the per-sample integer formula from its module
+    docstring, for every valid rate pair (integer AND non-integer
+    ratios), arbitrary signals including extremes, and empty input; the
+    length law n_out = n * dst // src always holds."""
+    import numpy as np
+
+    from kneaddata_spark.operators.resample import resample_linear
+
+    x = np.array(samples, dtype=np.int16)
+    y = resample_linear(x, sr_src, sr_dst)
+    if sr_src == sr_dst:
+        assert y is x
+        return
+    n = len(x)
+    n_out = n * sr_dst // sr_src
+    assert len(y) == (n_out if n else 0)
+    for i in range(len(y)):
+        num = i * sr_src
+        k = num // sr_dst
+        rem = num - k * sr_dst
+        k1 = min(k + 1, n - 1)
+        want = (int(x[k]) * (sr_dst - rem) + int(x[k1]) * rem) // sr_dst
+        assert int(y[i]) == want
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=0, max_size=400),
+    st.integers(1, 20000),
+)
+def test_loudness_kernel_property_vs_replica(samples, target_rms):
+    """loudness_gain/apply_gain == the documented Q15 integer formula:
+    integer RMS via isqrt, capped gain, arithmetic-shift apply with rail
+    clipping — for arbitrary signals and targets."""
+    import math
+
+    import numpy as np
+
+    from kneaddata_spark.operators.resample import apply_gain, loudness_gain
+
+    cap = 1 << 18
+    x = np.array(samples, dtype=np.int16)
+    rms, gain = loudness_gain(x, target_rms, cap)
+    if len(x) == 0:
+        assert (rms, gain) == (0, cap)
+        return
+    want_rms = math.isqrt(sum(int(v) * int(v) for v in x) // len(x))
+    assert rms == want_rms
+    assert gain == min(target_rms * 32768 // max(want_rms, 1), cap)
+    y = apply_gain(x, gain)
+    for v, w in zip(x, y):
+        assert int(w) == max(-32768, min(32767, (int(v) * gain) >> 15))

@@ -113,6 +113,30 @@ def run_suite(spark, n: int) -> dict:
         "decontaminate_substrings",
         lambda: dedup.decontaminate_substrings(corpus, bench, "doc_id", "text"),
     )
+    # r4d additions: the substring self-join (fp-bucket pair expansion),
+    # the vocab top-n (TakeOrdered + tiny self-join), snapshot diff (two
+    # hashed sides, full-outer SMJ) and normalization-keyed dedup (one
+    # window) — the first can grow super-linearly only via fp-bucket
+    # fan-out (df-guarded); the rest are strictly linear shapes
+    timed(
+        "substring_dup_pairs",
+        lambda: dedup.substring_dup_pairs(docs, "doc_id", "text"),
+    )
+    from kneaddata_spark.operators import corpus as corpus_ops
+    from kneaddata_spark.operators import delta
+
+    timed("vocab_build", lambda: corpus_ops.vocab_build(docs, "doc_id", "text", 200))
+    perturbed = docs.where(
+        F.expr("cast(substring(doc_id, 2) as int) % 17 <> 3")
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN cast(substring(doc_id, 2) as int) % 13 = 5 "
+            "THEN text || ' v2' ELSE text END"
+        ).alias("text"),
+    )
+    timed("snapshot_diff", lambda: delta.snapshot_diff(docs, perturbed, "doc_id"))
+    timed("normalized_dedup", lambda: dedup.normalized_dedup(docs, "doc_id", "text"))
     release_tracked()
     spark.catalog.clearCache()
     return walls
@@ -169,6 +193,9 @@ def run_audio_suite(spark, n: int) -> dict:
 
     timed("audio_dup_pairs", lambda: audiodup.audio_dup_pairs(clips, min_bands=12))
     timed("vad_segments", lambda: vad.vad_segments(clips))
+    from kneaddata_spark.operators import audioprep
+
+    timed("audio_prep", lambda: audioprep.prep_audio(clips))
     release_tracked()
     spark.catalog.clearCache()
     return walls
@@ -197,7 +224,7 @@ def main() -> None:
         a = out["levels"][str(N_BASE)][op]["wall_sec"]
         b = out["levels"][str(4 * N_BASE)][op]["wall_sec"]
         ratios[op] = round(b / a, 2)
-    for op in ("audio_dup_pairs", "vad_segments"):
+    for op in ("audio_dup_pairs", "vad_segments", "audio_prep"):
         a = out["levels"][str(N_CLIPS_BASE)][op]["wall_sec"]
         b = out["levels"][str(4 * N_CLIPS_BASE)][op]["wall_sec"]
         ratios[op] = round(b / a, 2)
