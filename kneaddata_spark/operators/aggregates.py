@@ -165,19 +165,35 @@ def threshold_sweep(
             F.count("*").cast("long").alias("n_at")
         )
     )
-    n_buckets = counts.limit(max_buckets + 1).count()
-    if n_buckets > max_buckets:
-        raise ValueError(
-            f"{score_col} has > {max_buckets} distinct values — bucket the "
-            "score first (the sweep is quadratic in distinct scores)"
-        )
-    tot = counts.groupBy().agg(F.sum("n_at").alias("__total"))
-    c = counts.select(F.col("threshold").alias("__t2"), F.col("n_at").alias("__n2"))
+    # the cardinality guard rides INSIDE the plan (raise_error at
+    # execution) instead of a builder-side count(): query builders must
+    # stay job-free — the plan audit builds every driver query without
+    # running one (tools/audit_plans.py docstring), and an eager count
+    # here would break that contract
+    tot = counts.groupBy().agg(
+        F.sum("n_at").alias("__total"), F.count("*").alias("__nb")
+    )
+    guard = F.when(
+        F.col("__nb") <= F.lit(int(max_buckets)), F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            f"{score_col}: more than {max_buckets} distinct values — bucket "
+            "the score first (the sweep is quadratic in distinct scores)"
+        ).isNull()
+    )
+    # guard the BROADCAST leg, so an oversized bucket frame errors before
+    # any quadratic pair ever materializes (rows only flow once the 1-row
+    # tot frame has passed the guard)
+    c = (
+        counts.crossJoin(F.broadcast(tot.select("__nb")))
+        .where(guard)
+        .select(F.col("threshold").alias("__t2"), F.col("n_at").alias("__n2"))
+    )
     return (
         counts.join(F.broadcast(c), F.col("__t2") >= F.col("threshold"))
         .groupBy("threshold")
         .agg(F.sum("__n2").cast("long").alias("n_kept"))
-        .join(F.broadcast(tot))
+        .join(F.broadcast(tot.select("__total")))
         .select(
             "threshold",
             "n_kept",

@@ -1811,7 +1811,9 @@ def test_threshold_sweep_replica_and_guard(spark):
     }
     assert got == want
     wide = spark.range(0, 500).selectExpr("id as s")
-    with _pytest.raises(ValueError, match="distinct"):
+    # the guard is IN-PLAN (raise_error at execution — builders stay
+    # job-free for the plan audit), so it surfaces as a Spark run error
+    with _pytest.raises(Exception, match="distinct"):
         threshold_sweep(wide, "s", max_buckets=100).collect()
 
 
