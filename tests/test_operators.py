@@ -2135,3 +2135,45 @@ def test_prep_audio_fusion_equals_staged_chain(spark):
             zlib.crc32(z.astype("<i2").tobytes()),
         )
     assert got == want and len(want) > 30
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Compaction reduces leaf-partition file counts to the byte-target
+    number, preserves row multisets exactly, skips already-compact
+    leaves, and leaves partition directory structure intact."""
+    from kneaddata_spark.operators.maintenance import compact_small_files
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(0, 20_000).selectExpr(
+        "id", "cast(id % 3 as string) as part", "repeat('x', 50) as pad"
+    )
+    # 16 small files per partition — the accreted-appends shape
+    df.repartition(16).write.partitionBy("part").mode("overwrite").parquet(root)
+
+    import glob
+
+    def leaf_counts():
+        return {
+            p: len(glob.glob(os.path.join(p, "*.parquet")))
+            for p in glob.glob(os.path.join(root, "part=*"))
+        }
+
+    import os
+
+    before_rows = sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(root).collect()
+    )
+    before = leaf_counts()
+    assert all(n == 16 for n in before.values())
+
+    report = compact_small_files(spark, root, target_file_bytes=1 << 30)
+    after = leaf_counts()
+    assert set(report) == set(before)  # every leaf compacted
+    assert all(n == 1 for n in after.values())  # 1 GiB target -> 1 file each
+    after_rows = sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(root).collect()
+    )
+    assert after_rows == before_rows
+
+    # idempotent: second pass finds nothing to do
+    assert compact_small_files(spark, root, target_file_bytes=1 << 30) == {}
