@@ -87,6 +87,7 @@ HEADLINE = R3_SET + [
     "pii_report",
     "langid_confusion",
     "audio_prep",
+    "curriculum_order",
 ]
 
 

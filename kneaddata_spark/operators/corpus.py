@@ -382,3 +382,47 @@ def vocab_build(
             F.expr("(cum_n * 1000L) div __total").alias("coverage_permille"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_shards: int = 8,
+    seed: int = 0,
+    descending: bool = False,
+) -> DataFrame:
+    """Curriculum training order → (id, shard, pos): consume the corpus
+    easiest-first (ascending score; ``descending=True`` for hard-first /
+    anti-curriculum), deterministically shuffled WITHIN each score level
+    so equal-difficulty examples are not fed in storage order. The
+    curriculum-learning counterpart of ``shard_shuffle`` (pure seeded
+    permutation): same (shard, pos) output contract, same
+    retry-idempotent hash order, but the primary sort key is the
+    caller's difficulty/quality score (ppl bucket, length bucket, DSIR
+    weight band...).
+
+    rank = global_rank over (score, det_hash(id+seed), id) — no
+    single-partition window (pairs.global_rank: range sort + offsets);
+    shard = rank % n_shards round-robins the curriculum so every shard
+    sees the same easy→hard progression (pos within a shard is
+    monotone in score) and shard sizes differ by at most 1.
+
+    score_col must be integer (bucketed): curriculum granularity IS the
+    bucketing decision, and float scores would reintroduce the
+    cross-engine float-order trap the integer-score rule exists for.
+    """
+    from .pairs import global_rank
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        (
+            (-F.col(score_col)) if descending else F.col(score_col)
+        ).cast("long").alias("__s"),
+    ).withColumn("__k", det_hash(F.col("id") + F.lit(seed)))
+    ranked = global_rank(keyed, ["__s", "__k", "id"], rank_col="__r")
+    return ranked.select(
+        F.col("id").alias(id_col),
+        ((F.col("__r") - 1) % n_shards).cast("int").alias("shard"),
+        F.expr(f"cast((__r - 1) div {n_shards} as int)").alias("pos"),
+    )

@@ -2204,6 +2204,37 @@ def importance_weights_q(spark, sf):
 
 
 @q(
+    "curriculum_order",
+    f"""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY least(n_chars // 100, 50),
+                        ((doc_id + 3)::BIGINT * {KNUTH}) % {M32},
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, ((rn - 1) % 8)::INT AS shard, ((rn - 1) // 8)::INT AS pos
+    FROM r
+    """,
+)
+def curriculum_order_q(spark, sf):
+    """Curriculum training order (corpus.curriculum_order, seed=3, 8
+    shards): easiest-first by length bucket (n_chars div 100 capped at
+    50), hash-shuffled within each bucket, round-robined so every shard
+    sees the same easy->hard progression. Engine rank is
+    pairs.global_rank (no global Window — the audit rule binds the
+    engine; the oracle's window is fine in DuckDB)."""
+    from ..operators.corpus import curriculum_order
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr("least(n_chars div 100, 50L)").alias("len_bucket")
+    )
+    return curriculum_order(d, "doc_id", "len_bucket", n_shards=8, seed=3)
+
+
+@q(
     "shard_shuffle",
     f"""
     WITH r AS (

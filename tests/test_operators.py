@@ -2177,3 +2177,41 @@ def test_compact_small_files(spark, tmp_path):
 
     # idempotent: second pass finds nothing to do
     assert compact_small_files(spark, root, target_file_bytes=1 << 30) == {}
+
+
+def test_curriculum_order_properties(spark):
+    """Every shard's position order is monotone in score (each shard sees
+    the same easy->hard progression), shard sizes differ by <= 1, the
+    within-score order is the seeded hash (not storage order), and
+    descending=True reverses the curriculum."""
+    from kneaddata_spark.operators.corpus import curriculum_order
+    from kneaddata_spark.operators.sampling import KNUTH, M32
+
+    rows = [(i, (i * 7919) % 5) for i in range(200)]  # scores 0..4 scattered
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    out = curriculum_order(df, "doc_id", "score", n_shards=8, seed=11).collect()
+    score = dict(rows)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    sizes = {s: len(v) for s, v in by_shard.items()}
+    assert max(sizes.values()) - min(sizes.values()) <= 1 and len(sizes) == 8
+    for s, items in by_shard.items():
+        items.sort()
+        scores = [score[d] for _, d in items]
+        assert scores == sorted(scores)  # monotone curriculum per shard
+
+    # full rank order == python model: (score, knuth_hash(id+seed), id)
+    got_order = [r["doc_id"] for r in sorted(out, key=lambda r: (r["pos"], r["shard"]))]
+    want_order = [
+        d for d, _ in sorted(
+            rows, key=lambda t: (t[1], ((t[0] + 11) * KNUTH) % M32, t[0])
+        )
+    ]
+    assert got_order == want_order
+    assert got_order != [d for d, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+
+    rev = curriculum_order(df, "doc_id", "score", n_shards=8, seed=11,
+                           descending=True).collect()
+    first_rev = min(rev, key=lambda r: (r["pos"], r["shard"]))["doc_id"]
+    assert score[first_rev] == 4  # hard-first

@@ -113,6 +113,9 @@ AUDIT = [
     # r4d: fused prep — the whole resample+loudness chain in ONE Arrow
     # stage (decode-once fusion), zero shuffles
     ("audio_prep", {"max_exchanges": 0, "arrow_only": True}),
+    # r4d: curriculum order — global_rank (range sort + offsets, no
+    # global Window) over (score, hash, id)
+    ("curriculum_order", {"no_python": True, "broadcast_join": True}),
 ]
 
 
