@@ -2215,3 +2215,45 @@ def test_curriculum_order_properties(spark):
                            descending=True).collect()
     first_rev = min(rev, key=lambda r: (r["pos"], r["shard"]))["doc_id"]
     assert score[first_rev] == 4  # hard-first
+
+
+def test_train_ngram_counts_equals_python_trainer(spark):
+    """Distributed LM training == the driver-side python trainer, bucket
+    for bucket and count for count: (a) on the shipped training corpus,
+    the full model arrays are EQUAL (a cluster-trained model scores
+    clips identically to the shipped one); (b) on arbitrary messy docs
+    (multi-space, empty, unicode-ish), counts match a direct python
+    counting loop using the model's own hash functions."""
+    import numpy as np
+
+    from kneaddata_spark.models.perplexity import _h1, _h2, train_perplexity
+    from kneaddata_spark.operators.lm import (
+        train_ngram_counts,
+        train_perplexity_distributed,
+    )
+
+    want = train_perplexity()
+    got = train_perplexity_distributed(spark)
+    assert np.array_equal(got.bigram, want.bigram)
+    assert np.array_equal(got.unigram, want.unigram)
+
+    docs = [
+        ("hello  world  hello",),
+        ("",),
+        ("  single ",),
+        ("a b a b a",),
+    ]
+    from collections import Counter
+
+    cb, cu = Counter(), Counter()
+    for (t,) in docs:
+        toks = ["<s>"] + t.lower().split() + ["</s>"]
+        for a, b in zip(toks, toks[1:]):
+            cb[_h2(a, b)] += 1
+            cu[_h1(a)] += 1
+    rows = train_ngram_counts(
+        spark.createDataFrame(docs, "text string"), "text"
+    ).collect()
+    got_b = {r["bucket"]: r["n"] for r in rows if r["kind"] == "bigram"}
+    got_u = {r["bucket"]: r["n"] for r in rows if r["kind"] == "unigram"}
+    assert got_b == dict(cb) and got_u == dict(cu)
