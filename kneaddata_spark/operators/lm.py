@@ -101,3 +101,78 @@ def train_perplexity_distributed(spark: SparkSession, langs=None):
     return counts_to_model(
         train_ngram_counts(spark.createDataFrame(sents, "text string"), "text")
     )
+
+
+# ---------------------------------------------------------------- langid --
+# Same story for the FIRST contaminant database: the language-ID trigram
+# profiles (models/langid) train driver-side over the seed corpus; at
+# production scale the clean per-language corpus is a table and the
+# profile build is a cluster job. Character trigrams as Column algebra:
+# split('') yields per-character arrays whose ascii() codes equal python
+# ord() for all BMP codepoints (probe-tested; the vocab has no astral
+# chars), and the mix (c0*40503 + c1*69069 + c2*54469) ^ (h >> 13) & MASK
+# is integer arithmetic.
+
+_LMASK = (1 << rules.LANGID_HASH_BITS) - 1
+
+
+def train_trigram_counts(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """(lang, bucket, n) character-trigram counts, buckets exactly equal
+    to models/langid._trigram_hashes over '  ' + text.lower() + ' '
+    (pytest-proven). One explode + one combinable agg; output bounded by
+    n_langs * 2^LANGID_HASH_BITS."""
+    s = F.concat(F.lit("  "), F.lower(F.col(text_col)), F.lit(" "))
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+
+    def mix(i):
+        h = (
+            F.element_at(codes, i) * F.lit(40503)
+            + F.element_at(codes, i + 1) * F.lit(69069)
+            + F.element_at(codes, i + 2) * F.lit(54469)
+        )
+        return (h.bitwiseXOR(F.shiftright(h, 13))).bitwiseAND(
+            F.lit(_LMASK).cast("long")
+        )
+
+    tris = F.transform(F.sequence(F.lit(1), F.size(codes) - 2), mix)
+    return (
+        docs.select(F.col(lang_col).alias("lang"), F.explode(tris).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def counts_to_langid(counts: DataFrame, langs):
+    """Materialize the bounded count table into the broadcastable
+    LangIdModel (same float32 accumulate + L2 normalization as the
+    python trainer — counts are exact integers < 2^24, so float32
+    conversion is lossless and the profiles match bit-for-bit)."""
+    from ..models.langid import LangIdModel
+
+    li = {lang: i for i, lang in enumerate(langs)}
+    profiles = np.zeros((len(langs), _LMASK + 1), dtype=np.float32)
+    for r in counts.collect():
+        if r["lang"] in li:
+            profiles[li[r["lang"]], int(r["bucket"])] = np.float32(r["n"])
+    for i in range(len(langs)):
+        nrm = np.linalg.norm(profiles[i])
+        if nrm > 0:
+            profiles[i] /= nrm
+    return LangIdModel(langs=tuple(langs), profiles=profiles)
+
+
+def train_langid_distributed(spark: SparkSession, langs=None):
+    """The shipped langid model's training corpus, trained on the
+    cluster: exactly models/langid.train_langid, as a Spark job."""
+    from ..vocab import LANGS, training_corpus
+
+    langs = tuple(langs or LANGS)
+    rows = [(lang, s) for lang in langs for s in training_corpus(lang)]
+    return counts_to_langid(
+        train_trigram_counts(
+            spark.createDataFrame(rows, "lang string, text string")
+        ),
+        langs,
+    )

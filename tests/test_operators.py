@@ -2257,3 +2257,34 @@ def test_train_ngram_counts_equals_python_trainer(spark):
     got_b = {r["bucket"]: r["n"] for r in rows if r["kind"] == "bigram"}
     got_u = {r["bucket"]: r["n"] for r in rows if r["kind"] == "unigram"}
     assert got_b == dict(cb) and got_u == dict(cu)
+
+
+def test_train_trigram_counts_equals_python_trainer(spark):
+    """Distributed langid training == the driver-side python trainer:
+    profiles bit-for-bit on the shipped corpus (so a cluster-trained
+    model predicts identically), and raw trigram counts on unicode-bearing
+    docs equal models/langid._trigram_hashes directly."""
+    from collections import Counter
+
+    import numpy as np
+
+    from kneaddata_spark.models.langid import _trigram_hashes, train_langid
+    from kneaddata_spark.operators.lm import (
+        train_langid_distributed,
+        train_trigram_counts,
+    )
+
+    want = train_langid()
+    got = train_langid_distributed(spark)
+    assert got.langs == want.langs
+    assert np.array_equal(got.profiles, want.profiles)
+
+    docs = [("xx", "héllo  wörld"), ("xx", ""), ("yy", "a"), ("yy", "qué tal")]
+    cnt = Counter()
+    for lang, t in docs:
+        for h in _trigram_hashes(t):
+            cnt[(lang, int(h))] += 1
+    rows = train_trigram_counts(
+        spark.createDataFrame(docs, "lang string, text string")
+    ).collect()
+    assert {(r["lang"], r["bucket"]): r["n"] for r in rows} == dict(cnt)
