@@ -88,6 +88,7 @@ HEADLINE = R3_SET + [
     "langid_confusion",
     "audio_prep",
     "curriculum_order",
+    "bpe_tokenize",
 ]
 
 

@@ -2643,6 +2643,28 @@ def normalized_dedup_q(spark, sf):
     return normalized_dedup(d.unionByName(shout).unionByName(punct), "doc_id", "text")
 
 
+@q("bpe_tokenize")
+def bpe_tokenize_q(spark, sf):
+    """BPE tokenizer trained ON this corpus (operators/bpe.train_bpe:
+    one distributed word-type count + the local merge loop over the
+    bounded type table — the classic subword-nmt/HF decomposition), then
+    applied in ONE Arrow stage: (doc_id, n_words, n_tokens, tok_crc)
+    where tok_crc is the crc32 of the full utf-8 token stream. Rows-only
+    by necessity: iterative argmax merge training/application is not
+    SQL-expressible (the dup_clusters recursive-CTE trick needs a
+    monotone fixpoint, not a per-iteration argmax); the pytest gate
+    replays BOTH training and encoding in independent pure python and
+    compares exact merge lists and full-stream crcs. Training actions at
+    build time are bounded: one combinable count agg + a <=top_types-row
+    collect (the adaptive_scrub bounded-harvest basis). Encode plan:
+    1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
+    from ..operators import bpe
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = bpe.train_bpe(d, n_merges=48)
+    return bpe.bpe_encode(d, merges)
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -2288,3 +2288,140 @@ def test_train_trigram_counts_equals_python_trainer(spark):
         spark.createDataFrame(docs, "lang string, text string")
     ).collect()
     assert {(r["lang"], r["bucket"]): r["n"] for r in rows} == dict(cnt)
+
+
+# ----------------------------------------------------------- BPE ----
+
+
+def _bpe_replica_train(texts, n_merges, top_types=20_000):
+    """Independent trainer: python Counter over the token stream, naive
+    full-recount pair loop (no posting-map increments), same
+    (count DESC, pair ASC) selection."""
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        wc.update(w for w in t.lower().split() if w)
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_types]
+    words = {w: (tuple(w) + ("</w>",), n) for w, n in top}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for sym, n in words.values():
+            for i in range(len(sym) - 1):
+                pc[(sym[i], sym[i + 1])] += n
+        if not pc:
+            break
+        a, b = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        nxt = {}
+        for w, (sym, n) in words.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            if len(out) > 1:
+                nxt[w] = (tuple(out), n)
+        words = nxt
+        if not words:
+            break
+    return merges
+
+
+def _bpe_replica_encode(word, merges):
+    """Independent encoder: replay merges IN TRAINING ORDER (the engine
+    encodes greedy-by-min-rank; the two are provably equivalent)."""
+    sym = tuple(word) + ("</w>",)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = tuple(out)
+    return list(sym)
+
+
+def test_bpe_merge_loop_hand_example():
+    """Unambiguous tiny corpus, merges hand-derivable."""
+    from kneaddata_spark.operators.bpe import merge_loop
+
+    # 'abab' x3: pairs (a,b)=6, (b,a)=3, (b,</w>)=3 -> first merge (a,b);
+    # then (ab,ab)=3, (ab,</w>)=3 tie -> pair ASC picks ('ab','</w>');
+    # then ('ab','ab</w>')=3 ... deterministic chain
+    merges = merge_loop([("abab", 3)], 3)
+    assert merges == [("a", "b"), ("ab", "</w>"), ("ab", "ab</w>")]
+
+
+def test_bpe_train_distributed_equals_replica(spark):
+    import random
+
+    rng = random.Random(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "repeat", "repeating",
+             "lowest", "newest", "widest", "low", "lower", "xy", "xyxy"]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(3, 30))) for _ in range(300)]
+    from kneaddata_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = train_bpe(df, n_merges=40, top_types=10)
+    want = _bpe_replica_train(texts, 40, top_types=10)
+    assert got == want and len(got) > 20
+
+
+def test_bpe_encode_matches_replica_and_plan(spark):
+    import random
+    import zlib
+
+    rng = random.Random(7)
+    vocab = ["the", "quick", "brown", "fox", "jumps", "lowest", "newest",
+             "slowest", "Mixed", "CASE", "tok-en", "ünïcode", "aaaa", "abab"]
+    rows = [(i, " ".join(rng.choices(vocab, k=rng.randint(1, 25)))) for i in range(200)]
+    rows.append((998, ""))
+    rows.append((999, None))
+    from kneaddata_spark.operators.bpe import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, n_merges=30)
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["tok_crc"])
+           for r in bpe_encode(df, merges).collect()}
+    for doc_id, t in rows:
+        if t is None:
+            assert got[doc_id] == (None, None, None)
+            continue
+        crc, n_tok, n_w = 0, 0, 0
+        for w in t.lower().split():
+            toks = _bpe_replica_encode(w, merges)
+            n_w += 1
+            n_tok += len(toks)
+            for tok in toks:
+                crc = zlib.crc32(tok.encode(), crc)
+        assert got[doc_id] == (n_w, n_tok, crc), doc_id
+    # plan: ONE Arrow stage, zero shuffles, no row-at-a-time python
+    from tools.audit_plans import plan_of
+
+    import re
+
+    p = plan_of(bpe_encode(df, merges))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+    assert "BatchEvalPython" not in p
+    assert not re.findall(r"\(\d+\) Exchange\b", p)
+
+
+def test_bpe_encode_reconstruction():
+    """Tokens of a word concatenate back to word + '</w>' (BPE is
+    lossless segmentation)."""
+    from kneaddata_spark.operators.bpe import encode_word, merge_loop
+
+    merges = merge_loop([("banana", 4), ("bandana", 2), ("nan", 7)], 12)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in ["banana", "bandana", "nan", "ban", "x", "nanana"]:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + "</w>"
+        assert toks == _bpe_replica_encode(w, merges)

@@ -116,6 +116,10 @@ AUDIT = [
     # r4d: curriculum order — global_rank (range sort + offsets, no
     # global Window) over (score, hash, id)
     ("curriculum_order", {"no_python": True, "broadcast_join": True}),
+    # r4e: BPE encode — ONE Arrow stage over the scan, zero shuffles
+    # (training runs at build time: one combinable count agg + a bounded
+    # top_types collect; the returned plan is encode only)
+    ("bpe_tokenize", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
