@@ -89,6 +89,7 @@ HEADLINE = R3_SET + [
     "audio_prep",
     "curriculum_order",
     "bpe_tokenize",
+    "pitch_screen",
 ]
 
 

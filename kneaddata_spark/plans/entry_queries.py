@@ -2665,6 +2665,23 @@ def bpe_tokenize_q(spark, sf):
     return bpe.bpe_encode(d, merges)
 
 
+@q("pitch_screen")
+def pitch_screen_q(spark, sf):
+    """Pitch / periodicity screen (operators/pitch): integer
+    autocorrelation F0 over a bounded center window — voiced/speechlike
+    verdicts against the rules.py human-F0 band (the audio analog of the
+    reference's TRF tandem-repeat periodicity screen). Rows-only by
+    necessity (binary PCM decode, the vad_segments basis); pytest
+    replica-gates every scalar against an independent per-lag-loop
+    kernel over oracle.decode_pcm, plus hand-built tone/noise/silence
+    cases incl. the octave guard. Plan: 1 ArrowEvalPython, 0 exchanges
+    (pytest-enforced)."""
+    from ..operators.pitch import pitch_screen
+    from ..synth import clips_spark_df
+
+    return pitch_screen(clips_spark_df(spark, 400, n_partitions=8))
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

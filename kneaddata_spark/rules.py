@@ -72,6 +72,28 @@ VAD_ENERGY_MIN = 328
 VAD_MIN_FRAMES = 3   # segments shorter than this are noise ticks, dropped
 VAD_MAX_GAP = 2      # silence gaps <= this many frames merge (hangover)
 
+# --- pitch / periodicity screen (operators/pitch.py) -----------------------
+# Integer-domain autocorrelation over a bounded center window (the VAD
+# discipline): measurement lag band [sr div PITCH_MEAS_F0_MAX .. sr div
+# PITCH_MEAS_F0_MIN], window of PITCH_WIN samples, int64-exact dot
+# products. A clip is VOICED when the best in-band autocorrelation clears
+# PITCH_VOICED_MIN_PERMILLE of the lag-0 energy, and SPEECHLIKE when
+# additionally 100*PITCH_F0_MIN_HZ <= f0_centi_hz <= 100*PITCH_F0_MAX_HZ
+# (the human-F0 band: steady tones/music sit above it, broadband noise
+# never clears the periodicity floor).
+PITCH_MEAS_F0_MIN = 50    # Hz — largest measured lag = sr div 50
+PITCH_MEAS_F0_MAX = 500   # Hz — smallest measured lag = sr div 500
+PITCH_WIN = 1024          # autocorrelation window (samples)
+PITCH_MIN_WIN = 256       # fewer usable samples than this -> too short
+PITCH_VOICED_MIN_PERMILLE = 300
+PITCH_F0_MIN_HZ = 60
+PITCH_F0_MAX_HZ = 350
+# octave guard (the YIN/praat smallest-qualifying-lag rule): best lag is
+# the SMALLEST lag whose autocorrelation clears this fraction of the peak
+# — any periodic signal also correlates at 2x, 3x its period, and plain
+# argmax drifts to whichever multiple is closest to an integer lag.
+PITCH_PEAK_TOL_PERMILLE = 950
+
 # --- transcript structural ------------------------------------------------
 MIN_TRANSCRIPT_CHARS = 3
 

@@ -2425,3 +2425,127 @@ def test_bpe_encode_reconstruction():
         toks = encode_word(w, ranks)
         assert "".join(toks) == w + "</w>"
         assert toks == _bpe_replica_encode(w, merges)
+
+
+# ----------------------------------------------------- pitch screen ----
+
+
+def _pitch_replica(x, sr):
+    """Independent re-derivation of the rules.py pitch kernel: per-lag
+    np.dot loop (the engine uses one strided matmul), plain-int verdicts."""
+    import numpy as np
+
+    from kneaddata_spark import rules
+
+    if sr <= 0:
+        return ("short", None, None, None)
+    min_lag = max(1, sr // rules.PITCH_MEAS_F0_MAX)
+    max_lag = sr // rules.PITCH_MEAS_F0_MIN
+    w = min(rules.PITCH_WIN, len(x) - max_lag)
+    if w < rules.PITCH_MIN_WIN or max_lag <= min_lag:
+        return ("short", None, None, None)
+    s = (len(x) - (w + max_lag)) // 2
+    xs = x[s : s + w + max_lag].astype(np.int64)
+    r0 = int(np.dot(xs[:w], xs[:w]))
+    if r0 <= 0:
+        return ("silent", None, None, 0)
+    rs = [int(np.dot(xs[:w], xs[lag : lag + w])) for lag in range(min_lag, max_lag + 1)]
+    r_max = max(rs)
+    if r_max <= 0:
+        best = rs.index(r_max)
+    else:
+        last = len(rs) - 1
+        best = next(
+            (
+                i for i, r in enumerate(rs)
+                if (i == 0 or r >= rs[i - 1])
+                and (i == last or r >= rs[i + 1])
+                and r * 1000 >= r_max * rules.PITCH_PEAK_TOL_PERMILLE
+            ),
+            rs.index(r_max),
+        )
+    best_lag = min_lag + best
+    return ("ok", best_lag, sr * 100 // best_lag, max(rs[best], 0) * 1000 // r0)
+
+
+def test_pitch_kernel_tones_and_noise():
+    import numpy as np
+
+    from kneaddata_spark.operators.pitch import pitch_of
+
+    sr = 16000
+    # exact integer period 100 (160 Hz, in the speech band): periodicity
+    # is exactly 1000 and the octave tie resolves DOWN to lag 100
+    t = np.arange(4000)
+    x = np.round(20000 * np.sin(2 * np.pi * t / 100)).astype(np.int16)
+    st, lag, f0, per = pitch_of(x, sr)
+    assert (st, lag, f0, per) == ("ok", 100, 16000, 1000)
+
+    # 880 Hz tone (lag ~18.18): voiced but out of the speech band
+    x = np.round(18000 * np.sin(2 * np.pi * 880 * t / sr)).astype(np.int16)
+    st, lag, f0, per = pitch_of(x, sr)
+    assert st == "ok" and per >= 800
+    assert f0 > 35000  # 350 Hz * 100
+
+    # deterministic broadband noise: never clears the periodicity floor
+    rng = np.random.default_rng(3)
+    x = rng.integers(-15000, 15000, size=4000).astype(np.int16)
+    st, lag, f0, per = pitch_of(x, sr)
+    assert st == "ok" and per < 300
+
+    # too short to measure
+    st, lag, f0, per = pitch_of(x[:300], sr)
+    assert st == "short" and lag is None
+
+    # silence
+    st, lag, f0, per = pitch_of(np.zeros(4000, dtype=np.int16), sr)
+    assert st == "silent" and per == 0
+
+    # replica agreement on all of the above shapes
+    for sig in [
+        np.round(20000 * np.sin(2 * np.pi * t / 100)).astype(np.int16),
+        rng.integers(-15000, 15000, size=4000).astype(np.int16),
+    ]:
+        assert pitch_of(sig, sr) == _pitch_replica(sig, sr)
+
+
+def test_pitch_screen_matches_replica_and_plan(spark):
+    import re
+
+    from kneaddata_spark import oracle, rules
+    from kneaddata_spark.operators.pitch import pitch_screen
+    from kneaddata_spark.synth import clips_spark_df, gen_clip
+    from tools.audit_plans import plan_of
+
+    n = 120
+    got = {
+        r["clip_id"]: r.asDict()
+        for r in pitch_screen(clips_spark_df(spark, n, n_partitions=4)).collect()
+    }
+    n_checked = n_speechlike = 0
+    import numpy as np
+
+    for i in range(n):
+        c = gen_clip(i)
+        f = oracle.decode_pcm(c["bytes"], c["codec"])
+        if f is None or c["sr_hz"] <= 0:
+            assert c["clip_id"] not in got
+            continue
+        x = (f.astype(np.float64) * 32768.0).astype(np.int64)
+        st, lag, f0, per = _pitch_replica(x, c["sr_hz"])
+        r = got[c["clip_id"]]
+        assert (r["status"], r["best_lag"], r["f0_centi_hz"],
+                r["periodicity_permille"]) == (st, lag, f0, per), c["clip_id"]
+        voiced = st == "ok" and per >= rules.PITCH_VOICED_MIN_PERMILLE
+        speech = voiced and 100 * rules.PITCH_F0_MIN_HZ <= f0 <= 100 * rules.PITCH_F0_MAX_HZ
+        assert (r["voiced"], r["speechlike"]) == (voiced, speech)
+        n_checked += 1
+        n_speechlike += speech
+    # the synth corpus is harmonic tones: most decodable clips are voiced,
+    # and the f0 ~ logU(80, 1200) draw puts a nontrivial subset in-band
+    assert n_checked > 60 and 0 < n_speechlike < n_checked
+
+    p = plan_of(pitch_screen(clips_spark_df(spark, 50, n_partitions=2)))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+    assert "BatchEvalPython" not in p
+    assert not re.findall(r"\(\d+\) Exchange\b", p)

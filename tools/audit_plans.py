@@ -120,6 +120,9 @@ AUDIT = [
     # (training runs at build time: one combinable count agg + a bounded
     # top_types collect; the returned plan is encode only)
     ("bpe_tokenize", {"max_exchanges": 0, "arrow_only": True}),
+    # r4e: pitch screen — ONE Arrow decode+autocorr stage, zero shuffles
+    # (same pin as VAD/resample); verdicts are JVM integer compares
+    ("pitch_screen", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
