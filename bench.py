@@ -90,6 +90,8 @@ HEADLINE = R3_SET + [
     "curriculum_order",
     "bpe_tokenize",
     "pitch_screen",
+    "zone_map_stats",
+    "zone_map_pruned_scan",
 ]
 
 

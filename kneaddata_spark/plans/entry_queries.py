@@ -2682,6 +2682,61 @@ def pitch_screen_q(spark, sf):
     return pitch_screen(clips_spark_df(spark, 400, n_partitions=8))
 
 
+@q(
+    "zone_map_stats",
+    """
+    SELECT (floor(epoch(ts))::BIGINT // 86400) AS slice,
+           count(*)::BIGINT AS n_rows,
+           min(user_id)::BIGINT AS min_user_id,
+           max(user_id)::BIGINT AS max_user_id,
+           count(DISTINCT user_id)::BIGINT AS ndv_user_id,
+           min(event_id)::BIGINT AS min_event_id,
+           max(event_id)::BIGINT AS max_event_id,
+           count(DISTINCT event_id)::BIGINT AS ndv_event_id
+    FROM events GROUP BY 1
+    """,
+)
+def zone_map_stats_q(spark, sf):
+    """Zone-map stats table (operators/zonemap.zone_maps): per-day
+    min/max/ndv over events — the Iceberg-manifest stand-in a range scan
+    consults to skip slices (one combinable agg pass; ndv exact here for
+    the cross-engine gate, approx_count_distinct is the documented 100 TB
+    default). Day slice = unix_timestamp div 86400 == DuckDB
+    floor(epoch)::BIGINT // 86400 (the range_join floor-epoch rule)."""
+    from ..operators.zonemap import zone_maps
+
+    ev = _t(spark, sf, "events")
+    return zone_maps(ev, F.expr("unix_timestamp(ts) div 86400"), ["user_id", "event_id"])
+
+
+@q(
+    "zone_map_pruned_scan",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE event_id BETWEEN 2500 AND 4200
+    """,
+)
+def zone_map_pruned_scan_q(spark, sf):
+    """Range scan THROUGH the zone map (operators/zonemap.pruned_scan):
+    build per-day stats, broadcast the qualifying day ids, semi-join the
+    scan, then apply the exact predicate. The oracle is the PLAIN filter
+    — hash equality IS the pruning soundness proof (the over-approximation
+    contract: interval-intersect keeps every slice the predicate can
+    touch). event_id is ts-monotone in the generator, so per-day ranges
+    are disjoint and the map prunes hard; the pytest demo additionally
+    proves the physical version (partitioned directories skipped,
+    PartitionFilters in plan)."""
+    from ..operators.zonemap import pruned_scan, zone_maps
+
+    ev = _t(spark, sf, "events")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    stats = zone_maps(ev, day, ["event_id"])
+    return pruned_scan(
+        ev.select("event_id", "user_id", "event_type", "ts"), day, stats,
+        "event_id", 2500, 4200,
+    ).select("event_id", "user_id", "event_type")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -2549,3 +2549,68 @@ def test_pitch_screen_matches_replica_and_plan(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
     assert "BatchEvalPython" not in p
     assert not re.findall(r"\(\d+\) Exchange\b", p)
+
+
+# ------------------------------------------------------- zone maps ----
+
+
+def test_zone_map_pruned_scan_equals_filter(spark):
+    from kneaddata_spark.operators.zonemap import pruned_scan, zone_maps
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    day = F.expr("unix_timestamp(ts) div 86400")
+    stats = zone_maps(ev, day, ["event_id"])
+    got = pruned_scan(ev, day, stats, "event_id", 200, 420).select("event_id")
+    want = ev.where(F.col("event_id").between(200, 420)).select("event_id")
+    assert sorted(r[0] for r in got.collect()) == sorted(r[0] for r in want.collect())
+    # event_id is ts-monotone: the map must actually prune
+    from kneaddata_spark.operators.zonemap import prune_slices
+
+    kept = prune_slices(stats, "event_id", 200, 420).count()
+    assert kept < stats.count()
+
+
+def test_zone_map_physical_partition_pruning(spark, tmp_path):
+    """The directory-skipping version: write a partitioned copy, read only
+    the zone-map-qualifying partitions, equality + fewer partitions in
+    the plan."""
+    import re
+
+    from kneaddata_spark.operators.zonemap import prune_slices, zone_maps
+    from tools.audit_plans import plan_of
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = str(tmp_path / "ev_by_day")
+    ev.withColumn("day", F.expr("unix_timestamp(ts) div 86400")).write.partitionBy(
+        "day"
+    ).parquet(p)
+    t = spark.read.parquet(p)
+    stats = zone_maps(t, F.col("day"), ["event_id"])
+    days = [r["slice"] for r in prune_slices(stats, "event_id", 200, 420).collect()]
+    n_days_total = t.select("day").distinct().count()
+    assert 0 < len(days) < n_days_total
+    pruned = t.where(F.col("day").isin(days)).where(F.col("event_id").between(200, 420))
+    full = t.where(F.col("event_id").between(200, 420))
+    assert sorted(r["event_id"] for r in pruned.collect()) == sorted(
+        r["event_id"] for r in full.collect()
+    )
+    # formatted explain elides FileScan detail — read the executed plan
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[day#\d+ IN \(", plan)
+    # behavioral proof: the pruned read touches at most the qualifying
+    # partitions (event_id is day-contiguous here, so exactly those)
+    files_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert files_pruned == len(days) < n_days_total
+
+
+def test_zone_map_null_slice_is_kept(spark):
+    """No evidence is not exclusion: a slice whose column is all NULL has
+    NULL min/max and must survive pruning."""
+    from kneaddata_spark.operators.zonemap import prune_slices, zone_maps
+
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, None), (2, 99)], "s int, v int"
+    )
+    stats = zone_maps(df, F.col("s"), ["v"])
+    kept = {r["slice"] for r in prune_slices(stats, "v", 1, 3).collect()}
+    assert kept == {0, 1}

@@ -123,6 +123,12 @@ AUDIT = [
     # r4e: pitch screen — ONE Arrow decode+autocorr stage, zero shuffles
     # (same pin as VAD/resample); verdicts are JVM integer compares
     ("pitch_screen", {"max_exchanges": 0, "arrow_only": True}),
+    # r4e: zone-map stats — one combinable agg; the two count_distincts
+    # plan as one expand + two-phase agg (2 shuffles)
+    ("zone_map_stats", {"max_exchanges": 2, "no_python": True}),
+    # r4e: pruned range scan — stats agg feeds a BROADCAST semi-join on
+    # the slice id; the probe side never shuffles
+    ("zone_map_pruned_scan", {"broadcast_join": True, "no_python": True}),
 ]
 
 
