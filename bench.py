@@ -92,6 +92,7 @@ HEADLINE = R3_SET + [
     "pitch_screen",
     "zone_map_stats",
     "zone_map_pruned_scan",
+    "snr_screen",
 ]
 
 

@@ -2737,6 +2737,22 @@ def zone_map_pruned_scan_q(spark, sf):
     ).select("event_id", "user_id", "event_type")
 
 
+@q("snr_screen")
+def snr_screen_q(spark, sf):
+    """SNR screen (operators/snr): per-clip speech-to-noise-floor POWER
+    ratio using the VAD frame rule for the speech/noise split (one rules
+    source of truth) — integer div ratio, no dB float (the ln-free
+    determinism rule). Rows-only by necessity (binary PCM decode, the
+    vad_segments basis); pytest replica-gates every scalar against a
+    plain-python-loop kernel over oracle.decode_pcm plus hand-built
+    loud/quiet/sub-threshold/short cases. Plan: 1 ArrowEvalPython,
+    0 exchanges (pytest-enforced)."""
+    from ..operators.snr import snr_screen
+    from ..synth import clips_spark_df
+
+    return snr_screen(clips_spark_df(spark, 400, n_partitions=8))
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

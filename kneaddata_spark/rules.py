@@ -72,6 +72,14 @@ VAD_ENERGY_MIN = 328
 VAD_MIN_FRAMES = 3   # segments shorter than this are noise ticks, dropped
 VAD_MAX_GAP = 2      # silence gaps <= this many frames merge (hangover)
 
+# --- SNR screen (operators/snr.py) -----------------------------------------
+# Frames classify speech/noise by the VAD rule above; the clip's SNR proxy
+# is the integer POWER ratio speech_meansq div max(noise_meansq, 1), where
+# meansq = sum(x^2) div n_samples over each class. Keep needs both classes
+# present and ratio >= SNR_MIN_RATIO (10x power ~ 10 dB). No-noise-floor
+# clips report status='clean' (keep), no-speech clips 'no_speech' (drop).
+SNR_MIN_RATIO = 10
+
 # --- pitch / periodicity screen (operators/pitch.py) -----------------------
 # Integer-domain autocorrelation over a bounded center window (the VAD
 # discipline): measurement lag band [sr div PITCH_MEAS_F0_MAX .. sr div

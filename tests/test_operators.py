@@ -2614,3 +2614,112 @@ def test_zone_map_null_slice_is_kept(spark):
     stats = zone_maps(df, F.col("s"), ["v"])
     kept = {r["slice"] for r in prune_slices(stats, "v", 1, 3).collect()}
     assert kept == {0, 1}
+
+
+# ------------------------------------------------------- SNR screen ----
+
+
+def _snr_replica(x, sr):
+    """Independent re-derivation of the rules.py SNR kernel: per-frame
+    python loops, plain-int math."""
+    from kneaddata_spark import rules
+
+    frame_len = sr * rules.VAD_FRAME_MS // 1000
+    if frame_len <= 0 or len(x) < frame_len:
+        return ("short", 0, 0, None, None, None)
+    sp_sq = nz_sq = n_sp = n_nz = 0
+    for f in range(len(x) // frame_len):
+        fr = [int(v) for v in x[f * frame_len : (f + 1) * frame_len]]
+        e = sum(abs(v) for v in fr) // frame_len
+        ssq = sum(v * v for v in fr)
+        if e >= rules.VAD_ENERGY_MIN:
+            n_sp += 1
+            sp_sq += ssq
+        else:
+            n_nz += 1
+            nz_sq += ssq
+    sp_ms = sp_sq // (n_sp * frame_len) if n_sp else None
+    nz_ms = nz_sq // (n_nz * frame_len) if n_nz else None
+    if n_sp == 0:
+        return ("no_speech", 0, n_nz, None, nz_ms, None)
+    if n_nz == 0:
+        return ("clean", n_sp, 0, sp_ms, None, None)
+    return ("ok", n_sp, n_nz, sp_ms, nz_ms, sp_ms // max(nz_ms, 1))
+
+
+def test_snr_kernel_hand_cases():
+    import numpy as np
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.snr import snr_of
+
+    sr = 16000
+    fl = sr * rules.VAD_FRAME_MS // 1000  # 400
+    t = np.arange(fl * 10)
+    loud = np.round(16000 * np.sin(2 * np.pi * t / 100)).astype(np.int16)
+    quiet = (np.round(50 * np.sin(2 * np.pi * t / 100))).astype(np.int16)
+
+    st, nsp, nnz, spm, nzm, r = snr_of(np.concatenate([loud, quiet]), sr)
+    assert (st, nsp, nnz) == ("ok", 10, 10)
+    assert r == spm // nzm and r >= rules.SNR_MIN_RATIO
+
+    assert snr_of(loud, sr)[0] == "clean"
+    assert snr_of(quiet, sr)[0] == "no_speech"
+    assert snr_of(loud[: fl - 1], sr)[0] == "short"
+    assert snr_of(np.zeros(fl * 3, dtype=np.int16), sr)[0] == "no_speech"
+
+    # noisy clip under the keep bar: noise floor ~8x below speech power
+    noisy = np.concatenate([loud, (loud * 0.36).astype(np.int16)])
+    st, *_ , r = snr_of(noisy, sr)
+    # 0.36 amplitude is still above VAD energy -> all speech -> clean;
+    # push the floor just under the VAD line instead
+    sub = np.round(500 * np.sin(2 * np.pi * t / 100)).astype(np.int16)
+    st, nsp, nnz, spm, nzm, r = snr_of(np.concatenate([loud, sub]), sr)
+    assert st == "ok" and nnz == 10
+    assert r == spm // nzm
+
+    for sig in [np.concatenate([loud, quiet]), np.concatenate([loud, sub]), quiet]:
+        assert snr_of(sig, sr) == _snr_replica(sig, sr)
+
+
+def test_snr_screen_matches_replica_and_plan(spark):
+    import re
+
+    import numpy as np
+
+    from kneaddata_spark import oracle, rules
+    from kneaddata_spark.operators.snr import snr_screen
+    from kneaddata_spark.synth import clips_spark_df, gen_clip
+    from tools.audit_plans import plan_of
+
+    n = 120
+    got = {
+        r["clip_id"]: r.asDict()
+        for r in snr_screen(clips_spark_df(spark, n, n_partitions=4)).collect()
+    }
+    n_checked = n_keep = 0
+    for i in range(n):
+        c = gen_clip(i)
+        f = oracle.decode_pcm(c["bytes"], c["codec"])
+        if f is None or c["sr_hz"] <= 0:
+            assert c["clip_id"] not in got
+            continue
+        x = (f.astype(np.float64) * 32768.0).astype(np.int64)
+        st, nsp, nnz, spm, nzm, ratio = _snr_replica(x, c["sr_hz"])
+        r = got[c["clip_id"]]
+        assert (
+            r["status"], r["n_speech_frames"], r["n_noise_frames"],
+            r["speech_meansq"], r["noise_meansq"], r["snr_ratio"],
+        ) == (st, nsp, nnz, spm, nzm, ratio), c["clip_id"]
+        keep = st == "clean" or (st == "ok" and ratio >= rules.SNR_MIN_RATIO)
+        assert r["keep"] == keep
+        n_checked += 1
+        n_keep += keep
+    # the synth corpus has edge_silence/mostly_silence classes: both
+    # verdicts must occur
+    assert n_checked > 60 and 0 < n_keep < n_checked
+
+    p = plan_of(snr_screen(clips_spark_df(spark, 50, n_partitions=2)))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+    assert "BatchEvalPython" not in p
+    assert not re.findall(r"\(\d+\) Exchange\b", p)

@@ -129,6 +129,8 @@ AUDIT = [
     # r4e: pruned range scan — stats agg feeds a BROADCAST semi-join on
     # the slice id; the probe side never shuffles
     ("zone_map_pruned_scan", {"broadcast_join": True, "no_python": True}),
+    # r4e: SNR screen — ONE Arrow decode stage, zero shuffles
+    ("snr_screen", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
