@@ -93,6 +93,7 @@ HEADLINE = R3_SET + [
     "zone_map_stats",
     "zone_map_pruned_scan",
     "snr_screen",
+    "corpus_card",
 ]
 
 

@@ -131,6 +131,9 @@ AUDIT = [
     ("zone_map_pruned_scan", {"broadcast_join": True, "no_python": True}),
     # r4e: SNR screen — ONE Arrow decode stage, zero shuffles
     ("snr_screen", {"max_exchanges": 0, "arrow_only": True}),
+    # r4e: corpus card — one combinable agg (count_distinct expand = 2
+    # shuffles), zero Python
+    ("corpus_card", {"max_exchanges": 2, "no_python": True}),
 ]
 
 
