@@ -94,6 +94,7 @@ HEADLINE = R3_SET + [
     "zone_map_pruned_scan",
     "snr_screen",
     "corpus_card",
+    "audio_screens",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Fused audio screen: VAD + SNR + pitch verdicts from ONE decode.
+
+The screen-family analog of operators/audioprep (which fused the
+canonical-form chain): a corpus pass that wants all three audio-quality
+verdicts — voice activity, noise floor, periodicity — must not decode
+the corpus three times. Decode is the per-core Python ceiling
+(BASELINE.md roofline), and at 100 TB the bytes-column scan itself is
+the other ceiling; running the standalone operators back-to-back pays
+both three times. This stage runs the SAME kernels (operators/vad.
+segment_samples, operators/snr.snr_of, operators/pitch.pitch_of — one
+source of truth each, all replica-gated in their own tests) on one
+decoded buffer inside ONE ArrowEvalPython stage.
+
+Fusion contract (pytest-enforced): every output column is bit-identical
+to the corresponding standalone operator's column — fusing costs
+nothing, choosing it saves two scans and two decodes. Cost honesty, as
+recorded for prep_audio: with this sandbox's memcpy-cheap codecs the
+wall saving is noise-level; the structural saving scales with real
+codec cost and scan I/O.
+
+VAD is aggregated to clip grain here (n_segments, speech_frames) — the
+per-segment rows remain vad_segments' job; a screen wants the verdict,
+not the cut list.
+
+Zero shuffles; nondeterministic-pinned (the CollapseProject lesson).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import rules
+from .pitch import pitch_of
+from .snr import snr_of
+from .vad import segment_samples
+
+_SCREEN_T = T.StructType(
+    [
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("speech_frames", T.LongType()),
+        T.StructField("snr_status", T.StringType()),
+        T.StructField("snr_ratio", T.LongType()),
+        T.StructField("pitch_status", T.StringType()),
+        T.StructField("f0_centi_hz", T.LongType()),
+        T.StructField("periodicity_permille", T.LongType()),
+    ]
+)
+
+
+@F.arrow_udf(_SCREEN_T)
+def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
+    from ..functions.audio import _binary_bounds
+    from .audiodup import _decode_s16
+
+    data, starts, ends = _binary_bounds(raw)
+    codecs = codec.to_pylist()
+    srs = sr.to_pylist()
+    out = []
+    for i in range(len(codecs)):
+        x = _decode_s16(data, int(starts[i]), int(ends[i]), codecs[i])
+        if x is None or not srs[i] or srs[i] <= 0:
+            out.append(None)
+            continue
+        s = int(srs[i])
+        segs = segment_samples(x, s)
+        snr_st, _, _, _, _, snr_ratio = snr_of(x, s)
+        p_st, _, f0, per = pitch_of(x, s)
+        out.append(
+            {
+                "n_segments": len(segs),
+                "speech_frames": sum(e - b for b, e in segs),
+                "snr_status": snr_st,
+                "snr_ratio": snr_ratio,
+                "pitch_status": p_st,
+                "f0_centi_hz": f0,
+                "periodicity_permille": per,
+            }
+        )
+    return pa.array(
+        out,
+        type=pa.struct(
+            [
+                ("n_segments", pa.int64()),
+                ("speech_frames", pa.int64()),
+                ("snr_status", pa.string()),
+                ("snr_ratio", pa.int64()),
+                ("pitch_status", pa.string()),
+                ("f0_centi_hz", pa.int64()),
+                ("periodicity_permille", pa.int64()),
+            ]
+        ),
+    )
+
+
+_screen_udf = _screen_udf.asNondeterministic()
+
+
+def screen_audio(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """(clip_id, n_segments, speech_frames, snr_status, snr_ratio,
+    pitch_status, f0_centi_hz, periodicity_permille, snr_keep, voiced,
+    speechlike) — all three screens' verdicts from one decode; verdict
+    booleans are the standalone operators' JVM-side rules verbatim."""
+    e = clips.select(
+        F.col(id_col).alias("clip_id"),
+        _screen_udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("a"),
+    ).where(F.col("a").isNotNull())
+    snr_keep = (F.col("a.snr_status") == "clean") | (
+        (F.col("a.snr_status") == "ok") & (F.col("a.snr_ratio") >= rules.SNR_MIN_RATIO)
+    )
+    voiced = (F.col("a.pitch_status") == "ok") & (
+        F.col("a.periodicity_permille") >= rules.PITCH_VOICED_MIN_PERMILLE
+    )
+    in_band = F.col("a.f0_centi_hz").between(
+        100 * rules.PITCH_F0_MIN_HZ, 100 * rules.PITCH_F0_MAX_HZ
+    )
+    return e.select(
+        "clip_id",
+        F.col("a.n_segments").alias("n_segments"),
+        F.col("a.speech_frames").alias("speech_frames"),
+        F.col("a.snr_status").alias("snr_status"),
+        F.col("a.snr_ratio").alias("snr_ratio"),
+        F.col("a.pitch_status").alias("pitch_status"),
+        F.col("a.f0_centi_hz").alias("f0_centi_hz"),
+        F.col("a.periodicity_permille").alias("periodicity_permille"),
+        snr_keep.alias("snr_keep"),
+        voiced.alias("voiced"),
+        (voiced & in_band).alias("speechlike"),
+    )

@@ -2817,6 +2817,20 @@ def corpus_card_q(spark, sf):
     )
 
 
+@q("audio_screens")
+def audio_screens_q(spark, sf):
+    """Fused audio screen (operators/audioscreen.screen_audio): VAD +
+    SNR + pitch verdicts from ONE decode — the decode-once fusion rule
+    (audioprep) extended to the screen family; every column pytest-proven
+    bit-identical to its standalone operator. Rows-only by necessity
+    (binary PCM decode basis). Plan: 1 ArrowEvalPython, 0 exchanges
+    (pytest-enforced)."""
+    from ..operators.audioscreen import screen_audio
+    from ..synth import clips_spark_df
+
+    return screen_audio(clips_spark_df(spark, 400, n_partitions=8))
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

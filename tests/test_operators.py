@@ -2723,3 +2723,50 @@ def test_snr_screen_matches_replica_and_plan(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
     assert "BatchEvalPython" not in p
     assert not re.findall(r"\(\d+\) Exchange\b", p)
+
+
+# ------------------------------------------------- fused audio screen ----
+
+
+def test_screen_audio_fusion_equals_standalones(spark):
+    """Fusion contract: every fused column is bit-identical to the
+    corresponding standalone operator's output (the prep_audio rule);
+    plan is ONE Arrow stage, zero shuffles."""
+    import re
+
+    from kneaddata_spark.operators.audioscreen import screen_audio
+    from kneaddata_spark.operators.pitch import pitch_screen
+    from kneaddata_spark.operators.snr import snr_screen
+    from kneaddata_spark.operators.vad import vad_segments
+    from kneaddata_spark.synth import clips_spark_df
+    from tools.audit_plans import plan_of
+
+    clips = clips_spark_df(spark, 150, n_partitions=4)
+    fused = {r["clip_id"]: r.asDict() for r in screen_audio(clips).collect()}
+    snr = {r["clip_id"]: r.asDict() for r in snr_screen(clips).collect()}
+    pit = {r["clip_id"]: r.asDict() for r in pitch_screen(clips).collect()}
+    segs = {}
+    for r in vad_segments(clips).collect():
+        a = segs.setdefault(r["clip_id"], [0, 0])
+        a[0] += 1
+        a[1] += r["n_frames"]
+    assert set(fused) == set(snr) == set(pit)
+    for cid, f in fused.items():
+        assert (f["snr_status"], f["snr_ratio"], f["snr_keep"]) == (
+            snr[cid]["status"], snr[cid]["snr_ratio"], snr[cid]["keep"]
+        ), cid
+        assert (
+            f["pitch_status"], f["f0_centi_hz"], f["periodicity_permille"],
+            f["voiced"], f["speechlike"],
+        ) == (
+            pit[cid]["status"], pit[cid]["f0_centi_hz"],
+            pit[cid]["periodicity_permille"], pit[cid]["voiced"],
+            pit[cid]["speechlike"],
+        ), cid
+        n_seg, n_fr = segs.get(cid, [0, 0])
+        assert (f["n_segments"], f["speech_frames"]) == (n_seg, n_fr), cid
+
+    p = plan_of(screen_audio(clips_spark_df(spark, 50, n_partitions=2)))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+    assert "BatchEvalPython" not in p
+    assert not re.findall(r"\(\d+\) Exchange\b", p)

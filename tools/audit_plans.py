@@ -134,6 +134,8 @@ AUDIT = [
     # r4e: corpus card — one combinable agg (count_distinct expand = 2
     # shuffles), zero Python
     ("corpus_card", {"max_exchanges": 2, "no_python": True}),
+    # r4e: fused audio screen — VAD+SNR+pitch from ONE decode stage
+    ("audio_screens", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
