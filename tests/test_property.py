@@ -251,3 +251,55 @@ def test_loudness_kernel_property_vs_replica(samples, target_rms):
     y = apply_gain(x, gain)
     for v, w in zip(x, y):
         assert int(w) == max(-32768, min(32767, (int(v) * gain) >> 15))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters=" \t\n\r\x0b\x0c"
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(0, 40),
+)
+def test_bpe_property_lossless_and_rank_equivalence(type_counts, n_merges):
+    """For arbitrary unicode word-type tables and any number of learned
+    merges: (1) encoding is lossless segmentation (tokens concatenate to
+    word + '</w>'), (2) greedy lowest-rank application == replaying the
+    merge list in training order (the equivalence the engine relies on),
+    (3) training is deterministic under input order permutation."""
+    from kneaddata_spark.operators.bpe import encode_word, merge_loop
+
+    # dedupe words (the table is keyed); keep first count
+    seen = {}
+    for w, n in type_counts:
+        seen.setdefault(w, n)
+    table = list(seen.items())
+    merges = merge_loop(table, n_merges)
+    assert merges == merge_loop(list(reversed(table)), n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in seen:
+        toks = encode_word(w, ranks)
+        assert "".join(toks) == w + "</w>"
+        # replay-in-order formulation
+        sym = tuple(w) + ("</w>",)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = tuple(out)
+        assert toks == list(sym), (w, merges)
