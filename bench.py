@@ -95,6 +95,7 @@ HEADLINE = R3_SET + [
     "snr_screen",
     "corpus_card",
     "audio_screens",
+    "lang_segments",
 ]
 
 

@@ -515,3 +515,51 @@ def pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("h").alias("n_hits"),
         )
     )
+
+
+def lang_segments(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Code-switch segmentation: maximal runs of equal per-token language
+    vote — the gaps-and-islands operator over token streams (sessionize
+    is its time-gap sibling). A transcript that flips en->es->en mid-run
+    is the mixed_lang defect class the QC perplexity rule drops at clip
+    grain; this reports WHERE the switches are, the evidence a
+    bilingual-corpus curator reads.
+
+    Per-token vote: first stopword list containing the token (en before
+    es — deterministic precedence), else 'und'. Islands by the classic
+    boundary-flag running sum: boundary = vote IS DISTINCT FROM
+    lag(vote), seg_idx = running sum of boundaries — both windows AND the
+    closing groupBy key on (doc, seg) are doc_id-clustered, so the whole
+    operator is ONE shuffle (HashPartitioning(doc_id) satisfies every
+    downstream ClusteredDistribution refinement; plan-audit-enforced).
+
+    Output: (doc_id, seg_idx 1-based, vote, start_pos, end_pos,
+    n_tokens) with pos = 0-based token index.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
+    t = df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    vote = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        arr = F.array([F.lit(w) for w in STOPWORDS[lang]])
+        vote = F.when(F.array_contains(arr, F.col("tok")), lang).otherwise(vote)
+    v = t.select("doc_id", "pos", vote.alias("vote"))
+    w = W.partitionBy("doc_id").orderBy("pos")
+    boundary = (~F.lag("vote").over(w).eqNullSafe(F.col("vote"))).cast("int")
+    s = v.select(
+        "doc_id",
+        "pos",
+        "vote",
+        F.sum(boundary)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("seg_idx"),
+    )
+    return s.groupBy("doc_id", "seg_idx", "vote").agg(
+        F.min("pos").cast("long").alias("start_pos"),
+        F.max("pos").cast("long").alias("end_pos"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )

@@ -2770,3 +2770,43 @@ def test_screen_audio_fusion_equals_standalones(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
     assert "BatchEvalPython" not in p
     assert not re.findall(r"\(\d+\) Exchange\b", p)
+
+
+# ------------------------------------------------- code-switch runs ----
+
+
+def test_lang_segments_islands_and_invariance(spark):
+    import re
+
+    from kneaddata_spark.operators.textstats import lang_segments
+    from tools.audit_plans import plan_of
+
+    df = spark.createDataFrame(
+        [
+            (1, "the and of el la de the zz"),
+            (2, ""),
+            (3, "   "),
+            (4, "zz zz zz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in lang_segments(df, "doc_id", "text").collect())
+    assert got == [
+        (1, 1, "en", 0, 2, 3),
+        (1, 2, "es", 3, 5, 3),
+        (1, 3, "en", 6, 6, 1),
+        (1, 4, "und", 7, 7, 1),
+        (4, 1, "und", 0, 2, 3),
+    ]
+    # partition invariance
+    got8 = sorted(
+        tuple(r) for r in lang_segments(df.repartition(8), "doc_id", "text").collect()
+    )
+    assert got8 == got
+    # one doc-keyed shuffle end-to-end (window + running sum + groupBy all
+    # reuse the doc_id clustering)
+    p = plan_of(lang_segments(df, "doc_id", "text"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+    from tools.audit_plans import global_window_lines
+
+    assert not global_window_lines(lang_segments(df, "doc_id", "text"))

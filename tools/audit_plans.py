@@ -136,6 +136,9 @@ AUDIT = [
     ("corpus_card", {"max_exchanges": 2, "no_python": True}),
     # r4e: fused audio screen — VAD+SNR+pitch from ONE decode stage
     ("audio_screens", {"max_exchanges": 0, "arrow_only": True}),
+    # r4e: gaps-and-islands code-switch runs — ONE doc-keyed shuffle
+    # (windows + running sum + groupBy all reuse the doc_id clustering)
+    ("lang_segments", {"max_exchanges": 1, "no_python": True}),
 ]
 
 
