@@ -96,6 +96,8 @@ HEADLINE = R3_SET + [
     "corpus_card",
     "audio_screens",
     "lang_segments",
+    "source_overlap",
+    "length_drift",
 ]
 
 

@@ -426,3 +426,64 @@ def curriculum_order(
         ((F.col("__r") - 1) % n_shards).cast("int").alias("shard"),
         F.expr(f"cast((__r - 1) div {n_shards} as int)").alias("pos"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    DISTINCT document texts they share — the corpus-merge decision table
+    ("is src_b just a re-crawl of src_a?") every multi-source training
+    mix is curated from. Output: (src_a, src_b, shared, n_a, n_b,
+    containment_permille) for src_a < src_b with shared > 0, where
+    containment = shared / min(|a|, |b|) (integer permille).
+
+    Scale shape: ONE groupBy(md5) with collect_set(source) reduces the
+    corpus to its distinct-text frame (set size bounded by |sources|, not
+    corpus size); pair expansion happens INSIDE each text's source set
+    (the audiodup bucket-collect pattern — a self-join on h would shuffle
+    the corpus twice), so pair traffic is bounded by |sources|^2 per
+    text. Per-source distinct totals re-aggregate the SAME persisted
+    frame (persist_tracked: MEMORY_AND_DISK, released at the next query
+    build) and ride back as a broadcast |sources|-row join.
+    """
+    by_h = persist_tracked(
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.sort_array(F.collect_set(source_col)).alias("srcs"))
+    )
+    # per-source distinct-text totals from the same frame
+    totals = (
+        by_h.select(F.explode("srcs").alias("src"))
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    # ordered pairs within each text's source set: srcs is sorted, so
+    # (srcs[i], srcs[j]) for i < j enumerates each unordered pair once
+    pairs = (
+        by_h.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (a, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    ta = totals.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+    tb = totals.select(F.col("src").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("shared * 1000 div least(n_a, n_b)").alias("containment_permille"),
+        )
+    )

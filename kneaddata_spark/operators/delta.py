@@ -80,3 +80,82 @@ def snapshot_diff_counts(
         .groupBy("change")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def distribution_drift(
+    a: DataFrame,
+    b: DataFrame,
+    value_expr: str,
+    bucket_width: int = 8,
+    max_buckets: int = 64,
+) -> DataFrame:
+    """Ingest drift monitor: compare an integer statistic's distribution
+    between two corpus snapshots as per-bucket cumulative permilles —
+    max(abs_diff_permille) over the output IS the (integer,
+    bucket-quantized) Kolmogorov-Smirnov statistic, the alarm a
+    continuous-ingest pipeline watches ("today's crawl suddenly skews
+    short"). Snapshot-family sibling of snapshot_diff: diff answers WHAT
+    changed row-wise, this answers whether the SHAPE changed.
+
+    Scale shape: each snapshot reduces to a <= max_buckets-row histogram
+    in ONE combinable agg (the only corpus-sized pass; persist_tracked so
+    the downstream self-join does not rescan either corpus); cumulative
+    sums via the triangular broadcast self-join over the tiny bucket
+    frame (the threshold_sweep pattern — never a global running-total
+    window); totals ride as a broadcast 1-row frame. Integer permille
+    throughout (div discipline). Evaluating the CDF gap only at observed
+    buckets is exact: both CDFs are step functions whose jumps all lie
+    in the observed-bucket union.
+
+    Output: (bucket, n_a, n_b, cum_a_permille, cum_b_permille,
+    abs_diff_permille), bucket = least(value div bucket_width,
+    max_buckets - 1).
+    """
+    from .caching import persist_tracked
+
+    def hist(df, alias):
+        return (
+            df.select(
+                F.expr(
+                    f"least(cast(({value_expr}) as bigint) div {int(bucket_width)}, "
+                    f"{int(max_buckets) - 1})"
+                ).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(alias))
+        )
+
+    h = persist_tracked(
+        hist(a, "n_a")
+        .join(hist(b, "n_b"), "bucket", "full_outer")
+        .fillna(0, ["n_a", "n_b"])
+    )
+    h2 = h.select(
+        F.col("bucket").alias("__b2"),
+        F.col("n_a").alias("__a2"),
+        F.col("n_b").alias("__b2n"),
+    )
+    cum = (
+        h.join(F.broadcast(h2), F.col("__b2") <= F.col("bucket"))
+        .groupBy("bucket", "n_a", "n_b")
+        .agg(
+            F.sum("__a2").cast("long").alias("cum_a"),
+            F.sum("__b2n").cast("long").alias("cum_b"),
+        )
+    )
+    tot = h.groupBy().agg(
+        F.sum("n_a").cast("long").alias("__ta"), F.sum("n_b").cast("long").alias("__tb")
+    )
+    return (
+        cum.join(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.expr("cum_a * 1000 div __ta").alias("cum_a_permille"),
+            F.expr("cum_b * 1000 div __tb").alias("cum_b_permille"),
+            F.expr(
+                "abs(cum_a * 1000 div __ta - cum_b * 1000 div __tb)"
+            ).alias("abs_diff_permille"),
+        )
+    )

@@ -2878,6 +2878,96 @@ def lang_segments_q(spark, sf):
     return textstats.lang_segments(d, "doc_id", "text")
 
 
+@q(
+    "source_overlap",
+    """
+    WITH u AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT 'replica' AS source, text FROM documents WHERE doc_id < 40
+    ),
+    d AS (SELECT DISTINCT md5(text) AS h, source FROM u),
+    p AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1)
+    SELECT p.src_a, p.src_b, p.shared, ta.n AS n_a, tb.n AS n_b,
+           (p.shared * 1000 // least(ta.n, tb.n))::BIGINT AS containment_permille
+    FROM p JOIN t ta ON ta.source = p.src_a JOIN t tb ON tb.source = p.src_b
+    """,
+)
+def source_overlap_q(spark, sf):
+    """Cross-source duplication matrix (corpus.source_overlap): distinct
+    shared texts + containment permille per source pair — the
+    corpus-merge decision table. A 'replica' source (copies of doc_id <
+    40) is planted so the off-diagonal is exercised. Engine shape: ONE
+    groupBy(md5) + in-set pair expansion (the audiodup bucket-collect
+    pattern; the oracle's self-join formulation is the semantics, not
+    the plan), per-source totals from the same persisted frame, ridden
+    back as broadcast joins."""
+    from ..operators.corpus import source_overlap
+
+    d = _t(spark, sf, "documents").select("source", "text")
+    rep = (
+        _t(spark, sf, "documents")
+        .where("doc_id < 40")
+        .select(F.lit("replica").alias("source"), "text")
+    )
+    return source_overlap(d.unionByName(rep))
+
+
+@q(
+    "length_drift",
+    """
+    WITH bsnap AS (
+      SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text ELSE text END AS text
+      FROM documents
+    ),
+    ha AS (SELECT least(len(string_split(trim(text), ' '))::BIGINT // 8, 63) AS bucket,
+                  count(*)::BIGINT AS n_a FROM documents GROUP BY 1),
+    hb AS (SELECT least(len(string_split(trim(text), ' '))::BIGINT // 8, 63) AS bucket,
+                  count(*)::BIGINT AS n_b FROM bsnap GROUP BY 1),
+    h AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+                 coalesce(n_a, 0)::BIGINT AS n_a, coalesce(n_b, 0)::BIGINT AS n_b
+          FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+    c AS (SELECT bucket, n_a, n_b,
+            sum(n_a) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_a,
+            sum(n_b) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_b
+          FROM h),
+    t AS (SELECT sum(n_a)::BIGINT AS ta, sum(n_b)::BIGINT AS tb FROM h)
+    SELECT bucket, n_a, n_b,
+           (cum_a * 1000 // ta)::BIGINT AS cum_a_permille,
+           (cum_b * 1000 // tb)::BIGINT AS cum_b_permille,
+           abs(cum_a * 1000 // ta - cum_b * 1000 // tb)::BIGINT AS abs_diff_permille
+    FROM c, t
+    """,
+)
+def length_drift_q(spark, sf):
+    """Distribution drift monitor (delta.distribution_drift): token-length
+    CDF gap between two snapshots as per-bucket cumulative permilles —
+    max(abs_diff_permille) is the bucket-quantized KS statistic an ingest
+    pipeline alarms on. Snapshot B perturbs documents with doc_id % 7 == 0
+    (text doubled) so the drift is real and deterministic. Engine: one
+    combinable histogram agg per snapshot (the only corpus passes,
+    persist_tracked), cumulative via the triangular broadcast self-join
+    over the <= 64-row bucket frame (threshold_sweep pattern — no global
+    running-total window; the ORACLE's window cumsum is fine in DuckDB,
+    the rule binds the engine plan)."""
+    from ..operators.delta import distribution_drift
+
+    a = _t(spark, sf, "documents").select("doc_id", "text")
+    b = a.select(
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" "), "text"))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return distribution_drift(
+        a, b, "size(split(trim(text), ' '))", bucket_width=8, max_buckets=64
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -2810,3 +2810,53 @@ def test_lang_segments_islands_and_invariance(spark):
     from tools.audit_plans import global_window_lines
 
     assert not global_window_lines(lang_segments(df, "doc_id", "text"))
+
+
+# ------------------------------------------- source overlap & drift ----
+
+
+def test_source_overlap_hand_case(spark):
+    from kneaddata_spark.operators.corpus import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "x y"), (2, "a", "z"),
+            (3, "b", "x y"), (4, "b", "q"),
+            (5, "c", "x y"), (6, "c", "z"), (7, "c", "c only"),
+            (8, "a", "x y"),  # intra-source duplicate: distinct-text set unchanged
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = sorted(tuple(r) for r in source_overlap(df).collect())
+    assert got == [
+        ("a", "b", 1, 2, 2, 500),
+        ("a", "c", 2, 2, 3, 1000),
+        ("b", "c", 1, 2, 3, 500),
+    ]
+
+
+def test_distribution_drift_ks_properties(spark):
+    from kneaddata_spark.operators.delta import distribution_drift
+
+    a = spark.range(100).select((F.col("id") % 40).alias("v"))
+    # identical snapshots: zero drift everywhere
+    same = distribution_drift(a, a, "v", bucket_width=8, max_buckets=8).collect()
+    assert same and all(r["abs_diff_permille"] == 0 for r in same)
+    # shifted snapshot: python replica over the same buckets
+    b = spark.range(100).select(((F.col("id") % 40) + 16).alias("v"))
+    got = {
+        r["bucket"]: (r["n_a"], r["n_b"], r["cum_a_permille"],
+                      r["cum_b_permille"], r["abs_diff_permille"])
+        for r in distribution_drift(a, b, "v", bucket_width=8, max_buckets=8).collect()
+    }
+    av = [min((i % 40) // 8, 7) for i in range(100)]
+    bv = [min(((i % 40) + 16) // 8, 7) for i in range(100)]
+    buckets = sorted(set(av) | set(bv))
+    cum_a = cum_b = 0
+    for k in buckets:
+        na, nb = av.count(k), bv.count(k)
+        cum_a += na
+        cum_b += nb
+        pa, pb = cum_a * 1000 // 100, cum_b * 1000 // 100
+        assert got[k] == (na, nb, pa, pb, abs(pa - pb)), k
+    assert max(r[4] for r in got.values()) == 480

@@ -139,6 +139,12 @@ AUDIT = [
     # r4e: gaps-and-islands code-switch runs — ONE doc-keyed shuffle
     # (windows + running sum + groupBy all reuse the doc_id clustering)
     ("lang_segments", {"max_exchanges": 1, "no_python": True}),
+    # r4e: source overlap — ONE corpus groupBy(md5) + in-set pair
+    # expansion; totals re-aggregate the persisted frame; broadcasts back
+    ("source_overlap", {"broadcast_join": True, "no_python": True}),
+    # r4e: drift monitor — one histogram agg per snapshot, triangular
+    # broadcast self-join over the <=64-row bucket frame
+    ("length_drift", {"broadcast_join": True, "no_python": True}),
 ]
 
 
