@@ -19,7 +19,16 @@ from ..functions.scalars import (
     reverse_complement,
     rna_to_dna,
 )
-from ..operators import aggregates, dedup, pairs, sampling, setops, similarity, textstats
+from ..operators import (
+    aggregates,
+    dedup,
+    membership,
+    pairs,
+    sampling,
+    setops,
+    similarity,
+    textstats,
+)
 from ..operators.sampling import KNUTH, M32
 
 # ----------------------------------------------------------- helpers ----
@@ -859,6 +868,34 @@ def decontaminate_q(spark, sf):
         corpus, bench, "doc_id", "text", n=5, max_df=None
     )
     return clean.select("doc_id")
+
+
+@q(
+    "blocklist_filter",
+    """
+    SELECT doc_id FROM documents c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents b
+      WHERE b.doc_id % 17 = 0 AND md5(b.text) = md5(c.text)
+    )
+    """,
+)
+def blocklist_filter_q(spark, sf):
+    """Hash-blocklist screen (operators/membership.bloom_anti_join): drop
+    every document whose md5(text) appears in a blocklist — the
+    URL/content-hash blocklist join every web-scale pipeline runs, and the
+    reference's extract-list membership screens (bmtagger extract lists,
+    run.py:310-352) at corpus scale. The blocklist (docs with
+    doc_id % 17 == 0 stand in) ships as a broadcast BLOOM bit array;
+    non-members clear map-side without any shuffle, only the ~|blocklist|
+    candidate set reaches the exact anti-join (which AQE then broadcasts).
+    Output is EXACTLY the anti-join — no false negatives by construction —
+    which is what the plain NOT EXISTS oracle checks."""
+    d = _t(spark, sf, "documents")
+    corpus = d.select("doc_id", F.md5("text").alias("__h"))
+    block = d.where("doc_id % 17 = 0").select(F.md5("text").alias("h"))
+    out = membership.bloom_anti_join(corpus, block, "__h", "h", m_bits=1 << 14, k=4)
+    return out.select("doc_id")
 
 
 @q(

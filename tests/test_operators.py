@@ -2860,3 +2860,47 @@ def test_distribution_drift_ks_properties(spark):
         pa, pb = cum_a * 1000 // 100, cum_b * 1000 // 100
         assert got[k] == (na, nb, pa, pb, abs(pa - pb)), k
     assert max(r[4] for r in got.values()) == 480
+
+
+def test_bloom_anti_join_exact_and_screens(spark):
+    """bloom_anti_join == plain LEFT ANTI JOIN exactly (no false
+    negatives is structural — both sides compute identical positions),
+    and the Bloom pre-screen actually clears non-members map-side."""
+    import random
+
+    from kneaddata_spark.operators.membership import (
+        bloom_anti_join,
+        bloom_maybe_col,
+        bloom_words,
+    )
+
+    rng = random.Random(11)
+    keys = [f"key-{i:04d}" for i in range(300)]
+    members = sorted(rng.sample(keys, 60))
+    corpus = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(keys)] + [(999, None)],
+        "rid long, key string",
+    )
+    # duplicate blocklist entries must not duplicate survivors
+    block = spark.createDataFrame([(k,) for k in members * 2], "h string")
+
+    out = bloom_anti_join(corpus, block, "key", "h", m_bits=1 << 12, k=4)
+    got = sorted(r.rid for r in out.collect())
+    want = sorted(i for i, k in enumerate(keys) if k not in set(members)) + [999]
+    assert got == want  # null key never matches -> kept, like LEFT ANTI
+
+    # the screen screens: false-positive rate of the probe over true
+    # non-members stays under 5% at 4096 bits / 60 keys / k=4
+    bw = bloom_words(block, "h", 1 << 12, 4)
+    non = corpus.where(F.col("key").isNotNull() & ~F.col("key").isin(members))
+    fp = (
+        non.crossJoin(F.broadcast(bw))
+        .where(bloom_maybe_col(F.col("key"), F.col("bloom_words"), 1 << 12, 4))
+        .count()
+    )
+    assert fp <= non.count() * 0.05
+
+    # JVM-only: no Python evaluator anywhere in the screen or the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "EvalPython" not in plan
+    assert "MapInPandas" not in plan

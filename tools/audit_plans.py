@@ -145,6 +145,10 @@ AUDIT = [
     # r4e: drift monitor — one histogram agg per snapshot, triangular
     # broadcast self-join over the <=64-row bucket frame
     ("length_drift", {"broadcast_join": True, "no_python": True}),
+    # r4f: Bloom blocklist screen — the bit array rides a broadcast
+    # one-row frame (BNLJ), non-members clear map-side, candidates'
+    # exact anti-join broadcasts; pure JVM shift/mask algebra
+    ("blocklist_filter", {"broadcast_join": True, "no_python": True}),
 ]
 
 
