@@ -98,6 +98,7 @@ HEADLINE = R3_SET + [
     "lang_segments",
     "source_overlap",
     "length_drift",
+    "blocklist_filter",
 ]
 
 

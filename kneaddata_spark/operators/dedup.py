@@ -442,6 +442,41 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
+def canonical_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score,
+) -> DataFrame:
+    """Canonical selection — the step AFTER clustering that production
+    dedup actually ships: keep exactly ONE document per near-dup cluster,
+    chosen by QUALITY (highest ``score``; ties broken by smallest id so
+    the choice is deterministic), not by arbitrary min-id. The reference's
+    keep-one policy keeps the FIRST occurrence (first_occurrence_dedup,
+    fastq.py basis); at corpus scale you keep the best-scored member
+    (longest text / highest quality-classifier score / canonical URL).
+
+    ``clusters`` is (id, cluster_id) from :func:`dup_clusters`; documents
+    absent from it are singletons and keep themselves (cluster key
+    coalesces to the doc's own id). One keyed window over cluster_id —
+    partition size is bounded by the largest dup cluster, the same bound
+    dedup_exact's md5 window carries.
+
+    Returns the kept rows: all ``docs`` columns + ``cluster_id``.
+    """
+    labeled = docs.join(
+        clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    w = Window.partitionBy("cluster_id").orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+
+
 # ---------------------------------------------------- incremental dedup --
 
 

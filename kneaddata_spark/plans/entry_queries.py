@@ -1725,6 +1725,53 @@ def dup_clusters_q(spark, sf):
     return dedup.dup_clusters(pairs)
 
 
+@q(
+    "canonical_select",
+    f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({_JACCARD_SQL}) j),
+    e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b AS a, id_a AS b FROM p),
+    reach(src, dst) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM e),
+    clusters AS (
+      SELECT n.id, least(n.id, min(r.dst)) AS cluster_id
+      FROM nodes n JOIN reach r ON r.src = n.id
+      GROUP BY n.id
+    ),
+    d AS ({_DOCS_DUPS_SQL}),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             length(d.text) AS score
+      FROM d LEFT JOIN clusters c ON c.id = d.doc_id
+    )
+    SELECT doc_id, cluster_id FROM (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM lab
+    ) WHERE rn = 1
+    """,
+)
+def canonical_select_q(spark, sf):
+    """Canonical selection after near-dup clustering
+    (dedup.canonical_per_cluster): keep the BEST document per cluster —
+    longest text wins, min-id tiebreak — instead of an arbitrary member
+    (the production keep policy; the reference keeps first occurrence,
+    fastq.py first_occurrence basis). Composes the jaccard pair screen +
+    min-label clustering with a quality-keyed keep; singletons keep
+    themselves. Oracle replays the transitive closure as a recursive CTE
+    plus the same window."""
+    d = _docs_with_dups(spark, sf)
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs)
+    kept = dedup.canonical_per_cluster(d, clusters, "doc_id", F.length("text"))
+    return kept.select("doc_id", "cluster_id")
+
+
 # --- similarity search ------------------------------------------------------
 
 

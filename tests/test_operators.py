@@ -2904,3 +2904,30 @@ def test_bloom_anti_join_exact_and_screens(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "EvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_canonical_per_cluster_keep_best(spark):
+    """Keep-best-per-cluster: highest score wins, min-id tiebreak,
+    singletons keep themselves, chains keep exactly one member."""
+    from kneaddata_spark.operators.dedup import canonical_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, 10),  # cluster A
+            (2, 30),  # cluster A — best score
+            (3, 30),  # cluster A — tie, loses on id
+            (4, 5),   # singleton
+            (5, 7),   # cluster B (chain 5~6~7)
+            (6, 7),   # tie with 5 -> 5 wins on id
+            (7, 3),
+        ],
+        "doc_id long, score long",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 5)], "id long, cluster_id long"
+    )
+    got = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in canonical_per_cluster(docs, clusters, "doc_id", F.col("score")).collect()
+    )
+    assert got == [(2, 1), (4, 4), (5, 5)]
