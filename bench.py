@@ -99,6 +99,8 @@ HEADLINE = R3_SET + [
     "source_overlap",
     "length_drift",
     "blocklist_filter",
+    "canonical_select",
+    "token_budget_cap",
 ]
 
 

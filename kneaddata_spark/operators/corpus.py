@@ -487,3 +487,103 @@ def source_overlap(
             F.expr("shared * 1000 div least(n_a, n_b)").alias("containment_permille"),
         )
     )
+
+
+def budget_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Exact per-group BUDGET cap: keep, per group, the minimal
+    deterministic-hash-ordered prefix of rows whose cumulative weight
+    reaches ``budget`` — "take documents until the token budget is met",
+    the quota step a mixture plan needs when the target is an absolute
+    token/char count rather than a rate (mixture_resample's contract).
+    Keep rule: a row is kept iff the cumulative weight BEFORE it (in
+    (det_hash(id), id) order within its group) is < budget — so the first
+    row crossing the boundary is included and everything after is not.
+    Deterministic, retry-idempotent, engine-portable (Knuth hash order,
+    never rand()).
+
+    Scale shape — the naive formulation is a running-total window over
+    each ENTIRE group: one sequential task per group, the salted_topk
+    problem all over again. Instead, two phases (the threshold_sweep
+    pattern applied per group):
+
+    1. bucket rows by the TOP bits of the hash (bucket order == hash-order
+       prefixes), ONE map-side-combinable groupBy(group, bucket) sum —
+       the only corpus-wide pass;
+    2. cumulative-before-bucket over the ≤ n_buckets×|groups| bucket frame
+       via triangular broadcast self-join (no global window); buckets
+       that END below budget are kept whole via a broadcast semi-join
+       (zero shuffle of those rows), buckets that START at/after budget
+       are dropped by the same broadcast; ONLY the single boundary bucket
+       per group — ~1/n_buckets of the group — pays a keyed running-total
+       window, seeded with its bucket's exact cum_before.
+
+    Returns kept rows: df columns + ``cum_before`` (exact integer — the
+    cross-engine witness that the prefix order agreed).
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    shift = 32 - (n_buckets.bit_length() - 1)
+    base = df.withColumn("__h", det_hash(F.col(id_col))).withColumn(
+        "__b", F.shiftright("__h", shift)
+    )
+    bsum = base.groupBy(group_col, "__b").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    a, b = bsum.alias("a"), bsum.alias("b")
+    cum = (
+        a.join(
+            F.broadcast(b),
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col("b.__b") < F.col("a.__b")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias(group_col),
+            F.col("a.__b").alias("__b"),
+            F.col("a.__w").alias("__w"),
+        )
+        .agg(F.coalesce(F.sum("b.__w"), F.lit(0)).cast("long").alias("__cb"))
+        .withColumn("__ce", F.col("__cb") + F.col("__w"))
+    )
+    full = cum.where(F.col("__ce") < budget).select(group_col, "__b")
+    boundary = cum.where(
+        (F.col("__cb") < budget) & (F.col("__ce") >= budget)
+    ).select(group_col, "__b", "__cb")
+    kept_full = base.join(F.broadcast(full), [group_col, "__b"], "left_semi")
+    bdocs = base.join(F.broadcast(boundary), [group_col, "__b"], "inner")
+    w = Window.partitionBy(group_col).orderBy("__h", id_col)
+    kept_boundary = (
+        bdocs.withColumn(
+            "cum_before",
+            F.sum(F.col(weight_col).cast("long")).over(w)
+            - F.col(weight_col).cast("long")
+            + F.col("__cb"),
+        )
+        .where(F.col("cum_before") < budget)
+        .drop("__cb")
+    )
+    # full-bucket rows also carry cum_before: bucket offset (broadcast)
+    # + within-bucket running sum over a (group, BUCKET)-keyed window —
+    # n_buckets× more partitions than the per-group window the naive
+    # formulation needs, so the corpus never funnels into one task per
+    # group.
+    cb_map = cum.select(group_col, "__b", "__cb")
+    wb = Window.partitionBy(group_col, "__b").orderBy("__h", id_col)
+    kept_full = (
+        kept_full.join(F.broadcast(cb_map), [group_col, "__b"], "inner")
+        .withColumn(
+            "cum_before",
+            F.sum(F.col(weight_col).cast("long")).over(wb)
+            - F.col(weight_col).cast("long")
+            + F.col("__cb"),
+        )
+        .drop("__cb")
+    )
+    return kept_full.unionByName(kept_boundary).drop("__h", "__b")

@@ -1417,6 +1417,43 @@ def bm25_hard_negatives_q(spark, sf):
 
 
 @q(
+    "token_budget_cap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             ((doc_id::BIGINT * {KNUTH}) % {M32}) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             (sum(n_chars) OVER (PARTITION BY lang ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_chars)::BIGINT AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang, cum_before FROM c WHERE cum_before < 10000
+    """,
+)
+def token_budget_cap_q(spark, sf):
+    """Absolute-budget quota sampling (corpus.budget_cap): per language,
+    keep the minimal Knuth-hash-ordered prefix of documents reaching a
+    10,000-char budget — the quota step a mixture plan needs when the
+    target is an absolute token/char count, not a rate. The engine never
+    runs a per-group running-total window over the corpus: bucket sums +
+    broadcast cumulative offsets confine the window to the one boundary
+    bucket per group (and (group,bucket)-keyed offsets for full buckets).
+    The oracle IS the naive formulation — one window cumsum per group —
+    and cum_before in the output is the exact-integer witness both
+    engines walked the same prefix. Budget chosen so small scale factors
+    keep whole languages (budget-not-reached branch) while larger ones
+    cap (boundary branch) — both paths driver-checked."""
+    from ..operators.corpus import budget_cap
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+    out = budget_cap(d, "lang", "doc_id", "n_chars", budget=10000)
+    return out.select("doc_id", "lang", "cum_before")
+
+
+@q(
     "pack_contexts",
     f"""
     WITH d AS (

@@ -2931,3 +2931,48 @@ def test_canonical_per_cluster_keep_best(spark):
         for r in canonical_per_cluster(docs, clusters, "doc_id", F.col("score")).collect()
     )
     assert got == [(2, 1), (4, 4), (5, 5)]
+
+
+def test_budget_cap_matches_prefix_model(spark):
+    """budget_cap == the naive per-group hash-ordered prefix model, for
+    random weights and budgets hitting the keep-all / boundary / exact-hit
+    / keep-none branches; n_buckets=4 forces multi-bucket paths."""
+    import random
+
+    from kneaddata_spark.operators.corpus import budget_cap
+    from kneaddata_spark.operators.sampling import KNUTH, M32
+
+    rng = random.Random(5)
+    rows = [
+        (i, ["en", "es", "de"][i % 3], rng.randint(1, 50))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+
+    def model(budget):
+        out = {}
+        for g in ("en", "es", "de"):
+            grp = sorted(
+                (r for r in rows if r[1] == g),
+                key=lambda r: ((r[0] * KNUTH) % M32, r[0]),
+            )
+            cum = 0
+            for i_, g_, w_ in grp:
+                if cum < budget:
+                    out[i_] = cum
+                cum += w_
+        return out
+
+    totals = {}
+    for _, g, w_ in rows:
+        totals[g] = totals.get(g, 0) + w_
+    for budget in (0, -5, 3, 57, 400, min(totals.values()), max(totals.values()) + 1):
+        got = {
+            r.doc_id: r.cum_before
+            for r in budget_cap(df, "lang", "doc_id", "w", budget, n_buckets=4).collect()
+        }
+        assert got == model(budget), budget
+
+    # no duplicate rows across the full/boundary union
+    out = budget_cap(df, "lang", "doc_id", "w", 200, n_buckets=4)
+    assert out.count() == out.select("doc_id").distinct().count()

@@ -149,6 +149,10 @@ AUDIT = [
     # one-row frame (BNLJ), non-members clear map-side, candidates'
     # exact anti-join broadcasts; pure JVM shift/mask algebra
     ("blocklist_filter", {"broadcast_join": True, "no_python": True}),
+    # r4f: budget cap — bucket-sum agg + triangular broadcast cumulatives;
+    # windows are (group,bucket)- and boundary-bucket-keyed, never a
+    # per-group corpus window (global-window sweep enforces); pure JVM
+    ("token_budget_cap", {"broadcast_join": True, "no_python": True}),
 ]
 
 
