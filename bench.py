@@ -101,6 +101,7 @@ HEADLINE = R3_SET + [
     "blocklist_filter",
     "canonical_select",
     "token_budget_cap",
+    "speech_only_trim",
 ]
 
 

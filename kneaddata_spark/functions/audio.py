@@ -426,3 +426,36 @@ def audio_features_batch(
         np.asarray(srs, dtype=np.int64), np.asarray(durs, dtype=np.int64)
     )
     return pd.DataFrame(out)
+
+
+# ------------------------------------------------- JVM byte-rebuild SQL --
+# Shared by pipeline.bytes_trimmed_col (outer-envelope trim) and
+# operators/vad.speech_only_clips (multi-segment silence removal): the
+# binary payload is re-sliced from the ORIGINAL `bytes` column with pure
+# JVM substring/concat/unhex algebra, so re-decoding reproduces the kernel
+# PCM bit-for-bit and no binary ever crosses Python->JVM.
+
+
+def le_u32_sql(expr: str) -> str:
+    """SQL for the little-endian u32 byte encoding of an int expression."""
+    return (
+        "unhex(concat("
+        f"lpad(hex(({expr}) % 256), 2, '0'), "
+        f"lpad(hex((({expr}) div 256) % 256), 2, '0'), "
+        f"lpad(hex((({expr}) div 65536) % 256), 2, '0'), "
+        f"lpad(hex((({expr}) div 16777216) % 256), 2, '0')))"
+    )
+
+
+# real RIFF/WAVE in the canonical 44-byte layout (fmt chunk, size 16, then
+# data chunk). Non-canonical-but-decodable wavs (extra/reordered chunks)
+# must NOT be byte-sliced at fixed offsets — callers emit NULL for those
+# and a production sink re-encodes (register_codec docstring). The fmt-size
+# gate matters: a larger fmt chunk whose body happens to contain 'data' at
+# offset 37 would slice the payload inside the fmt body.
+WAV_CANONICAL_SQL = (
+    "hex(substring(bytes, 1, 4)) = '52494646' AND "   # 'RIFF'
+    "hex(substring(bytes, 13, 4)) = '666D7420' AND "  # 'fmt '
+    "hex(substring(bytes, 17, 4)) = '10000000' AND "  # fmt size == 16
+    "hex(substring(bytes, 37, 4)) = '64617461'"       # 'data'
+)

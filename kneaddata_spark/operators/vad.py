@@ -138,3 +138,83 @@ def vad_segments(
         F.expr("seg.e * __fl * 1000 div __sr").cast("long").alias("end_ms"),
         (F.col("seg.e") - F.col("seg.s")).cast("long").alias("n_frames"),
     )
+
+
+def speech_only_clips(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """Silence removal — rebuild each clip with ONLY its speech segments
+    (the prep stage between VAD and packing/training: non-speech audio is
+    wasted tokens). Returns (clip_id, codec, sr_hz, n_segments, speech_ms,
+    speech_bytes); clips that are undecodable, have no qualifying speech
+    segment, or are non-canonical wavs emit NULL speech_bytes (a
+    production sink re-encodes those — the bytes_trimmed_col rule).
+
+    Boundary contract (the pipeline's asymmetric-Arrow shape): the VAD
+    UDF runs ONCE and returns only the frame-index segment list; the
+    speech payload is rebuilt JVM-side by folding the segment array with
+    binary substring/concat (SQL `aggregate` over `bytes` — fake/wav
+    headers re-emitted with corrected LE-u32 sizes via the shared
+    functions/audio.le_u32_sql), so re-decoding the rebuilt clip
+    reproduces the kernel's concatenated speech PCM bit-for-bit and no
+    binary ever crosses Python->JVM. Zero shuffles, embarrassingly
+    parallel — the multi-segment generalization of the QC trim's single
+    (start, end) envelope (pipeline.bytes_trimmed_col)."""
+    from ..functions.audio import WAV_CANONICAL_SQL, le_u32_sql
+
+    a = clips.select(
+        F.col(id_col).alias("clip_id"),
+        F.col(codec_col).alias("codec"),
+        F.col(sr_col).cast("long").alias("sr_hz"),
+        F.col(bytes_col).alias("bytes"),
+        F.expr(
+            f"cast({sr_col} as bigint) * {rules.VAD_FRAME_MS} div 1000"
+        ).alias("__fl"),
+        _vad_udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("__segs"),
+    )
+    tot = "aggregate(__segs, cast(0 as bigint), (a, s) -> a + (s.e - s.s))"
+    nb16 = f"(2 * __fl * ({tot}))"  # payload bytes, s16-backed codecs
+    nb8 = f"(__fl * ({tot}))"  # payload bytes, pcm_u8
+
+    def cat(base: int, scale: int) -> str:
+        """Fold: concat the per-segment byte slices of the original
+        payload (1-based start = base + scale*s.s*__fl)."""
+        return (
+            "aggregate(__segs, cast('' as binary), (acc, s) -> concat(acc, "
+            f"substring(bytes, {base} + {scale}*s.s*__fl, "
+            f"{scale}*(s.e - s.s)*__fl)))"
+        )
+
+    pcm16 = F.expr(cat(1, 2))
+    pcmu8 = F.expr(cat(1, 1))
+    fake = F.expr(
+        f"concat(substring(bytes, 1, 4), {le_u32_sql(nb16)}, {cat(9, 2)})"
+    )
+    wav = F.expr(
+        f"concat(substring(bytes, 1, 4), {le_u32_sql(f'36 + {nb16}')}, "
+        f"substring(bytes, 9, 28), substring(bytes, 37, 4), "
+        f"{le_u32_sql(nb16)}, {cat(45, 2)})"
+    )
+    no_speech = F.col("__segs").isNull() | (F.size("__segs") == 0)
+    speech_bytes = (
+        F.when(no_speech, F.lit(None).cast("binary"))
+        .when(F.col("codec") == "pcm_s16le", pcm16)
+        .when(F.col("codec") == "pcm_u8", pcmu8)
+        .when((F.col("codec") == "wav") & F.expr(WAV_CANONICAL_SQL), wav)
+        .when(F.col("codec") == "wav", F.lit(None).cast("binary"))
+        .otherwise(fake)
+    )
+    return a.select(
+        "clip_id",
+        "codec",
+        "sr_hz",
+        F.coalesce(F.size("__segs"), F.lit(0)).cast("int").alias("n_segments"),
+        F.expr(f"coalesce((__fl * ({tot})) * 1000 div sr_hz, 0)")
+        .cast("long")
+        .alias("speech_ms"),
+        speech_bytes.alias("speech_bytes"),
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import rules
-from .functions.audio import audio_features
+from .functions.audio import WAV_CANONICAL_SQL, audio_features, le_u32_sql
 from .functions.text import make_text_features_udf, scrub_col
 from .models import train_langid, train_perplexity
 
@@ -55,15 +55,7 @@ def bytes_trimmed_col() -> F.Column:
     re-decoding the slice reproduces the trimmed PCM bit-for-bit, so the
     SNR invariant is exact by construction and no binary ever crosses
     Python->JVM."""
-    def le_u32(expr: str) -> str:
-        """SQL for the little-endian u32 byte encoding of an int expr."""
-        return (
-            "unhex(concat("
-            f"lpad(hex(({expr}) % 256), 2, '0'), "
-            f"lpad(hex((({expr}) div 256) % 256), 2, '0'), "
-            f"lpad(hex((({expr}) div 65536) % 256), 2, '0'), "
-            f"lpad(hex((({expr}) div 16777216) % 256), 2, '0')))"
-        )
+    le_u32 = le_u32_sql  # shared with operators/vad (functions/audio.py)
 
     nb = "(2*(trim_end - trim_start))"  # trimmed payload bytes (s16)
     pcm16 = F.expr("substring(bytes, 2*trim_start + 1, 2*(trim_end - trim_start))")
@@ -81,15 +73,7 @@ def bytes_trimmed_col() -> F.Column:
     # wavs (extra/reordered chunks) get NULL trimmed bytes: the QC verdict
     # and features are complete either way, and a production sink would
     # re-encode (register_codec docstring).
-    wav_canonical = F.expr(
-        "hex(substring(bytes, 1, 4)) = '52494646' AND "   # 'RIFF'
-        "hex(substring(bytes, 13, 4)) = '666D7420' AND "  # 'fmt '
-        # fmt size MUST be 16: a larger fmt chunk whose body happens to
-        # contain 'data' at offset 37 would slice the payload inside the
-        # fmt body and emit corrupt audio
-        "hex(substring(bytes, 17, 4)) = '10000000' AND "
-        "hex(substring(bytes, 37, 4)) = '64617461'"       # 'data'
-    )
+    wav_canonical = F.expr(WAV_CANONICAL_SQL)
     wav = F.expr(
         f"concat(substring(bytes, 1, 4), {le_u32(f'36 + {nb}')}, "
         f"substring(bytes, 9, 28), substring(bytes, 37, 4), {le_u32(nb)}, "

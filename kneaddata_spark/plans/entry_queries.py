@@ -2514,6 +2514,30 @@ def vad_segments_q(spark, sf):
     return vad_segments(clips_spark_df(spark, 400, n_partitions=8))
 
 
+@q("speech_only_trim")
+def speech_only_trim_q(spark, sf):
+    """Silence removal (operators/vad.speech_only_clips): rebuild each
+    clip with only its speech segments — VAD runs in ONE Arrow stage
+    returning frame indices, the speech payload is refolded JVM-side with
+    binary substring/concat over the ORIGINAL bytes (fake/wav headers
+    re-emitted with corrected LE-u32 sizes), so no binary crosses
+    Python->JVM and re-decode is bit-exact (pytest gate over the
+    independent oracle decoder). Rows-only (PCM decode basis); output is
+    scalar witnesses (crc32 of the rebuilt payload + segment/duration
+    accounting). Zero shuffles."""
+    from ..operators.vad import speech_only_clips
+    from ..synth import clips_spark_df
+
+    out = speech_only_clips(clips_spark_df(spark, 400, n_partitions=8))
+    return out.select(
+        "clip_id",
+        "codec",
+        "n_segments",
+        "speech_ms",
+        F.crc32("speech_bytes").alias("speech_crc"),
+    )
+
+
 @q("audio_prep")
 def audio_prep_q(spark, sf):
     """Fused canonical-form prep (operators/audioprep.prep_audio): ONE

@@ -2976,3 +2976,58 @@ def test_budget_cap_matches_prefix_model(spark):
     # no duplicate rows across the full/boundary union
     out = budget_cap(df, "lang", "doc_id", "w", 200, n_buckets=4)
     assert out.count() == out.select("doc_id").distinct().count()
+
+
+def test_speech_only_clips_bit_exact(spark):
+    """Silence removal rebuilds the speech-only payload JVM-side: for
+    every decodable synth clip with speech, re-decoding speech_bytes
+    yields EXACTLY the concatenation of the kernel's speech segments
+    (bit-for-bit, per codec incl. rebuilt fake/wav headers); no-speech
+    and undecodable clips emit NULL. Plan: one ArrowEvalPython, zero
+    operator-added exchanges."""
+    import re as _re
+
+    import numpy as np
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.vad import segment_samples, speech_only_clips
+    from kneaddata_spark.oracle import decode_pcm
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(80)
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).repartition(5)
+    res = speech_only_clips(df)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert _re.findall(r"Exchange \w+", plan) == ["Exchange RoundRobinPartitioning"]
+
+    out = {r["clip_id"]: r for r in res.collect()}
+    n_checked = 0
+    for row in pdf.itertuples():
+        r = out[row.clip_id]
+        f = decode_pcm(bytes(row.bytes), row.codec)
+        sr = int(row.sr_hz)
+        if f is None or sr <= 0:
+            assert r["speech_bytes"] is None and r["n_segments"] == 0
+            continue
+        # decode_pcm is the float oracle; map to the kernel's int16 domain
+        # (the _vad_replica convention) before segmenting
+        if row.codec == "pcm_u8":
+            xi = np.round(f * 128.0).astype(np.int64) * 256
+        else:
+            xi = np.round(f * 32768.0).astype(np.int64)
+        segs = segment_samples(xi, sr)
+        fl = sr * rules.VAD_FRAME_MS // 1000
+        if not segs:
+            assert r["speech_bytes"] is None and r["n_segments"] == 0
+            continue
+        want = np.concatenate([f[s * fl : e * fl] for s, e in segs])
+        got = decode_pcm(bytes(r["speech_bytes"]), row.codec)
+        assert got is not None and np.array_equal(got, want), row.clip_id
+        assert r["n_segments"] == len(segs)
+        tot = sum(e - s for s, e in segs)
+        assert r["speech_ms"] == fl * tot * 1000 // sr
+        n_checked += 1
+    assert n_checked > 30  # the corpus exercises every codec branch

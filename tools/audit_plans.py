@@ -153,6 +153,9 @@ AUDIT = [
     # windows are (group,bucket)- and boundary-bucket-keyed, never a
     # per-group corpus window (global-window sweep enforces); pure JVM
     ("token_budget_cap", {"broadcast_join": True, "no_python": True}),
+    # r4f: silence removal — ONE Arrow VAD stage; speech payload refolded
+    # JVM-side (aggregate over binary substring/concat), zero shuffles
+    ("speech_only_trim", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
