@@ -102,6 +102,7 @@ HEADLINE = R3_SET + [
     "canonical_select",
     "token_budget_cap",
     "speech_only_trim",
+    "audio_windows",
 ]
 
 

@@ -2538,6 +2538,32 @@ def speech_only_trim_q(spark, sf):
     )
 
 
+@q("audio_windows")
+def audio_windows_q(spark, sf):
+    """Fixed-stride training-window extraction
+    (operators/clipwindows.clip_windows): the audio analog of doc_chunks,
+    and the only audio operator that needs ZERO decode — window
+    boundaries are integer arithmetic over octet_length(bytes)+sr, window
+    payloads are JVM substring slices, structural validity gates mirror
+    the decoders (magic + LE-u32 length equality re-encoded JVM-side).
+    No Arrow stage, no Python worker, zero shuffles — chunking that
+    re-decodes a 10^12-clip corpus pays the Python decode ceiling twice.
+    Rows-only (binary payload witnesses; DuckDB views carry no clip
+    table); pytest gates bit-exact window bytes vs a python replica."""
+    from ..operators.clipwindows import clip_windows
+    from ..synth import clips_spark_df
+
+    out = clip_windows(clips_spark_df(spark, 400, n_partitions=8), 1500, 700)
+    return out.select(
+        "clip_id",
+        "win_idx",
+        "start_ms",
+        "n_samples",
+        "pcm_codec",
+        F.crc32("win_bytes").alias("win_crc"),
+    )
+
+
 @q("audio_prep")
 def audio_prep_q(spark, sf):
     """Fused canonical-form prep (operators/audioprep.prep_audio): ONE

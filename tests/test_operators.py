@@ -3031,3 +3031,75 @@ def test_speech_only_clips_bit_exact(spark):
         assert r["speech_ms"] == fl * tot * 1000 // sr
         n_checked += 1
     assert n_checked > 30  # the corpus exercises every codec branch
+
+
+def test_clip_windows_decode_free_bit_exact(spark):
+    """Fixed-stride window extraction is decode-free JVM byte slicing:
+    engine windows == a pure-python replica over the raw payload ranges
+    (bit-for-bit bytes, exact start_ms), structural gates (bad magic,
+    plen mismatch, odd s16, short clips) emit nothing, and the plan has
+    NO Python stage and no operator-added exchange."""
+    import re as _re
+    import struct as _struct
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.clipwindows import clip_windows
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(80)
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).repartition(5)
+    out = clip_windows(df, win_ms=1500, stride_ms=700)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert _re.findall(r"Exchange \w+", plan) == ["Exchange RoundRobinPartitioning"]
+
+    got = sorted(
+        (r["clip_id"], r["win_idx"], r["start_ms"], r["n_samples"],
+         r["pcm_codec"], bytes(r["win_bytes"]))
+        for r in out.collect()
+    )
+
+    want = []
+    for row in pdf.itertuples():
+        raw, codec, sr = bytes(row.bytes), row.codec, int(row.sr_hz)
+        if sr <= 0:
+            continue
+        if codec == "pcm_s16le" and len(raw) % 2 == 0 and raw:
+            base, bps = 0, 2
+        elif codec == "pcm_u8" and raw:
+            base, bps = 0, 1
+        elif codec == "wav":
+            if (
+                len(raw) > 44 and len(raw) % 2 == 0
+                and raw[:4] == b"RIFF" and raw[12:16] == b"fmt "
+                and raw[16:20] == b"\x10\x00\x00\x00" and raw[36:40] == b"data"
+                and raw[40:44] == _struct.pack("<I", len(raw) - 44)
+            ):
+                base, bps = 44, 2
+            else:
+                continue
+        elif codec in rules.FAKE_MAGIC:
+            if (
+                len(raw) > 8 and len(raw) % 2 == 0
+                and raw[:4] == rules.FAKE_MAGIC[codec]
+                and raw[4:8] == _struct.pack("<I", len(raw) - 8)
+            ):
+                base, bps = 8, 2
+            else:
+                continue
+        else:
+            continue
+        n = (len(raw) - base) // bps
+        w, s = sr * 1500 // 1000, sr * 700 // 1000
+        if w <= 0 or n < w:
+            continue
+        for k in range((n - w) // s + 1):
+            want.append(
+                (row.clip_id, k, k * s * 1000 // sr, w,
+                 "pcm_u8" if codec == "pcm_u8" else "pcm_s16le",
+                 raw[base + k * s * bps : base + (k * s + w) * bps])
+            )
+    assert got == sorted(want)
+    assert len({c for c, *_ in want}) > 20 and len(want) > len({c for c, *_ in want})

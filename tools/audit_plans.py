@@ -156,6 +156,10 @@ AUDIT = [
     # r4f: silence removal — ONE Arrow VAD stage; speech payload refolded
     # JVM-side (aggregate over binary substring/concat), zero shuffles
     ("speech_only_trim", {"max_exchanges": 0, "arrow_only": True}),
+    # r4f: window extraction — DECODE-FREE: the operator adds no Python
+    # stage (pure JVM byte slicing + posexplode); the only Python in the
+    # plan is the in-plan clip synthesis generator; zero shuffles
+    ("audio_windows", {"max_exchanges": 0, "synth_only": True}),
 ]
 
 
@@ -275,6 +279,21 @@ def main() -> None:
                 problems.append(f"{name}: row-at-a-time python in plan")
             if n_arrow != 1:
                 problems.append(f"{name}: {n_arrow} Arrow stages (want 1)")
+            if n_mip != n_gen:
+                problems.append(f"{name}: non-generator MapInPandas in plan")
+        if exp.get("synth_only"):
+            # decode-FREE audio op: the only Python allowed is the synth
+            # input generator itself — zero Arrow stages, zero
+            # BatchEvalPython, MapInPandas prints all generator lines
+            n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+            n_mip = len(re.findall(r"\(\d+\) MapInPandas", p))
+            n_gen = len(re.findall(r"Arguments: gen\(id#\d+L?\)", p))
+            checks.append(f"ArrowEvalPython stages: {n_arrow} (want 0); "
+                          f"MapInPandas prints: {n_mip} (all synth-gen: {n_mip == n_gen})")
+            if "BatchEvalPython" in p:
+                problems.append(f"{name}: row-at-a-time python in plan")
+            if n_arrow != 0:
+                problems.append(f"{name}: {n_arrow} Arrow stages (want 0 — decode-free)")
             if n_mip != n_gen:
                 problems.append(f"{name}: non-generator MapInPandas in plan")
         codegen_ids = {m for m in re.findall(r"codegen id : (\d+)", p)}
