@@ -103,6 +103,7 @@ HEADLINE = R3_SET + [
     "token_budget_cap",
     "speech_only_trim",
     "audio_windows",
+    "speed_perturb",
 ]
 
 

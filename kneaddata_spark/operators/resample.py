@@ -257,3 +257,107 @@ def loudness_normalize(
             F.col("__l.crc_out").alias("crc_out"),
         )
     )
+
+
+# ------------------------------------------------------- augmentation ----
+# Speed perturbation — the standard ASR training augmentation (Ko et al.
+# 2015: train on {0.9x, 1.0x, 1.1x} copies): resample the samples by a
+# rational factor and KEEP the sample-rate label, so playback runs
+# faster/slower with a proportional pitch shift. Rational rates through
+# the same integer-exact linear kernel (resample_linear cares only about
+# the num/den ratio), so the augmented copies are deterministic and
+# replica-reproducible like every other audio stage.
+
+_SP_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("num", T.LongType()),
+            T.StructField("den", T.LongType()),
+            T.StructField("n_out", T.LongType()),
+            T.StructField("crc_out", T.LongType()),
+        ]
+    )
+)
+
+
+def _make_speed_udf(rates: tuple):
+    @F.arrow_udf(_SP_T)
+    def _speed_udf(raw: pa.Array, codec: pa.Array) -> pa.Array:
+        from ..functions.audio import _binary_bounds
+        from .audiodup import _decode_s16
+
+        data, starts, ends = _binary_bounds(raw)
+        codecs = codec.to_pylist()
+        out = []
+        for i in range(len(codecs)):
+            x = _decode_s16(data, int(starts[i]), int(ends[i]), codecs[i])
+            if x is None:
+                out.append(None)
+                continue
+            row = []
+            for num, den in rates:
+                # speed s = num/den plays n*den/num samples in the original
+                # duration: resample_linear(x, num, den) emits exactly that
+                y = x if num == den else resample_linear(x, int(num), int(den))
+                row.append(
+                    {
+                        "num": int(num),
+                        "den": int(den),
+                        "n_out": len(y),
+                        "crc_out": zlib.crc32(y.astype("<i2").tobytes()),
+                    }
+                )
+            out.append(row)
+        return pa.array(
+            out,
+            type=pa.list_(
+                pa.struct(
+                    [
+                        ("num", pa.int64()),
+                        ("den", pa.int64()),
+                        ("n_out", pa.int64()),
+                        ("crc_out", pa.int64()),
+                    ]
+                )
+            ),
+        )
+
+    # one decode per row (the audiodup/VAD nondeterministic pin)
+    return _speed_udf.asNondeterministic()
+
+
+def speed_perturb(
+    clips: DataFrame,
+    rates: tuple = ((9, 10), (10, 10), (11, 10)),
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+) -> DataFrame:
+    """(clip_id, sr_hz, speed_permille, n_out, dur_out_ms, crc_out) —
+    |rates| rows per decodable clip (the augmented training copies; the
+    identity rate is the byte-identical original stream). ALL rates run
+    off ONE decode (the audioprep decode-once fusion — per-rate stages
+    would re-pay the Python decode ceiling per copy); augmented bytes
+    stay Python-side (the resample rule), consumers key on
+    (clip_id, speed_permille, crc_out). Zero shuffles, one Arrow stage.
+    """
+    for num, den in rates:
+        if num <= 0 or den <= 0:
+            raise ValueError(f"rates must be positive rationals ({num}/{den})")
+    st = _make_speed_udf(tuple((int(n), int(d)) for n, d in rates))(
+        F.col(bytes_col), F.col(codec_col)
+    ).alias("__a")
+    ex = clips.select(
+        F.col(id_col), F.col(sr_col).cast("long").alias("sr_hz"), st
+    ).where(F.col("__a").isNotNull() & (F.col(sr_col) > 0)).select(
+        F.col(id_col), "sr_hz", F.explode("__a").alias("r")
+    )
+    return ex.select(
+        F.col(id_col),
+        "sr_hz",
+        F.expr("r.num * 1000 div r.den").cast("long").alias("speed_permille"),
+        F.col("r.n_out").alias("n_out"),
+        F.expr("r.n_out * 1000 div sr_hz").cast("long").alias("dur_out_ms"),
+        F.col("r.crc_out").alias("crc_out"),
+    )

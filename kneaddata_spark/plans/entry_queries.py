@@ -2538,6 +2538,22 @@ def speech_only_trim_q(spark, sf):
     )
 
 
+@q("speed_perturb")
+def speed_perturb_q(spark, sf):
+    """Speed-perturbation augmentation (operators/resample.speed_perturb,
+    Ko et al. 2015 {0.9, 1.0, 1.1}): the standard ASR training augment —
+    rational-rate copies through the SAME integer-exact linear resampler,
+    all rates from ONE decode (decode-once fusion; per-rate stages re-pay
+    the Python decode ceiling per copy). Deterministic, so augmented
+    shards are retry-idempotent like every other stage. Rows-only (PCM
+    decode basis); scalar witnesses (n_out, dur_out_ms, crc per rate);
+    zero shuffles."""
+    from ..operators.resample import speed_perturb
+    from ..synth import clips_spark_df
+
+    return speed_perturb(clips_spark_df(spark, 400, n_partitions=8))
+
+
 @q("audio_windows")
 def audio_windows_q(spark, sf):
     """Fixed-stride training-window extraction

@@ -3103,3 +3103,52 @@ def test_clip_windows_decode_free_bit_exact(spark):
             )
     assert got == sorted(want)
     assert len({c for c, *_ in want}) > 20 and len(want) > len({c for c, *_ in want})
+
+
+def test_speed_perturb_replica_and_identity(spark):
+    """Speed perturbation: one decode drives all rates; per (clip, rate)
+    the engine's (n_out, crc_out) equals the integer resample kernel
+    replayed over the independent oracle decode, the identity rate is the
+    byte-identical original stream, dur_out scales as den/num, and the
+    plan is 1 Arrow stage / 0 operator exchanges."""
+    import re as _re
+    import zlib as _zlib
+
+    import numpy as np
+
+    from kneaddata_spark.operators.resample import resample_linear, speed_perturb
+    from kneaddata_spark.oracle import decode_pcm
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(60)
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "codec", "sr_hz"]]
+    ).repartition(4)
+    rates = ((9, 10), (10, 10), (11, 10))
+    res = speed_perturb(df, rates)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert _re.findall(r"Exchange \w+", plan) == ["Exchange RoundRobinPartitioning"]
+
+    got = {
+        (r["clip_id"], r["speed_permille"]): (r["n_out"], r["dur_out_ms"], r["crc_out"])
+        for r in res.collect()
+    }
+    n_checked = 0
+    for row in pdf.itertuples():
+        f = decode_pcm(bytes(row.bytes), row.codec)
+        sr = int(row.sr_hz)
+        if f is None or sr <= 0:
+            assert not any(k[0] == row.clip_id for k in got)
+            continue
+        if row.codec == "pcm_u8":
+            x = (np.round(f * 128.0).astype(np.int64).astype(np.int16) * 256).astype(np.int16)
+        else:
+            x = np.round(f * 32768.0).astype(np.int64).clip(-32768, 32767).astype(np.int16)
+        for num, den in rates:
+            y = x if num == den else resample_linear(x, num, den)
+            want = (len(y), len(y) * 1000 // sr, _zlib.crc32(y.astype("<i2").tobytes()))
+            assert got[(row.clip_id, num * 1000 // den)] == want, (row.clip_id, num, den)
+            n_checked += 1
+    assert n_checked > 90  # 3 rates x >30 decodable clips

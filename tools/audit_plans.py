@@ -160,6 +160,9 @@ AUDIT = [
     # stage (pure JVM byte slicing + posexplode); the only Python in the
     # plan is the in-plan clip synthesis generator; zero shuffles
     ("audio_windows", {"max_exchanges": 0, "synth_only": True}),
+    # r4f: speed perturbation — ONE Arrow decode drives all rates
+    # (decode-once fusion), zero shuffles
+    ("speed_perturb", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
