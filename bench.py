@@ -104,6 +104,7 @@ HEADLINE = R3_SET + [
     "speech_only_trim",
     "audio_windows",
     "speed_perturb",
+    "crossmodal_dup_pairs",
 ]
 
 

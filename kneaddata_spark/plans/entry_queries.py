@@ -2514,6 +2514,57 @@ def vad_segments_q(spark, sf):
     return vad_segments(clips_spark_df(spark, 400, n_partitions=8))
 
 
+@q("crossmodal_dup_pairs")
+def crossmodal_dup_pairs_q(spark, sf):
+    """Evidence-fused duplicate confirmation: a pair is a CONFIRMED dup
+    only when BOTH modalities agree — the acoustic fingerprint screen
+    (operators/audiodup, recall-oriented) AND transcript identity
+    (md5 dup groups). Single-modality hits are demoted: an acoustic
+    coincidence (two clips of the same tone) or a shared transcript over
+    different audio is not a duplicate recording. The planted-dup fixture
+    copies both modalities, so planted pairs all survive the fusion. The
+    synthesized clip frame is persist_tracked so the mapInPandas
+    generator (and the decode) runs ONCE, not once per modality branch.
+    Rows-only (PCM decode basis); pytest gates the fusion matrix
+    (both/audio-only/text-only)."""
+    from ..operators.audiodup import audio_dup_pairs
+    from ..operators.caching import persist_tracked
+    from ..synth import clips_spark_df
+
+    clips = clips_spark_df(spark, 300, n_partitions=8).select(
+        F.explode(
+            F.when(
+                F.crc32(F.col("clip_id")) % 7 == 0,
+                F.array(
+                    F.col("clip_id"), F.concat(F.lit("dup_"), F.col("clip_id"))
+                ),
+            ).otherwise(F.array(F.col("clip_id")))
+        ).alias("clip_id"),
+        "bytes",
+        "codec",
+        "transcript",
+    )
+    clips = persist_tracked(clips)
+    ap = audio_dup_pairs(
+        clips.select("clip_id", "bytes", "codec"), min_bands=12
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "n_match",
+    )
+    tp = dedup.exact_dup_groups(
+        clips.select(
+            F.col("clip_id").alias("doc_id"), F.col("transcript").alias("text")
+        ),
+        "doc_id",
+        "text",
+    ).select(
+        F.least("canonical_id", "dup_id").alias("id_a"),
+        F.greatest("canonical_id", "dup_id").alias("id_b"),
+    )
+    return ap.join(tp, ["id_a", "id_b"], "inner")
+
+
 @q("speech_only_trim")
 def speech_only_trim_q(spark, sf):
     """Silence removal (operators/vad.speech_only_clips): rebuild each

@@ -3152,3 +3152,58 @@ def test_speed_perturb_replica_and_identity(spark):
             assert got[(row.clip_id, num * 1000 // den)] == want, (row.clip_id, num, den)
             n_checked += 1
     assert n_checked > 90  # 3 rates x >30 decodable clips
+
+
+def test_crossmodal_dup_fusion_matrix(spark):
+    """Evidence fusion demotes single-modality hits: identical
+    audio+transcript is confirmed; identical transcript over different
+    audio and identical audio under a different transcript are not."""
+    from kneaddata_spark.operators.audiodup import audio_dup_pairs
+    from kneaddata_spark.operators.dedup import exact_dup_groups
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(40)
+    # pick two decodable, acoustically distinct source clips
+    import numpy as np
+
+    from kneaddata_spark.oracle import decode_pcm
+
+    srcs = [
+        r for r in pdf.itertuples()
+        if decode_pcm(bytes(r.bytes), r.codec) is not None
+        and len(decode_pcm(bytes(r.bytes), r.codec)) > 16000
+    ][:2]
+    assert len(srcs) == 2
+    a, b = srcs
+    rows = [
+        ("both_1", bytes(a.bytes), a.codec, "hello world"),
+        ("both_2", bytes(a.bytes), a.codec, "hello world"),      # confirmed with both_1
+        ("text_1", bytes(a.bytes), a.codec, "same words"),
+        ("text_2", bytes(b.bytes), b.codec, "same words"),       # text-only: different audio
+        ("audio_1", bytes(b.bytes), b.codec, "first transcript"),
+        ("audio_2", bytes(b.bytes), b.codec, "second transcript"),  # audio-only
+    ]
+    clips = spark.createDataFrame(
+        rows, "clip_id string, bytes binary, codec string, transcript string"
+    )
+    ap = audio_dup_pairs(clips, min_bands=12).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    tp = exact_dup_groups(
+        clips.selectExpr("clip_id as doc_id", "transcript as text"), "doc_id", "text"
+    ).select(
+        F.least("canonical_id", "dup_id").alias("id_a"),
+        F.greatest("canonical_id", "dup_id").alias("id_b"),
+    )
+    apairs = {tuple(r) for r in ap.collect()}
+    tpairs = {tuple(r) for r in tp.collect()}
+    confirmed = apairs & tpairs
+    # the audio screen sees both same-audio pairs; the text screen sees
+    # both same-transcript pairs; ONLY the both-modality pair survives.
+    # (both_* and text_1 share audio a; audio_* and text_2 share audio b —
+    # those cross hits are audio-only and must be demoted too.)
+    assert ("both_1", "both_2") in apairs and ("both_1", "both_2") in tpairs
+    assert ("text_1", "text_2") in tpairs and ("text_1", "text_2") not in apairs
+    assert ("audio_1", "audio_2") in apairs and ("audio_1", "audio_2") not in tpairs
+    assert confirmed == {("both_1", "both_2")}

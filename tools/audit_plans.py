@@ -163,6 +163,10 @@ AUDIT = [
     # r4f: speed perturbation — ONE Arrow decode drives all rates
     # (decode-once fusion), zero shuffles
     ("speed_perturb", {"max_exchanges": 0, "arrow_only": True}),
+    # r4f: cross-modal fusion — the persisted clip frame feeds BOTH
+    # modality branches, so the synthesis generator and the ONE Arrow
+    # fingerprint stage each appear once; confirmation is an equi-join
+    ("crossmodal_dup_pairs", {"arrow_only": True}),
 ]
 
 
