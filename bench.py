@@ -105,6 +105,7 @@ HEADLINE = R3_SET + [
     "audio_windows",
     "speed_perturb",
     "crossmodal_dup_pairs",
+    "corpus_build",
 ]
 
 

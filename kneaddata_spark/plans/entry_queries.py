@@ -1454,6 +1454,91 @@ def token_budget_cap_q(spark, sf):
 
 
 @q(
+    "corpus_build",
+    f"""
+    WITH k1 AS (
+      SELECT doc_id, text, lang, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    ded AS (SELECT doc_id, text, lang, n_chars FROM k1 WHERE rn = 1),
+    bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    corpus AS (SELECT * FROM ded WHERE doc_id % 20 <> 0),
+    bsh AS (
+      SELECT DISTINCT tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+             || ' ' || tokens[i+3] || ' ' || tokens[i+4] AS shingle
+      FROM (SELECT string_split(lower(text), ' ') AS tokens FROM bench),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i)
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+             || ' ' || tokens[i+3] || ' ' || tokens[i+4] AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM corpus),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 4, 0))) AS i)
+    ),
+    dirty AS (SELECT DISTINCT doc_id FROM csh WHERE shingle IN (SELECT shingle FROM bsh)),
+    clean AS (SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+    hashed AS (SELECT *, ((doc_id::BIGINT * {KNUTH}) % {M32}) AS h FROM clean),
+    cum AS (
+      SELECT doc_id, text, h,
+             (sum(n_chars) OVER (PARTITION BY lang ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_chars) AS cb
+      FROM hashed
+    ),
+    capped AS (SELECT doc_id, text, h FROM cum WHERE cb < 8000),
+    tok AS (
+      SELECT doc_id, h, len(string_split(trim(text), ' '))::BIGINT AS n_tok
+      FROM capped
+    ),
+    s AS (SELECT doc_id, n_tok, h, ((h // 65536) % 4)::INT AS shard FROM tok),
+    c AS (
+      SELECT doc_id, shard,
+             (sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                 ROWS UNBOUNDED PRECEDING) - n_tok) AS strt
+      FROM s
+    )
+    SELECT doc_id AS id, shard, (strt // 512)::INT AS bin_id,
+           (strt % 512)::INT AS bin_offset
+    FROM c
+    """,
+)
+def corpus_build_q(spark, sf):
+    """End-to-end corpus build, ORACLE-CHECKED across all four stages:
+    exact dedup (keep min id per md5) -> benchmark decontamination
+    (5-gram broadcast screen vs the doc_id%20 eval subset) -> per-language
+    8,000-char budget cap (two-phase bucket cut, no per-group corpus
+    window) -> sequence packing into 512-token bins over 4 pinned shards.
+    Every stage is the registered operator, chained; the oracle replays
+    the identical integer semantics in one SQL — the strongest
+    composability witness the driver gate can express (a mismatch in ANY
+    stage's keep-set, hash order, or cumsum breaks the hash match)."""
+    from ..operators.corpus import budget_cap, pack_contexts
+
+    d = _t(spark, sf, "documents")
+    ded = dedup.dedup_exact(d, "doc_id", "text")
+    bench = d.where("doc_id % 20 = 0")
+    corpus = ded.where("doc_id % 20 <> 0")
+    clean = dedup.decontaminate_against(
+        corpus, bench, "doc_id", "text", n=5, max_df=None
+    )
+    capped = budget_cap(
+        clean.select("doc_id", "text", "lang", "n_chars"),
+        "lang",
+        "doc_id",
+        "n_chars",
+        budget=8000,
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), " "))
+    return pack_contexts(
+        capped.select("doc_id", n_tok.alias("n_tok")),
+        id_col="doc_id",
+        n_tokens_col="n_tok",
+        capacity=512,
+        n_shards=4,
+    ).select("id", "shard", "bin_id", "bin_offset")
+
+
+@q(
     "pack_contexts",
     f"""
     WITH d AS (

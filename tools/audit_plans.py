@@ -167,6 +167,10 @@ AUDIT = [
     # modality branches, so the synthesis generator and the ONE Arrow
     # fingerprint stage each appear once; confirmation is an equi-join
     ("crossmodal_dup_pairs", {"arrow_only": True}),
+    # r4f: end-to-end corpus build — dedup window + broadcast decontam
+    # screen + budget-cap bucket phases + shard-keyed pack window; every
+    # join a broadcast, zero Python end to end
+    ("corpus_build", {"broadcast_join": True, "no_python": True}),
 ]
 
 
