@@ -106,6 +106,7 @@ HEADLINE = R3_SET + [
     "speed_perturb",
     "crossmodal_dup_pairs",
     "corpus_build",
+    "merge_upsert",
 ]
 
 

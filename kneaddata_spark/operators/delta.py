@@ -159,3 +159,35 @@ def distribution_drift(
             ).alias("abs_diff_permille"),
         )
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+) -> DataFrame:
+    """MERGE INTO semantics (the Iceberg/Delta upsert) as a plain
+    DataFrame op: rows of ``updates`` replace same-key rows of ``target``
+    (matched -> UPDATE), new keys append (not matched -> INSERT), all
+    other target rows pass through untouched. The corpus-maintenance verb
+    snapshot_diff's output feeds: applying re-transcriptions, corrected
+    labels, or re-scored QC columns without a full rewrite. Schemas must
+    match (unionByName enforces it).
+
+    Duplicate keys: ``updates`` must be key-unique (raise-by-count is the
+    caller's contract — a window dedup here would silently pick one); a
+    key-unique updates frame guarantees output key-cardinality ==
+    |target keys ∪ update keys|.
+
+    Scale shape: one left_anti equi-join (target minus touched keys) +
+    union — the update side is typically a tiny fraction of the corpus,
+    so AQE broadcasts it and the TARGET NEVER SHUFFLES; with both sides
+    bucketed by key (the incremental_dedup pattern) even the anti-join is
+    exchange-free. The atomic publish (stage + directory swap) is
+    maintenance.compact_small_files' machinery; this operator is the
+    row-semantics half.
+    """
+    untouched = target.join(
+        updates.select(F.col(key_col)).distinct(), key_col, "left_anti"
+    )
+    return untouched.unionByName(updates)

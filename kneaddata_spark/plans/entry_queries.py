@@ -1454,6 +1454,51 @@ def token_budget_cap_q(spark, sf):
 
 
 @q(
+    "merge_upsert",
+    """
+    WITH updates AS (
+      SELECT doc_id, text || ' [rev2]' AS text, lang, source, n_chars + 7 AS n_chars
+      FROM documents WHERE doc_id % 9 = 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text, lang, 'ingest2' AS source, n_chars
+      FROM documents WHERE doc_id % 41 = 0
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM updates
+    UNION ALL
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM updates)
+    """,
+)
+def merge_upsert_q(spark, sf):
+    """MERGE INTO / upsert semantics (operators/delta.merge_upsert): a
+    corrections batch (re-transcribed docs doc_id%9, text revised; plus
+    brand-new docs under +500000 ids) merges into the corpus — matched
+    keys update, new keys insert, the rest pass through. One left_anti
+    equi-join + union; the update side broadcasts under AQE so the corpus
+    never shuffles. Oracle = the same set algebra in SQL."""
+    from ..operators.delta import merge_upsert
+
+    d = _t(spark, sf, "documents")
+    updates = d.where("doc_id % 9 = 0").select(
+        "doc_id",
+        F.concat("text", F.lit(" [rev2]")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 7).alias("n_chars"),
+    ).unionByName(
+        d.where("doc_id % 41 = 0").select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("ingest2").alias("source"),
+            "n_chars",
+        )
+    )
+    return merge_upsert(d.select("doc_id", "text", "lang", "source", "n_chars"), updates, "doc_id")
+
+
+@q(
     "corpus_build",
     f"""
     WITH k1 AS (

@@ -3207,3 +3207,19 @@ def test_crossmodal_dup_fusion_matrix(spark):
     assert ("text_1", "text_2") in tpairs and ("text_1", "text_2") not in apairs
     assert ("audio_1", "audio_2") in apairs and ("audio_1", "audio_2") not in tpairs
     assert confirmed == {("both_1", "both_2")}
+
+
+def test_merge_upsert_semantics_and_plan(spark):
+    """merge_upsert: matched keys update, new keys insert, untouched rows
+    pass through; output key cardinality == |target ∪ update keys|; the
+    anti-join side is the (small) update key set, broadcastable."""
+    from kneaddata_spark.operators.delta import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"
+    )
+    updates = spark.createDataFrame([(2, "B2"), (9, "I9")], "id long, v string")
+    got = sorted(tuple(r) for r in merge_upsert(target, updates, "id").collect())
+    assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (9, "I9")]
+    plan = merge_upsert(target, updates, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

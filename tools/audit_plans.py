@@ -171,6 +171,9 @@ AUDIT = [
     # screen + budget-cap bucket phases + shard-keyed pack window; every
     # join a broadcast, zero Python end to end
     ("corpus_build", {"broadcast_join": True, "no_python": True}),
+    # r4f: MERGE INTO semantics — one left_anti equi-join (update keys
+    # broadcast under AQE; corpus never shuffles) + union; zero Python
+    ("merge_upsert", {"broadcast_join": True, "no_python": True}),
 ]
 
 
