@@ -107,6 +107,7 @@ HEADLINE = R3_SET + [
     "crossmodal_dup_pairs",
     "corpus_build",
     "merge_upsert",
+    "noise_mix",
 ]
 
 

@@ -361,3 +361,128 @@ def speed_perturb(
         F.expr("r.n_out * 1000 div sr_hz").cast("long").alias("dur_out_ms"),
         F.col("r.crc_out").alias("crc_out"),
     )
+
+
+# Noise-mix augmentation — the second standard ASR augment (after speed):
+# add deterministic noise at a target speech-to-noise POWER ratio (the
+# snr_screen convention: ratio 10 IS 10 dB, no float dB anywhere).
+# Integer kernel, replica-exact:
+#   meansq_x = sum(x^2) div n                      (int64-exact, snr.py)
+#   noise r  = Philox(key=[NOISE_SEED, crc32(id)]) ints in [-2048, 2048]
+#   gain_q15 = isqrt((meansq_x div ratio) << 30 div max(meansq_r, 1))
+#   y        = clip(x + (r * gain_q15) >> 15)      (arithmetic shift)
+# so meansq((r*g)>>15) ~= meansq_x / ratio. Philox keyed by crc32(clip_id)
+# (the synth.py per-row keying pattern): the noise is a pure function of
+# the clip id — partition- and retry-invariant, reproducible in the test
+# replica without shipping noise payloads.
+
+NOISE_SEED = 0x6E6F6973  # 'nois'
+NOISE_AMP = 2048
+
+
+def mix_noise(x: np.ndarray, clip_key: int, ratio: int) -> tuple[np.ndarray, int]:
+    """(mixed int16 samples, gain_q15). Pure function of (x, key, ratio)."""
+    n = len(x)
+    if n == 0 or ratio <= 0:
+        return x, 0
+    xs = x.astype(np.int64)
+    meansq_x = int((xs * xs).sum()) // n
+    rng = np.random.default_rng(np.random.Philox(key=[NOISE_SEED, clip_key]))
+    r = rng.integers(-NOISE_AMP, NOISE_AMP + 1, n).astype(np.int64)
+    meansq_r = int((r * r).sum()) // n
+    gain = math.isqrt(((meansq_x // ratio) << 30) // max(meansq_r, 1))
+    y = xs + ((r * gain) >> 15)
+    return np.clip(y, -32768, 32767).astype(np.int16), gain
+
+
+_NM_T = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("ratio", T.LongType()),
+            T.StructField("gain_q15", T.LongType()),
+            T.StructField("meansq_x", T.LongType()),
+            T.StructField("crc_out", T.LongType()),
+        ]
+    )
+)
+
+
+def _make_noise_udf(ratios: tuple):
+    @F.arrow_udf(_NM_T)
+    def _noise_udf(cid: pa.Array, raw: pa.Array, codec: pa.Array) -> pa.Array:
+        from ..functions.audio import _binary_bounds
+        from .audiodup import _decode_s16
+
+        data, starts, ends = _binary_bounds(raw)
+        codecs = codec.to_pylist()
+        cids = cid.to_pylist()
+        out = []
+        for i in range(len(codecs)):
+            x = _decode_s16(data, int(starts[i]), int(ends[i]), codecs[i])
+            if x is None:
+                out.append(None)
+                continue
+            key = zlib.crc32(str(cids[i]).encode())
+            xs = x.astype(np.int64)
+            meansq_x = int((xs * xs).sum()) // max(len(x), 1)
+            row = []
+            for ratio in ratios:
+                y, g = mix_noise(x, key, int(ratio))
+                row.append(
+                    {
+                        "ratio": int(ratio),
+                        "gain_q15": g,
+                        "meansq_x": meansq_x,
+                        "crc_out": zlib.crc32(y.astype("<i2").tobytes()),
+                    }
+                )
+            out.append(row)
+        return pa.array(
+            out,
+            type=pa.list_(
+                pa.struct(
+                    [
+                        ("ratio", pa.int64()),
+                        ("gain_q15", pa.int64()),
+                        ("meansq_x", pa.int64()),
+                        ("crc_out", pa.int64()),
+                    ]
+                )
+            ),
+        )
+
+    return _noise_udf.asNondeterministic()
+
+
+def noise_mix(
+    clips: DataFrame,
+    ratios: tuple = (10, 100),
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """(clip_id, snr_ratio, gain_q15, meansq_x, crc_out) — |ratios| noisy
+    training copies per decodable clip (ratio 10 ~ 10 dB, 100 ~ 20 dB),
+    ALL from ONE decode; noisy bytes stay Python-side (the resample
+    rule), consumers key on (clip_id, snr_ratio, crc_out). Deterministic
+    noise (Philox keyed by crc32(clip_id)) makes augmented shards
+    retry-idempotent and replica-verifiable. Zero shuffles, one Arrow
+    stage."""
+    for ratio in ratios:
+        if ratio <= 0:
+            raise ValueError(f"ratios must be positive ({ratio})")
+    st = _make_noise_udf(tuple(int(r) for r in ratios))(
+        F.col(id_col), F.col(bytes_col), F.col(codec_col)
+    ).alias("__m")
+    return (
+        clips.select(F.col(id_col), st)
+        .where(F.col("__m").isNotNull())
+        .select(F.col(id_col), F.explode("__m").alias("r"))
+        .select(
+            F.col(id_col),
+            F.col("r.ratio").alias("snr_ratio"),
+            F.col("r.gain_q15").alias("gain_q15"),
+            F.col("r.meansq_x").alias("meansq_x"),
+            F.col("r.crc_out").alias("crc_out"),
+        )
+    )

@@ -2735,6 +2735,21 @@ def speed_perturb_q(spark, sf):
     return speed_perturb(clips_spark_df(spark, 400, n_partitions=8))
 
 
+@q("noise_mix")
+def noise_mix_q(spark, sf):
+    """Noise-mix augmentation (operators/resample.noise_mix): noisy
+    training copies at target speech-to-noise POWER ratios (10 ~ 10 dB,
+    100 ~ 20 dB — integer ratios, the snr_screen convention), noise a
+    pure Philox function of crc32(clip_id) so augmented shards are
+    partition/retry-invariant and replica-verifiable. ALL ratios from ONE
+    decode. Rows-only (PCM decode basis); scalar witnesses; zero
+    shuffles."""
+    from ..operators.resample import noise_mix
+    from ..synth import clips_spark_df
+
+    return noise_mix(clips_spark_df(spark, 400, n_partitions=8))
+
+
 @q("audio_windows")
 def audio_windows_q(spark, sf):
     """Fixed-stride training-window extraction

@@ -3223,3 +3223,64 @@ def test_merge_upsert_semantics_and_plan(spark):
     assert got == [(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (9, "I9")]
     plan = merge_upsert(target, updates, "id")._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_noise_mix_replica_and_snr(spark):
+    """Noise-mix augmentation: per (clip, ratio) the engine's
+    (gain_q15, meansq_x, crc_out) equals the kernel replayed over the
+    independent oracle decode with the same Philox keying; the achieved
+    noise power lands near meansq_x/ratio on a loud constant signal; a
+    silent clip gets gain 0 (byte-identical copy)."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from kneaddata_spark.operators.resample import mix_noise, noise_mix
+    from kneaddata_spark.oracle import decode_pcm
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    # kernel sanity on a constant signal: achieved ratio within 20%
+    x = np.full(16000, 8000, dtype=np.int16)
+    for ratio in (10, 100):
+        y, g = mix_noise(x, 123, ratio)
+        noise = y.astype(np.int64) - x.astype(np.int64)
+        meansq_n = int((noise * noise).sum()) // len(x)
+        meansq_x = 8000 * 8000
+        want = meansq_x // ratio
+        assert abs(meansq_n - want) <= want // 5, (ratio, meansq_n, want)
+    silent = np.zeros(4000, dtype=np.int16)
+    y, g = mix_noise(silent, 7, 10)
+    assert g == 0 and np.array_equal(y, silent)
+
+    pdf = gen_clips_pdf(50)
+    df = spark.createDataFrame(
+        pdf[["clip_id", "bytes", "codec"]]
+    ).repartition(4)
+    res = noise_mix(df, ratios=(10, 100))
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+    got = {
+        (r["clip_id"], r["snr_ratio"]): (r["gain_q15"], r["meansq_x"], r["crc_out"])
+        for r in res.collect()
+    }
+    n_checked = 0
+    for row in pdf.itertuples():
+        f = decode_pcm(bytes(row.bytes), row.codec)
+        if f is None:
+            assert not any(k[0] == row.clip_id for k in got)
+            continue
+        if row.codec == "pcm_u8":
+            xi = (np.round(f * 128.0).astype(np.int64) * 256).astype(np.int16)
+        else:
+            xi = np.round(f * 32768.0).astype(np.int64).clip(-32768, 32767).astype(np.int16)
+        key = _zlib.crc32(str(row.clip_id).encode())
+        xs = xi.astype(np.int64)
+        meansq_x = int((xs * xs).sum()) // max(len(xi), 1)
+        for ratio in (10, 100):
+            y, g = mix_noise(xi, key, ratio)
+            want = (g, meansq_x, _zlib.crc32(y.astype("<i2").tobytes()))
+            assert got[(row.clip_id, ratio)] == want, (row.clip_id, ratio)
+            n_checked += 1
+    assert n_checked > 60

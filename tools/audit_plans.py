@@ -174,6 +174,8 @@ AUDIT = [
     # r4f: MERGE INTO semantics — one left_anti equi-join (update keys
     # broadcast under AQE; corpus never shuffles) + union; zero Python
     ("merge_upsert", {"broadcast_join": True, "no_python": True}),
+    # r4f: noise mix — ONE Arrow decode drives all ratios, zero shuffles
+    ("noise_mix", {"max_exchanges": 0, "arrow_only": True}),
 ]
 
 
