@@ -108,6 +108,7 @@ HEADLINE = R3_SET + [
     "corpus_build",
     "merge_upsert",
     "noise_mix",
+    "quantized_topk",
 ]
 
 

@@ -1972,6 +1972,47 @@ def cosine_topk_q(spark, sf):
 
 
 @q(
+    "quantized_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+      SELECT vec_id, v,
+             (SELECT max(abs(v[u.i])) FROM
+               (SELECT unnest(generate_series(1, len(v))) AS i) u) AS sc
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, i, CAST(floor(v[i] * 127.0 / sc) AS BIGINT) AS qv
+      FROM s, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+      WHERE sc > 0
+    ),
+    scored AS (
+      SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
+             CAST(sum(a.qv * b.qv) AS BIGINT) AS qdot
+      FROM q a JOIN q b ON a.i = b.i
+      WHERE b.vec_id < 10 AND a.vec_id <> b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, nbr_id, rank, qdot FROM (
+      SELECT query_id, nbr_id, qdot,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qdot DESC, nbr_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def quantized_topk_q(spark, sf):
+    """Int8-quantized ANN (similarity.quantized_topk): symmetric scalar
+    quantization (floor — the cross-engine-safe float->int bridge) + an
+    INTEGER dot-product top-k, so the ranking gate is exact int64
+    equality with no round() anywhere — the ANN memory-scaling move (4x
+    smaller index) with the bm25 integer-score determinism rule. Same
+    broadcast shape as cosine_topk."""
+    e = _t(spark, sf, "embeddings")
+    return similarity.quantized_topk(e, e.where("vec_id < 10"), k=5)
+
+
+@q(
     "cosine_dup_pairs",
     f"""
     WITH d AS ({_EMB_DUPS_SQL}),

@@ -3284,3 +3284,45 @@ def test_noise_mix_replica_and_snr(spark):
             assert got[(row.clip_id, ratio)] == want, (row.clip_id, ratio)
             n_checked += 1
     assert n_checked > 60
+
+
+def test_quantized_topk_matches_numpy_replica(spark):
+    """Int8 quantization + integer dot top-k == a numpy replica (floor
+    semantics, tie -> smaller id), qvals bounded in [-127, 127], zero
+    vectors dropped."""
+    import numpy as np
+
+    from kneaddata_spark.operators.similarity import quantize_embeddings, quantized_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    vecs[7] = 0.0  # zero vector must drop
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    qdf = {r["id"]: (r["scale"], r["qvec"]) for r in quantize_embeddings(df).collect()}
+    assert 7 not in qdf
+    qmat = {}
+    for i in range(40):
+        if i == 7:
+            continue
+        v = vecs[i].astype(np.float64)
+        s = float(np.abs(v).max())
+        q = np.floor(v * 127.0 / s).astype(np.int64)
+        assert np.array_equal(np.array(qdf[i][1]), q), i
+        assert q.min() >= -127 and q.max() <= 127
+        qmat[i] = q
+
+    got = {
+        (r["query_id"], r["rank"]): (r["nbr_id"], r["qdot"])
+        for r in quantized_topk(df, df.where("vec_id < 4"), k=3).collect()
+    }
+    for qid in range(4):
+        scores = sorted(
+            ((int(qmat[qid] @ qmat[n]), -n) for n in qmat if n != qid),
+            key=lambda t: (-t[0], -t[1]),
+        )
+        for rank in range(1, 4):
+            d, negn = scores[rank - 1]
+            assert got[(qid, rank)] == (-negn, d), (qid, rank)

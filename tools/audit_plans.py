@@ -176,6 +176,9 @@ AUDIT = [
     ("merge_upsert", {"broadcast_join": True, "no_python": True}),
     # r4f: noise mix — ONE Arrow decode drives all ratios, zero shuffles
     ("noise_mix", {"max_exchanges": 0, "arrow_only": True}),
+    # r4f: quantized ANN — broadcast-nested-loop like cosine_topk but
+    # int64 scoring; quantization is pure Column HOF algebra, no Python
+    ("quantized_topk", {"broadcast_join": True, "no_python": True}),
 ]
 
 
