@@ -109,6 +109,7 @@ HEADLINE = R3_SET + [
     "merge_upsert",
     "noise_mix",
     "quantized_topk",
+    "hot_keys",
 ]
 
 

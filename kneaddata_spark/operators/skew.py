@@ -103,3 +103,46 @@ def salted_topk_per_group(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def hot_keys(
+    df: DataFrame,
+    cols: "list[str]",
+    min_permille: int = 50,
+) -> DataFrame:
+    """(col, val, n, permille) for every column value holding at least
+    min_permille (default 5%) of its column's rows — the diagnostic you
+    run BEFORE picking a partitioner: any key this table reports is a key
+    a groupBy/join must salt (or AQE skew-split), and any column with no
+    rows here is safe to shuffle on directly. Threshold semantics (not
+    top-k) because that IS the question — "which keys exceed a reducer's
+    fair share" — and it avoids any rank machinery.
+
+    One pass: the row explodes into |cols| (col, val) tags, ONE map-side-
+    combinable groupBy(col, val) count, per-column totals re-aggregate
+    the (small) count frame, broadcast back. Integer permille (div)."""
+    kv = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col", "kv.val")
+    counts = kv.groupBy("col", "val").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("col").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "col")
+        .where(F.col("n") * 1000 >= F.col("tot") * min_permille)
+        .select(
+            "col",
+            "val",
+            "n",
+            F.expr("n * 1000 div tot").cast("long").alias("permille"),
+        )
+    )

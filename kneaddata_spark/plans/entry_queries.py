@@ -645,6 +645,33 @@ def salted_group_count_q(spark, sf):
     return salted_group_count(d, key="lang", salt_src="doc_id", n_salts=4)
 
 
+@q(
+    "hot_keys",
+    """
+    WITH kv AS (
+      SELECT 'lang' AS col, lang AS val FROM documents
+      UNION ALL SELECT 'source' AS col, source AS val FROM documents
+    ),
+    c AS (SELECT col, val, count(*) AS n FROM kv GROUP BY col, val),
+    t AS (SELECT col, sum(n) AS tot FROM c GROUP BY col)
+    SELECT c.col, c.val, c.n, (c.n * 1000 // t.tot) AS permille
+    FROM c JOIN t ON c.col = t.col
+    WHERE c.n * 1000 >= t.tot * 50
+    """,
+)
+def hot_keys_q(spark, sf):
+    """Hot-key skew report (operators/skew.hot_keys): which (column,
+    value) pairs hold >= 5% of their column — the diagnostic run BEFORE
+    choosing a partitioner; everything this reports is a key that a
+    groupBy/join on that column must salt. One exploded tag pass + ONE
+    combinable count agg; per-column totals re-aggregate the small count
+    frame and broadcast back; integer permille."""
+    from ..operators.skew import hot_keys
+
+    d = _t(spark, sf, "documents")
+    return hot_keys(d, ["lang", "source"], min_permille=50)
+
+
 # --- sampling (O4/O5) ------------------------------------------------------
 
 

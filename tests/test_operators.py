@@ -3326,3 +3326,21 @@ def test_quantized_topk_matches_numpy_replica(spark):
         for rank in range(1, 4):
             d, negn = scores[rank - 1]
             assert got[(qid, rank)] == (-negn, d), (qid, rank)
+
+
+def test_hot_keys_threshold_semantics(spark):
+    """hot_keys reports exactly the values at/above the permille
+    threshold per column, with exact integer permille; a uniform column
+    reports everything at min_permille=0 and nothing at 300."""
+    from kneaddata_spark.operators.skew import hot_keys
+
+    rows = [(i, "hot" if i < 60 else f"c{i % 4}", f"u{i % 10}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, skewed string, uniform string")
+    got = {
+        (r["col"], r["val"]): (r["n"], r["permille"])
+        for r in hot_keys(df, ["skewed", "uniform"], min_permille=150).collect()
+    }
+    assert got == {("skewed", "hot"): (60, 600)}
+    assert hot_keys(df, ["uniform"], min_permille=300).count() == 0
+    all_rows = hot_keys(df, ["uniform"], min_permille=0).collect()
+    assert len(all_rows) == 10 and all(r["permille"] == 100 for r in all_rows)

@@ -179,6 +179,11 @@ AUDIT = [
     # r4f: quantized ANN — broadcast-nested-loop like cosine_topk but
     # int64 scoring; quantization is pure Column HOF algebra, no Python
     ("quantized_topk", {"broadcast_join": True, "no_python": True}),
+    # r4f: hot-key report — one tag explode + ONE combinable count agg;
+    # totals re-aggregate the small frame and ride a broadcast back (the
+    # count subtree feeds both sides, so its exchange PRINTS twice — no
+    # exchange cap, the importance_weights precedent)
+    ("hot_keys", {"broadcast_join": True, "no_python": True}),
 ]
 
 
