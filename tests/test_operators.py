@@ -3344,3 +3344,96 @@ def test_hot_keys_threshold_semantics(spark):
     assert hot_keys(df, ["uniform"], min_permille=300).count() == 0
     all_rows = hot_keys(df, ["uniform"], min_permille=0).collect()
     assert len(all_rows) == 10 and all(r["permille"] == 100 for r in all_rows)
+
+
+def _clip_windows_replica(raw, codec, sr, win_ms, stride_ms):
+    """Independent re-derivation of clip_windows' gates + slices."""
+    import struct as _struct
+
+    from kneaddata_spark import rules
+
+    if sr <= 0:
+        return []
+    if codec == "pcm_s16le" and raw and len(raw) % 2 == 0:
+        base, bps = 0, 2
+    elif codec == "pcm_u8" and raw:
+        base, bps = 0, 1
+    elif codec == "wav" and (
+        len(raw) > 44 and len(raw) % 2 == 0
+        and raw[:4] == b"RIFF" and raw[12:16] == b"fmt "
+        and raw[16:20] == b"\x10\x00\x00\x00" and raw[36:40] == b"data"
+        and raw[40:44] == _struct.pack("<I", len(raw) - 44)
+    ):
+        base, bps = 44, 2
+    elif codec in rules.FAKE_MAGIC and (
+        len(raw) > 8 and len(raw) % 2 == 0
+        and raw[:4] == rules.FAKE_MAGIC[codec]
+        and raw[4:8] == _struct.pack("<I", len(raw) - 8)
+    ):
+        base, bps = 8, 2
+    else:
+        return []
+    n = (len(raw) - base) // bps
+    w, s = sr * win_ms // 1000, sr * stride_ms // 1000
+    if w <= 0 or n < w:
+        return []
+    return [
+        (k, k * s * 1000 // sr, raw[base + k * s * bps : base + (k * s + w) * bps])
+        for k in range((n - w) // s + 1)
+    ]
+
+
+def test_clip_windows_fuzz_gates(spark):
+    """Adversarial payloads (junk with real magics, truncated wavs, plen
+    off-by-one, odd lengths, zero/weird rates): the engine's window set
+    equals the replica's on every one — gates never mis-slice, junk never
+    crashes, and emitted bytes are exact."""
+    import random
+    import struct as _struct
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.clipwindows import clip_windows
+
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        codec = rng.choice(["pcm_s16le", "pcm_u8", "wav", "flac", "opus", "mp3", "bogus"])
+        sr = rng.choice([0, -1, 7, 8000, 16000, 44100])
+        kind = rng.choice(["junk", "magic_junk", "valid_shape", "truncated", "plen_off"])
+        body = bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 5000)))
+        if kind == "junk":
+            raw = body
+        elif kind == "magic_junk":
+            raw = (rules.FAKE_MAGIC.get(codec, b"RIFF")) + body
+        elif kind == "valid_shape":
+            payload = body if len(body) % 2 == 0 else body + b"\x00"
+            if codec in rules.FAKE_MAGIC:
+                raw = rules.FAKE_MAGIC[codec] + _struct.pack("<I", len(payload)) + payload
+            elif codec == "wav":
+                raw = (b"RIFF" + _struct.pack("<I", 36 + len(payload)) + b"WAVE"
+                       + b"fmt " + b"\x10\x00\x00\x00" + bytes(16)
+                       + b"data" + _struct.pack("<I", len(payload)) + payload)
+            else:
+                raw = payload
+        elif kind == "truncated":
+            raw = (rules.FAKE_MAGIC.get(codec, b"RIFF") + _struct.pack("<I", 1000) + body)
+        else:  # plen_off
+            payload = body + b"\x00" if len(body) % 2 else body
+            raw = (rules.FAKE_MAGIC.get(codec, b"RIFF")
+                   + _struct.pack("<I", max(len(payload) - 1, 0)) + payload)
+        rows.append((f"f{i:03d}", raw, codec, sr))
+
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string, sr_hz int")
+    got = {}
+    for r in clip_windows(df, win_ms=100, stride_ms=60).collect():
+        got.setdefault(r["clip_id"], []).append(
+            (r["win_idx"], r["start_ms"], bytes(r["win_bytes"]))
+        )
+    want = {}
+    for cid, raw, codec, sr in rows:
+        segs = _clip_windows_replica(raw, codec, sr, 100, 60)
+        if segs:
+            want[cid] = segs
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == want
+    assert len(want) > 5  # some valid shapes long enough to window
