@@ -110,6 +110,7 @@ HEADLINE = R3_SET + [
     "noise_mix",
     "quantized_topk",
     "hot_keys",
+    "ann_pq_topk",
 ]
 
 

@@ -2100,6 +2100,19 @@ def ann_ivf_topk_q(spark, sf):
     return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+@q("ann_pq_topk", _ANN_TOP1_SQL)
+def ann_pq_topk_q(spark, sf):
+    """Product-quantization ANN (similarity.ann_pq_topk): 32x-compressed
+    codes + asymmetric-distance scoring. Oracle basis: recon(q) is the
+    global PQ-distance minimum (per-subspace argmin), so the planted
+    exact duplicate is ALWAYS the top-1 retrieval regardless of the
+    fitted codebooks — the same codebook-independent anchor as the
+    LSH/IVF oracles; the emitted cos is full-precision."""
+    e = _emb_with_dups(spark, sf)
+    out = similarity.ann_pq_topk(e, e.where("vec_id >= 100000"), k=1)
+    return out.select("query_id", "nbr_id", "rank", F.round("cos", 4).alias("cos"))
+
+
 # --- events: temporal joins (operators Spark lacks as primitives) -----------
 
 

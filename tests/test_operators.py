@@ -3437,3 +3437,33 @@ def test_clip_windows_fuzz_gates(spark):
     got = {k: sorted(v) for k, v in got.items()}
     assert got == want
     assert len(want) > 5  # some valid shapes long enough to window
+
+
+def test_ann_pq_topk_planted_retrieval(spark):
+    """PQ ANN: planted exact duplicates are ALWAYS the top-1 retrieval
+    (recon(q) is the global PQ-distance minimum — codebook-independent),
+    the emitted cos is full-precision 1.0, and a non-divisible subspace
+    split raises."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from kneaddata_spark.operators.similarity import ann_pq_topk
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(60, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    rows += [(100000 + i, [float(x) for x in vecs[i]]) for i in range(8)]  # dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["query_id"]: (r["nbr_id"], r["rank"], r["cos"])
+        for r in ann_pq_topk(
+            df, df.where("vec_id >= 100000"), k=1, m_subspaces=4, n_codes=8
+        ).collect()
+    }
+    for i in range(8):
+        nbr, rank, cos = out[100000 + i]
+        assert nbr == i and rank == 1 and abs(cos - 1.0) < 1e-9, (i, out[100000 + i])
+
+    with _pytest.raises(ValueError):
+        ann_pq_topk(df, df.limit(1), m_subspaces=5)

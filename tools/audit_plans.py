@@ -184,6 +184,9 @@ AUDIT = [
     # count subtree feeds both sides, so its exchange PRINTS twice — no
     # exchange cap, the importance_weights precedent)
     ("hot_keys", {"broadcast_join": True, "no_python": True}),
+    # r4f: PQ ANN — encode + query LUT are Arrow-batched matmuls; ADC
+    # scoring is a JVM fold over the code array on the broadcast-NL side
+    ("ann_pq_topk", {"broadcast_join": True}),
 ]
 
 
