@@ -409,19 +409,25 @@ def quantize_embeddings(
     vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """(id, scale, qvec array<long>): symmetric per-vector int8
-    quantization q_i = floor(v_i * 127 / max|v|) in [-127, 127]. floor —
-    not round, not cast — is the cross-engine-safe float->int bridge
-    (Spark casts truncate, DuckDB casts round, both FLOOR identically;
-    the doc_fingerprint/bm25 lesson). Elements pass through double so
-    engine and SQL oracle see bit-identical products. Zero vectors drop
-    (no direction to preserve). Pure Column algebra, zero Python."""
+    quantization q_i = floor(v_i * 127 / max|v| + 0.5) in [-127, 127] —
+    round-half-up spelled as floor(x + 0.5), because floor is the only
+    cross-engine-safe float->int bridge (Spark casts truncate, DuckDB
+    casts round, round() differs on halves, but both FLOOR identically;
+    the doc_fingerprint/bm25 lesson) and nearest-rounding halves the
+    per-component quantization error vs plain floor (measured: recall@5
+    0.69 -> see ANN_RECALL.json). Scale-invariant (v and 2v quantize
+    identically), so integer dot ranking approximates COSINE ranking.
+    Elements pass through double so engine and SQL oracle see
+    bit-identical products. Zero vectors drop (no direction to
+    preserve). Pure Column algebra, zero Python."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     s = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
     out = vectors.select(
         F.col(id_col).alias("id"), v.alias("__v"), s.alias("scale")
     )
     qvec = F.transform(
-        F.col("__v"), lambda x: F.floor(x * F.lit(127.0) / F.col("scale"))
+        F.col("__v"),
+        lambda x: F.floor(x * F.lit(127.0) / F.col("scale") + F.lit(0.5)),
     )
     return out.where(F.col("scale") > 0).select("id", "scale", qvec.alias("qvec"))
 

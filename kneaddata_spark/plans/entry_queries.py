@@ -2009,7 +2009,7 @@ def cosine_topk_q(spark, sf):
       FROM e
     ),
     q AS (
-      SELECT vec_id, i, CAST(floor(v[i] * 127.0 / sc) AS BIGINT) AS qv
+      SELECT vec_id, i, CAST(floor(v[i] * 127.0 / sc + 0.5) AS BIGINT) AS qv
       FROM s, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
       WHERE sc > 0
     ),

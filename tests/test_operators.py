@@ -3309,7 +3309,7 @@ def test_quantized_topk_matches_numpy_replica(spark):
             continue
         v = vecs[i].astype(np.float64)
         s = float(np.abs(v).max())
-        q = np.floor(v * 127.0 / s).astype(np.int64)
+        q = np.floor(v * 127.0 / s + 0.5).astype(np.int64)
         assert np.array_equal(np.array(qdf[i][1]), q), i
         assert q.min() >= -127 and q.max() <= 127
         qmat[i] = q
