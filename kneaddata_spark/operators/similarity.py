@@ -278,16 +278,33 @@ def ann_lsh_topk(
     dim: int = 64,
     k: int = 5,
     n_planes: int = 12,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's LSH
     bucket (equi-join on bucket replaces the cross join — this is the
-    100TB-shaped plan; recall tunes with n_planes / multi-probe)."""
+     100TB-shaped plan). ``multiprobe=1`` additionally probes every
+    Hamming-1 neighbor bucket of the query's code (the standard
+    multi-probe LSH recall dial: 1+n_planes probes instead of 1, only
+    the QUERY side fans out — the corpus index is untouched; measured in
+    ANN_RECALL.json). Each (query, nbr) pair arises at most once: a
+    neighbor has ONE bucket and the probe list is distinct buckets."""
     v = add_lsh_bucket(vectors, vec_col, dim, n_planes).select(
         F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("nbr_vec"), "bucket"
     ).withColumn("nbr_n", _norm("nbr_vec"))
     q = add_lsh_bucket(queries, vec_col, dim, n_planes).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     ).withColumn("q_n", _norm("q_vec"))
+    if multiprobe:
+        if multiprobe != 1:
+            raise ValueError("multiprobe supports 0 (off) or 1 (Hamming-1)")
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     cand = v.join(F.broadcast(q), "bucket").where(F.col("query_id") != F.col("nbr_id"))
     cos = _dot("q_vec", "nbr_vec") / (F.col("q_n") * F.col("nbr_n"))
     scored = cand.select("query_id", "nbr_id", cos.alias("cos"))

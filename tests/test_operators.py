@@ -3467,3 +3467,37 @@ def test_ann_pq_topk_planted_retrieval(spark):
 
     with _pytest.raises(ValueError):
         ann_pq_topk(df, df.limit(1), m_subspaces=5)
+
+
+def test_ann_lsh_multiprobe_supersets_and_retrieves(spark):
+    """Hamming-1 multiprobe: candidate pairs are a superset of the
+    single-probe pairs, planted exact dups are still retrieved at rank 1
+    (identical code -> identical home bucket), and multiprobe>1 raises."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from kneaddata_spark.operators.similarity import ann_lsh_topk
+
+    rng = np.random.default_rng(31)
+    vecs = rng.normal(size=(50, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    rows += [(100000 + i, [float(x) for x in vecs[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id >= 100000")
+    single = {
+        (r["query_id"], r["nbr_id"])
+        for r in ann_lsh_topk(df, q, k=50).collect()
+    }
+    multi = {
+        (r["query_id"], r["nbr_id"])
+        for r in ann_lsh_topk(df, q, k=50, multiprobe=1).collect()
+    }
+    assert single <= multi and len(multi) > len(single)
+    top1 = {
+        r["query_id"]: r["nbr_id"]
+        for r in ann_lsh_topk(df, q, k=1, multiprobe=1).collect()
+    }
+    assert top1 == {100000 + i: i for i in range(5)}
+    with _pytest.raises(ValueError):
+        ann_lsh_topk(df, q, multiprobe=2)

@@ -43,6 +43,9 @@ def main() -> None:
         "pq_m8x16": similarity.ann_pq_topk(e, queries, k=k),
         "pq_m8x64": similarity.ann_pq_topk(e, queries, k=k, n_codes=64),
         "lsh_sign": similarity.ann_lsh_topk(e, queries, dim=64, k=k),
+        "lsh_multiprobe1": similarity.ann_lsh_topk(e, queries, dim=64, k=k, multiprobe=1),
+        "lsh_mp1_planes8": similarity.ann_lsh_topk(e, queries, dim=64, k=k, n_planes=8, multiprobe=1),
+        "lsh_mp1_planes4": similarity.ann_lsh_topk(e, queries, dim=64, k=k, n_planes=4, multiprobe=1),
         "ivf_nprobe4": similarity.ann_ivf_topk(e, queries, k=k),
         "ivf_nprobe8": similarity.ann_ivf_topk(e, queries, k=k, n_probe=8),
     }
