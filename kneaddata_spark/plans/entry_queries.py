@@ -2002,16 +2002,16 @@ def cosine_topk_q(spark, sf):
     "quantized_topk",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    s AS (
-      SELECT vec_id, v,
-             (SELECT max(abs(v[u.i])) FROM
-               (SELECT unnest(generate_series(1, len(v))) AS i) u) AS sc
-      FROM e
+    el AS (
+      SELECT vec_id, i, v[i] AS x
+      FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
     ),
+    s AS (SELECT vec_id, max(abs(x)) AS sc FROM el GROUP BY vec_id),
     q AS (
-      SELECT vec_id, i, CAST(floor(v[i] * 127.0 / sc + 0.5) AS BIGINT) AS qv
-      FROM s, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
-      WHERE sc > 0
+      SELECT el.vec_id, el.i,
+             CAST(floor(el.x * 127.0 / s.sc + 0.5) AS BIGINT) AS qv
+      FROM el JOIN s ON el.vec_id = s.vec_id
+      WHERE s.sc > 0
     ),
     scored AS (
       SELECT b.vec_id AS query_id, a.vec_id AS nbr_id,
