@@ -1,0 +1,219 @@
+"""Mergeable sketch operators: HyperLogLog distinct-count and Count-Min
+frequency estimation (SURVEY.md §2 "novel sketch" family; reference
+lineage: kneaddata counts unique reads per stage exactly —
+utilities.py log counters — which is the operation that stops scaling
+first at 10^12 clips; a register/counter sketch is the standard
+distributed answer).
+
+Design constraints shared by both sketches:
+
+ - INTEGER-ONLY portable arithmetic. Every hash, register and estimate
+   is computed with BIGINT-safe multiply/mod/shift/xor/CASE so the
+   driver's DuckDB oracle reproduces the exact same sketch — the gate
+   then proves the distributed partial-aggregation identity (merge of
+   per-partition registers == single-node sketch), which is the whole
+   point of a mergeable sketch.
+ - The avalanche mix keeps every intermediate < 2^63: inputs are
+   reduced mod 2^32 first and both multipliers are < 2^31
+   (x*K <= 2^32 * 1.55e9 ~ 6.6e18 < 9.2e18). Spark's `div` and
+   DuckDB's `//` agree on non-negative operands (both truncate); no
+   negative value ever enters a division.
+ - Registers are ordinary rows, merged with max()/sum() — map-side
+   combinable, two shuffles total, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M32 = 1 << 32
+MIX_K1 = 1315423911  # public Bernstein-style constant, < 2^31
+MIX_K2 = 1540483477  # MurmurHash2 'M' constant, < 2^31
+
+
+def mix32(x: Column) -> Column:
+    """Portable 32-bit avalanche: multiply / xor-shift / multiply /
+    xor-shift. Input must already be in [0, 2^32); output in [0, 2^32).
+    Identical arithmetic exists in DuckDB (``mix32_sql``)."""
+    h1 = (x * F.lit(MIX_K1)) % F.lit(M32)
+    h2 = (h1.bitwiseXOR(F.shiftright(h1, 16)) * F.lit(MIX_K2)) % F.lit(M32)
+    return h2.bitwiseXOR(F.shiftright(h2, 15))
+
+
+def mix32_sql(expr: str) -> str:
+    """DuckDB replica of ``mix32`` over an expression string (the caller
+    guarantees the expression is in [0, 2^32))."""
+    h1 = f"(({expr}) * {MIX_K1}) % {M32}"
+    h2 = f"((xor(({h1}), ({h1}) >> 16)) * {MIX_K2}) % {M32}"
+    return f"xor(({h2}), ({h2}) >> 15)"
+
+
+# ---------------------------------------------------------------- HLL ----
+
+HLL_P = 8  # 2^8 = 256 registers; standard error 1.04/sqrt(256) ~ 6.5%
+HLL_M = 1 << HLL_P
+HLL_WBITS = 32 - HLL_P  # remainder bits used for the rho (leading-zero) count
+# alpha_256 = 0.7213/(1 + 1.079/256) scaled to parts-per-million so the
+# estimate is one integer multiply + one integer divide on both engines
+HLL_ALPHA_PPM = 718273
+
+
+def _rho(w: Column) -> Column:
+    """rho = (number of leading zeros of the WBITS-bit word) + 1, via an
+    explicit threshold CASE chain — no log2/bin() portability risk."""
+    expr = F.lit(HLL_WBITS + 1)  # w == 0
+    # build from smallest threshold up so the final expression checks the
+    # largest threshold first (F.when chains evaluate in order)
+    chain = F.when(w >= F.lit(1 << (HLL_WBITS - 1)), F.lit(1))
+    for r in range(2, HLL_WBITS + 1):
+        chain = chain.when(w >= F.lit(1 << (HLL_WBITS - r)), F.lit(r))
+    return chain.otherwise(expr)
+
+
+def _rho_sql(w: str) -> str:
+    branches = " ".join(
+        f"WHEN ({w}) >= {1 << (HLL_WBITS - r)} THEN {r}"
+        for r in range(1, HLL_WBITS + 1)
+    )
+    return f"(CASE {branches} ELSE {HLL_WBITS + 1} END)"
+
+
+def hll_distinct(
+    df: DataFrame, key: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of an integer key.
+
+    Plan: one projection computes bucket (top p bits of the mixed hash)
+    and rho (leading zeros of the remainder + 1), then
+    groupBy(group, bucket).max(rho) builds the registers (map-side
+    combined — each partition ships at most m rows per group), then one
+    tiny per-group reduction folds the <=256 registers into the
+    harmonic-mean estimate. The fold is integer-exact: a register M
+    contributes 2^(WBITS+1-M) to a scaled Z-sum, empty registers
+    contribute 2^(WBITS+1), and
+
+        est = ALPHA_PPM * m^2 * 2^(WBITS+1) // (10^6 * zsum)
+
+    stays < 2^61 throughout. At 10^12 keys the register table is still
+    m rows per group — the sketch is the scale story; the raw (no
+    small-range correction) estimate is emitted along with the register
+    sum so a coordinator can re-merge groups later.
+    """
+    h = mix32(F.col(key).cast("long") % F.lit(M32))
+    bucketed = df.select(
+        *group_cols,
+        F.shiftright(h, HLL_WBITS).alias("__bucket"),
+        _rho(h % F.lit(1 << HLL_WBITS)).alias("__rho"),
+    )
+    regs = bucketed.groupBy(*group_cols, "__bucket").agg(
+        F.max("__rho").alias("__m")
+    )
+    scale = HLL_WBITS + 1
+    # python F.shiftleft() only takes an int bit-count; the SQL builtin
+    # accepts a column expression for it
+    zsum_seen = F.expr(f"sum(shiftleft(cast(1 as bigint), {scale} - __m))").cast("long")
+    seen = F.count("*").cast("long")
+    out = regs.groupBy(*group_cols).agg(
+        seen.alias("seen_buckets"),
+        (zsum_seen + (F.lit(HLL_M) - seen) * F.lit(1 << scale)).alias("zsum"),
+    )
+    num = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << scale)
+    return out.select(
+        *group_cols,
+        "seen_buckets",
+        "zsum",
+        F.expr(f"{num} div (1000000 * zsum)").cast("long").alias("est_distinct"),
+    )
+
+
+def hll_distinct_sql(table_sql: str, key: str, group_cols: list[str]) -> str:
+    """DuckDB replica of ``hll_distinct`` (same constants, same CASE
+    chain, same scaled integer fold)."""
+    g = ", ".join(group_cols)
+    h = mix32_sql(f"({key}::BIGINT) % {M32}")
+    scale = HLL_WBITS + 1
+    num = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << scale)
+    return f"""
+    WITH src AS ({table_sql}),
+    b AS (
+      SELECT {g}, (({h}) >> {HLL_WBITS}) AS bucket,
+             {_rho_sql(f"({h}) % {1 << HLL_WBITS}")} AS rho
+      FROM src
+    ),
+    regs AS (SELECT {g}, bucket, max(rho) AS m FROM b GROUP BY {g}, bucket),
+    folded AS (
+      SELECT {g}, count(*)::BIGINT AS seen_buckets,
+             (sum((1::BIGINT << ({scale} - m)))::BIGINT
+              + ({HLL_M} - count(*)::BIGINT) * {1 << scale}) AS zsum
+      FROM regs GROUP BY {g}
+    )
+    SELECT {g}, seen_buckets, zsum,
+           ({num} // (1000000 * zsum))::BIGINT AS est_distinct
+    FROM folded
+    """
+
+
+# ---------------------------------------------------------- Count-Min ----
+
+CMS_D = 4  # hash rows
+CMS_W_BITS = 10  # 1024 counters per row
+CMS_W = 1 << CMS_W_BITS
+CMS_ROW_SALT = 1000003  # per-row hash offset multiplier
+
+
+def _cms_col(h32: Column, row: int) -> Column:
+    """Counter column for hash row ``row``: top CMS_W_BITS bits of the
+    re-mixed (hash + row*salt) value."""
+    return F.shiftright(
+        mix32((h32 + F.lit(row * CMS_ROW_SALT)) % F.lit(M32)), 32 - CMS_W_BITS
+    )
+
+
+def _cms_col_sql(h32: str, row: int) -> str:
+    return f"(({mix32_sql(f'(({h32}) + {row * CMS_ROW_SALT}) % {M32}')}) >> {32 - CMS_W_BITS})"
+
+
+def cms_build(tokens: DataFrame, hash_col: str = "__h32") -> DataFrame:
+    """Count-Min sketch over a token stream: d x w counter rows.
+
+    One explode (d rows per token) + one map-side-combined count — the
+    sketch is at most d*w = 4096 rows regardless of corpus size, and two
+    sketches merge by summing counters (same groupBy), which is what
+    makes it usable as an incremental corpus-frequency monitor."""
+    h = F.col(hash_col)
+    cells = tokens.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _cms_col(h, r).alias("col")
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row", "c.col")
+    return cells.groupBy("row", "col").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, hash_col: str = "__h32") -> DataFrame:
+    """Point-estimate counts for a (small) probe frame carrying the same
+    32-bit hash: explode the d cells per probe, broadcast-join the probe
+    cells against the sketch, min over rows. CMS guarantees
+    est >= true count (one-sided error), asserted in tests."""
+    h = F.col(hash_col)
+    probe_cells = probes.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("row"), _cms_col(h, r).alias("col"))
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select(*[c for c in probes.columns], "c.row", "c.col")
+    joined = sketch.join(F.broadcast(probe_cells), ["row", "col"])
+    keep = [c for c in probes.columns if c != hash_col]
+    return joined.groupBy(*keep).agg(F.min("cnt").alias("cms_est"))

@@ -563,3 +563,68 @@ def lang_segments(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.max("pos").cast("long").alias("end_pos"),
         F.count("*").cast("long").alias("n_tokens"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Corpus-level collocation mining: top-k adjacent token bigrams by a
+    pointwise-mutual-information-ordered INTEGER score.
+
+    PMI = ln(p(ab) / (p(a) p(b))) is monotone in c_ab * N / (c_a * c_b),
+    so the ranking never needs the transcendental: the emitted score is
+
+        score_ppm = (c_ab * N * 10^6) div (c_a * c_b)
+
+    — exact integer arithmetic on both engines (headroom: c_ab * N * 10^6
+    must stay < 2^63, i.e. fine up to ~9e12 bigram-mass; for larger
+    corpora drop the ppm scale or score per shard). Plan: one explode to
+    unigram counts, one explode to bigram counts (both map-side
+    combined), two token-keyed equi-joins to attach c_a / c_b, corpus
+    total N folded in as a broadcast one-row frame (never a driver
+    action), then TakeOrderedAndProject for the top-k. Nothing global,
+    nothing Python.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    t = df.select(toks.alias("toks"))
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").cast("long").alias("n_total"))
+    big = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("a"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+    cb = (
+        big.where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    ca = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    cbk = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        cb.join(ca, "w1")
+        .join(cbk, "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.expr("(c_ab * n_total * 1000000) div (c_a * c_b)")
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

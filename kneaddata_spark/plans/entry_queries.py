@@ -3432,6 +3432,181 @@ def length_drift_q(spark, sf):
     )
 
 
+# --- mergeable sketches (HLL / CMS) + weighted sampling + collocations ----
+
+
+def _hll_sql() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    inner = hll_distinct_sql(
+        "SELECT l_returnflag, l_orderkey FROM lineitem", "l_orderkey", ["l_returnflag"]
+    )
+    return f"""
+    WITH sk AS (SELECT * FROM ({inner}) s),
+    ex AS (SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT sk.l_returnflag, sk.seen_buckets, sk.zsum, sk.est_distinct, ex.n_exact,
+           (abs(sk.est_distinct - ex.n_exact) * 1000 // ex.n_exact)::BIGINT
+             AS abs_err_permille
+    FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
+    """
+
+
+@q("hll_distinct", _hll_sql())
+def hll_distinct_q(spark, sf):
+    """HyperLogLog distinct l_orderkey per l_returnflag
+    (sketches.hll_distinct): 256 integer registers per group built by a
+    map-side-combined max, folded with an integer-exact scaled harmonic
+    sum — the oracle reproduces the SAME sketch in DuckDB, proving the
+    distributed register merge equals the single-node sketch (the
+    property that makes it safe to re-merge across 10^12-row shards).
+    The exact distinct count rides along so the emitted abs_err_permille
+    is self-evidencing (pytest asserts it within ~3 sigma = 20%)."""
+    from ..operators.sketches import hll_distinct
+
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    sk = hll_distinct(li, "l_orderkey", ["l_returnflag"])
+    ex = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_exact")
+    )
+    return sk.join(ex, "l_returnflag").select(
+        "l_returnflag",
+        "seen_buckets",
+        "zsum",
+        "est_distinct",
+        "n_exact",
+        F.expr("(abs(est_distinct - n_exact) * 1000) div n_exact")
+        .cast("long")
+        .alias("abs_err_permille"),
+    )
+
+
+def _tok_lo_sql(tok: str = "tok") -> str:
+    """DuckDB replica of portable_token_hash64(tok) % 2^32 (the 'lo' mix —
+    same coefficients, same char features as the simhash oracle)."""
+    feats = [
+        f"length({tok})::BIGINT",
+        f"ascii({tok})::BIGINT",
+        f"ascii(substring({tok}, 2, 1))::BIGINT",
+        f"ascii(right({tok}, 1))::BIGINT",
+        f"ascii(substring({tok}, -2, 1))::BIGINT",
+    ]
+    lo = dedup.PORTABLE_HASH_COEFFS["lo"]
+    return "((" + " + ".join(f"{f} * {c}" for f, c in zip(feats, lo)) + f") % {M32})"
+
+
+def _cms_sql() -> str:
+    from ..operators import sketches as sk
+
+    rows = ", ".join(f"({r})" for r in range(sk.CMS_D))
+    col = (
+        f"(({sk.mix32_sql(f'(h32 + r.rw * {sk.CMS_ROW_SALT}) % {sk.M32}')})"
+        f" >> {32 - sk.CMS_W_BITS})"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT t.tok
+      FROM (SELECT string_split(lower(trim(text)), ' ') AS toks FROM documents),
+           LATERAL (SELECT unnest(toks) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    h AS (SELECT tok, {_tok_lo_sql()} AS h32 FROM toks),
+    cells AS (SELECT r.rw AS row, {col} AS col FROM h, (VALUES {rows}) r(rw)),
+    sketch AS (SELECT row, col, count(*)::BIGINT AS cnt FROM cells GROUP BY row, col),
+    exact AS (SELECT tok, count(*)::BIGINT AS n_exact, min(h32) AS h32
+              FROM h GROUP BY tok),
+    top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 20),
+    probe AS (SELECT tok, n_exact, r.rw AS row, {col} AS col
+              FROM top, (VALUES {rows}) r(rw))
+    SELECT p.tok, p.n_exact, min(s.cnt) AS cms_est
+    FROM probe p JOIN sketch s ON p.row = s.row AND p.col = s.col
+    GROUP BY p.tok, p.n_exact
+    """
+
+
+@q("cms_heavy_hitters", _cms_sql())
+def cms_heavy_hitters_q(spark, sf):
+    """Count-Min sketch corpus-frequency monitor (sketches.cms_build /
+    cms_estimate): 4x1024 integer counters over the token stream (fixed
+    4096-row footprint at ANY corpus size, mergeable by summing), probed
+    with the exact top-20 tokens so the emitted (n_exact, cms_est) pairs
+    surface the one-sided CMS error directly (est >= exact always;
+    pytest asserts it). Portable token hash + avalanche mix make the
+    DuckDB oracle reproduce every counter exactly."""
+    from ..operators.caching import persist_tracked
+    from ..operators.dedup import portable_token_hash64
+    from ..operators.sketches import cms_build, cms_estimate
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    hashed = persist_tracked(
+        toks.select(
+            "tok", (portable_token_hash64(F.col("tok")) % F.lit(M32)).alias("__h32")
+        )
+    )
+    sketch = cms_build(hashed, "__h32")
+    exact = hashed.groupBy("tok").agg(
+        F.count("*").cast("long").alias("n_exact"), F.min("__h32").alias("__h32")
+    )
+    top = exact.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(20)
+    return cms_estimate(sketch, top, "__h32")
+
+
+@q(
+    "weighted_sample",
+    None,  # set right below — needs the sampling helper
+)
+def weighted_sample_q(spark, sf):
+    """Weighted sampling without replacement, proportional to document
+    length (sampling.weighted_reservoir_deterministic): min-hash over
+    integer-replicated copies — the RNG-free A-RES equivalent, identical
+    rows in any engine, retry/partitioning-invariant. The length//16+1
+    weight is the bounded-integer-weight contract the operator documents."""
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.expr("length(text) div 16 + 1").cast("long").alias("w")
+    )
+    return sampling.weighted_reservoir_deterministic(d, "doc_id", "w", k=100)
+
+
+ORACLES["weighted_sample"] = sampling.weighted_reservoir_sql(
+    "SELECT doc_id, length(text) AS L FROM documents", "doc_id", "(L // 16) + 1", 100
+)
+
+
+@q(
+    "pmi_collocations",
+    """
+    WITH t AS (SELECT string_split(lower(trim(text)), ' ') AS toks FROM documents),
+    uni AS (
+      SELECT u.tok, count(*)::BIGINT AS c
+      FROM t, LATERAL (SELECT unnest(toks) AS tok) u
+      WHERE u.tok <> '' GROUP BY u.tok
+    ),
+    n AS (SELECT sum(c)::BIGINT AS n_total FROM uni),
+    big AS (
+      SELECT toks[i.i] AS w1, toks[i.i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(toks)::BIGINT)) AS i) i
+      WHERE toks[i.i] <> '' AND toks[i.i + 1] <> ''
+    ),
+    cb AS (SELECT w1, w2, count(*)::BIGINT AS c_ab FROM big GROUP BY w1, w2
+           HAVING count(*) >= 3)
+    SELECT cb.w1, cb.w2, cb.c_ab, a.c AS c_a, b.c AS c_b,
+           ((cb.c_ab * n.n_total * 1000000) // (a.c * b.c))::BIGINT AS score_ppm
+    FROM cb JOIN uni a ON cb.w1 = a.tok JOIN uni b ON cb.w2 = b.tok, n
+    ORDER BY score_ppm DESC, cb.w1 ASC, cb.w2 ASC LIMIT 50
+    """,
+)
+def pmi_collocations_q(spark, sf):
+    """Collocation mining (textstats.pmi_collocations): top-50 adjacent
+    bigrams by the integer PMI-monotone score c_ab*N*10^6 div (c_a*c_b) —
+    transcendental-free so the DuckDB oracle is exact. Two combinable
+    count aggs + two token-keyed joins + TakeOrderedAndProject."""
+    d = _t(spark, sf, "documents")
+    return textstats.pmi_collocations(d, "text", min_count=3, k=50)
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -3501,3 +3501,123 @@ def test_ann_lsh_multiprobe_supersets_and_retrieves(spark):
     assert top1 == {100000 + i: i for i in range(5)}
     with _pytest.raises(ValueError):
         ann_lsh_topk(df, q, multiprobe=2)
+
+
+# --- sketches (HLL / CMS) + weighted reservoir + collocations ------------
+
+
+def test_hll_distinct_accuracy_and_merge_identity(spark):
+    """Accuracy within ~3 sigma (1.04/sqrt(256) ~ 6.5% per sigma) on a
+    known-cardinality integer stream, AND the mergeable-register
+    property: sketching two disjoint halves and max-merging their
+    register tables yields the identical fold to sketching the union —
+    the identity that makes per-shard sketches safe to combine."""
+    from kneaddata_spark.operators.sketches import HLL_M, hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame([(i, "g") for i in range(n)], ["k", "grp"])
+    out = hll_distinct(df, "k", ["grp"]).collect()[0]
+    assert abs(out["est_distinct"] - n) / n < 0.20
+    assert out["seen_buckets"] <= HLL_M
+
+    # merge identity: union of halves == whole (same registers, same fold)
+    a = spark.createDataFrame([(i, "g") for i in range(0, n, 2)], ["k", "grp"])
+    b = spark.createDataFrame([(i, "g") for i in range(1, n, 2)], ["k", "grp"])
+    merged = hll_distinct(a.unionByName(b), "k", ["grp"]).collect()[0]
+    assert merged["zsum"] == out["zsum"]
+    assert merged["est_distinct"] == out["est_distinct"]
+
+
+def test_cms_one_sided_error(spark):
+    """CMS point estimates NEVER underestimate, and with 4x1024 counters
+    on a 6k-distinct stream the top-20 overestimates stay small."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.sketches import cms_build, cms_estimate, mix32
+
+    # 6000 distinct keys, zipf-ish: key i appears 1 + 6000//(i+1) times
+    rows = [(i, 1 + 6000 // (i + 1)) for i in range(6000)]
+    base = spark.createDataFrame(rows, ["k", "n"])
+    stream = base.select(F.explode(F.sequence(F.lit(1), "n")).alias("_"), "k")
+    hashed = stream.select(mix32(F.col("k") % F.lit(1 << 32)).alias("__h32"), "k")
+    sketch = cms_build(hashed, "__h32")
+    probes = (
+        hashed.groupBy("k")
+        .agg(F.count("*").alias("n_exact"), F.min("__h32").alias("__h32"))
+        .orderBy(F.col("n_exact").desc(), F.col("k").asc())
+        .limit(20)
+    )
+    got = cms_estimate(sketch, probes, "__h32").collect()
+    assert len(got) == 20
+    total = sum(r["n_exact"] for r in got)
+    for r in got:
+        assert r["cms_est"] >= r["n_exact"]
+        # theoretical: overflow per cell ~ N/w; be loose (10x) to stay
+        # deterministic-but-robust
+        assert r["cms_est"] - r["n_exact"] <= max(200, total)
+
+
+def test_weighted_reservoir_matches_numpy_replica(spark):
+    """Engine selection == independent numpy replication of the same
+    min-hash-over-copies procedure (no Spark machinery), proving the
+    operator computes the documented function — and the weight column
+    rides through intact."""
+    import numpy as np
+
+    from kneaddata_spark.operators.sampling import KNUTH, M32
+    from kneaddata_spark.operators.sampling import (
+        weighted_reservoir_deterministic,
+    )
+    from kneaddata_spark.operators.sketches import MIX_K1, MIX_K2
+
+    keys = list(range(1, 201))
+    weights = [(k % 13) + 1 for k in keys]
+    df = spark.createDataFrame(list(zip(keys, weights)), ["k", "w"])
+    got = weighted_reservoir_deterministic(df, "k", "w", k=25).collect()
+
+    def mix32_np(x):
+        x = np.asarray(x, dtype=np.uint64)
+        h1 = (x * np.uint64(MIX_K1)) % np.uint64(1 << 32)
+        h2 = ((h1 ^ (h1 >> np.uint64(16))) * np.uint64(MIX_K2)) % np.uint64(1 << 32)
+        return h2 ^ (h2 >> np.uint64(15))
+
+    best = {}
+    for k, w in zip(keys, weights):
+        copies = np.arange(1, w + 1, dtype=np.uint64)
+        h = mix32_np((np.uint64(k) * np.uint64(KNUTH) + copies * np.uint64(97)) % np.uint64(M32))
+        best[k] = int(h.min())
+    want = sorted(best.items(), key=lambda kv: (kv[1], kv[0]))[:25]
+    assert [(r["k"], r["priority"]) for r in got] == [(k, p) for k, p in want]
+    for r in got:
+        assert r["weight"] == (r["k"] % 13) + 1
+
+
+def test_weighted_reservoir_partitioning_invariant(spark):
+    """Same selected set under a different input partitioning (the
+    retry/reshuffle stability the docstring promises)."""
+    from kneaddata_spark.operators.sampling import weighted_reservoir_deterministic
+
+    df = spark.createDataFrame([(i, (i % 7) + 1) for i in range(300)], ["k", "w"])
+    a = weighted_reservoir_deterministic(df.repartition(1), "k", "w", 30).collect()
+    b = weighted_reservoir_deterministic(df.repartition(16, "w"), "k", "w", 30).collect()
+    assert sorted((r["k"], r["priority"]) for r in a) == sorted(
+        (r["k"], r["priority"]) for r in b
+    )
+
+
+def test_pmi_collocations_planted_pair(spark):
+    """A rare-but-always-adjacent pair must out-score common bigrams, and
+    the integer score must equal the hand-computed formula."""
+    from kneaddata_spark.operators.textstats import pmi_collocations
+
+    common = "the cat sat on the mat"
+    docs = [(i, common) for i in range(40)] + [
+        (100 + i, "zyx qwv " + common) for i in range(4)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = pmi_collocations(df, "text", min_count=3, k=10).collect()
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("zyx", "qwv")
+    # N = 44*6 + 4*2 tokens; c_ab=4, c_a=c_b=4
+    n_total = 44 * 6 + 4 * 2
+    assert top["score_ppm"] == (4 * n_total * 1000000) // (4 * 4)
