@@ -111,6 +111,10 @@ HEADLINE = R3_SET + [
     "quantized_topk",
     "hot_keys",
     "ann_pq_topk",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "weighted_sample",
+    "pmi_collocations",
 ]
 
 
