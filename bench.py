@@ -115,6 +115,8 @@ HEADLINE = R3_SET + [
     "cms_heavy_hitters",
     "weighted_sample",
     "pmi_collocations",
+    "incremental_distinct",
+    "zorder_layout",
 ]
 
 

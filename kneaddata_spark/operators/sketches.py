@@ -79,36 +79,46 @@ def _rho_sql(w: str) -> str:
     return f"(CASE {branches} ELSE {HLL_WBITS + 1} END)"
 
 
-def hll_distinct(
-    df: DataFrame, key: str, group_cols: list[str]
-) -> DataFrame:
-    """Per-group HyperLogLog distinct estimate of an integer key.
-
-    Plan: one projection computes bucket (top p bits of the mixed hash)
-    and rho (leading zeros of the remainder + 1), then
-    groupBy(group, bucket).max(rho) builds the registers (map-side
-    combined — each partition ships at most m rows per group), then one
-    tiny per-group reduction folds the <=256 registers into the
-    harmonic-mean estimate. The fold is integer-exact: a register M
-    contributes 2^(WBITS+1-M) to a scaled Z-sum, empty registers
-    contribute 2^(WBITS+1), and
-
-        est = ALPHA_PPM * m^2 * 2^(WBITS+1) // (10^6 * zsum)
-
-    stays < 2^61 throughout. At 10^12 keys the register table is still
-    m rows per group — the sketch is the scale story; the raw (no
-    small-range correction) estimate is emitted along with the register
-    sum so a coordinator can re-merge groups later.
-    """
+def hll_registers(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HLL register table: (group..., __bucket, __m). One
+    projection computes bucket (top p bits of the mixed hash) and rho
+    (leading zeros of the remainder + 1); groupBy(group, bucket).max(rho)
+    is map-side combined, so each partition ships at most m rows per
+    group. The register table IS the persistable sketch state: two
+    register tables merge with ``hll_merge_registers`` (max per bucket)
+    and fold with ``hll_fold`` — the incremental-ingest shape."""
     h = mix32(F.col(key).cast("long") % F.lit(M32))
     bucketed = df.select(
         *group_cols,
         F.shiftright(h, HLL_WBITS).alias("__bucket"),
         _rho(h % F.lit(1 << HLL_WBITS)).alias("__rho"),
     )
-    regs = bucketed.groupBy(*group_cols, "__bucket").agg(
+    return bucketed.groupBy(*group_cols, "__bucket").agg(
         F.max("__rho").alias("__m")
     )
+
+
+def hll_merge_registers(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge two register tables (max per bucket): exactly the union
+    semantics of the underlying sets — sketch(A) ⊔ sketch(B) ==
+    sketch(A ∪ B), which the incremental_distinct oracle proves by
+    computing the right-hand side directly."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__m").alias("__m"))
+    )
+
+
+def hll_fold(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold a register table into the per-group estimate. Integer-exact:
+    a register M contributes 2^(WBITS+1-M) to a scaled Z-sum, empty
+    registers contribute 2^(WBITS+1), and
+
+        est = ALPHA_PPM * m^2 * 2^(WBITS+1) // (10^6 * zsum)
+
+    stays < 2^61 throughout. Raw estimate (no small-range correction) is
+    emitted with the register sum so a coordinator can re-merge later."""
     scale = HLL_WBITS + 1
     # python F.shiftleft() only takes an int bit-count; the SQL builtin
     # accepts a column expression for it
@@ -125,6 +135,13 @@ def hll_distinct(
         "zsum",
         F.expr(f"{num} div (1000000 * zsum)").cast("long").alias("est_distinct"),
     )
+
+
+def hll_distinct(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of an integer key:
+    ``hll_registers`` then ``hll_fold`` (see those for the plan shape and
+    the integer-exact fold contract)."""
+    return hll_fold(hll_registers(df, key, group_cols), group_cols)
 
 
 def hll_distinct_sql(table_sql: str, key: str, group_cols: list[str]) -> str:

@@ -3607,6 +3607,85 @@ def pmi_collocations_q(spark, sf):
     return textstats.pmi_collocations(d, "text", min_count=3, k=50)
 
 
+@q("incremental_distinct", None)  # oracle set right below (needs the helper)
+def incremental_distinct_q(spark, sf):
+    """Incremental distinct counting via persisted HLL register state
+    (sketches.hll_registers / hll_merge_registers / hll_fold): the
+    existing corpus exists only as its <=256-rows-per-group register
+    table; a new batch sketches itself and max-merges — only the batch
+    is ever scanned, the incremental_dedup shape applied to cardinality.
+    The ORACLE computes the sketch over the WHOLE table in one pass, so
+    the gate itself proves sketch(stored) ⊔ sketch(batch) ==
+    sketch(stored ∪ batch) — the identity that makes register state
+    safe to persist and re-merge across 10^12-row ingest batches."""
+    from ..operators.sketches import hll_fold, hll_merge_registers, hll_registers
+
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_orderkey")
+    stored = hll_registers(
+        li.where("l_orderkey % 3 <> 0"), "l_orderkey", ["l_returnflag"]
+    )
+    batch = hll_registers(
+        li.where("l_orderkey % 3 = 0"), "l_orderkey", ["l_returnflag"]
+    )
+    merged = hll_merge_registers(stored, batch, ["l_returnflag"])
+    return hll_fold(merged, ["l_returnflag"]).select(
+        "l_returnflag", "seen_buckets", "zsum", "est_distinct"
+    )
+
+
+def _incremental_distinct_sql() -> str:
+    from ..operators.sketches import hll_distinct_sql
+
+    inner = hll_distinct_sql(
+        "SELECT l_returnflag, l_orderkey FROM lineitem", "l_orderkey", ["l_returnflag"]
+    )
+    return f"SELECT l_returnflag, seen_buckets, zsum, est_distinct FROM ({inner}) s"
+
+
+ORACLES["incremental_distinct"] = _incremental_distinct_sql()
+
+
+def _zorder_sql() -> str:
+    from ..operators.zonemap import zorder_key_sql
+
+    z = zorder_key_sql("uid16", "day16")
+    return f"""
+    WITH e AS (
+      SELECT event_id,
+             (user_id::BIGINT % 65536) AS uid16,
+             ((floor(epoch(ts))::BIGINT // 86400) % 65536) AS day16
+      FROM events
+    )
+    SELECT event_id, uid16, day16, {z} AS zval, ({z} >> 24) AS file_bucket
+    FROM e
+    """
+
+
+@q("zorder_layout", _zorder_sql())
+def zorder_layout_q(spark, sf):
+    """Z-order clustering key (zonemap.zorder_key): Morton-interleave of
+    (user_id, day) — the OPTIMIZE ZORDER BY primitive that makes
+    zone-map pruning effective on BOTH dimensions at once (pytest
+    quantifies the per-file range tightening vs a single-column sort).
+    file_bucket = zval >> 24 is the write-time file assignment. One
+    whole-stage-codegen projection, no shuffle, no Python."""
+    from ..operators.zonemap import zorder_key
+
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        (F.col("user_id").cast("long") % 65536).alias("uid16"),
+        (F.expr("unix_timestamp(ts) div 86400") % 65536).alias("day16"),
+    )
+    z = zorder_key(F.col("uid16"), F.col("day16"))
+    return e.select(
+        "event_id",
+        "uid16",
+        "day16",
+        z.alias("zval"),
+        F.shiftright(z, 24).alias("file_bucket"),
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -3621,3 +3621,77 @@ def test_pmi_collocations_planted_pair(spark):
     # N = 44*6 + 4*2 tokens; c_ab=4, c_a=c_b=4
     n_total = 44 * 6 + 4 * 2
     assert top["score_ppm"] == (4 * n_total * 1000000) // (4 * 4)
+
+
+def test_hll_register_merge_api_equals_full_sketch(spark):
+    """Persisted-register shape: 3 ingest batches sketched separately,
+    max-merged, folded — identical output to sketching everything."""
+    from kneaddata_spark.operators.sketches import (
+        hll_distinct,
+        hll_fold,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    rows = [(i * 7 % 4001, "g") for i in range(9000)]
+    df = spark.createDataFrame(rows, ["k", "grp"])
+    full = hll_distinct(df, "k", ["grp"]).collect()[0]
+    parts = [df.where(f"k % 3 = {r}") for r in range(3)]
+    regs = hll_registers(parts[0], "k", ["grp"])
+    for p in parts[1:]:
+        regs = hll_merge_registers(regs, hll_registers(p, "k", ["grp"]), ["grp"])
+    merged = hll_fold(regs, ["grp"]).collect()[0]
+    assert (merged["zsum"], merged["est_distinct"]) == (full["zsum"], full["est_distinct"])
+
+
+def test_zorder_key_matches_python_interleave(spark):
+    """Engine z-value == independent python bit-interleave."""
+    from kneaddata_spark.operators.zonemap import zorder_key
+
+    def interleave(a, b):
+        z = 0
+        for i in range(16):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(a * 131 % 65536, a * 9176 % 65536) for a in range(200)]
+    df = spark.createDataFrame(pts, ["a", "b"])
+    got = df.select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == interleave(r["a"], r["b"])
+
+
+def test_zorder_layout_tightens_file_ranges_on_both_dims(spark):
+    """The layout claim, quantified: range-partitioning by the z-key
+    yields per-file uid spans FAR tighter than a time-sorted layout
+    (which leaves every file spanning the whole uid domain) AND per-file
+    time spans far tighter than a uid-sorted layout — multi-dimension
+    pruning no single-column sort provides."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.zonemap import zorder_key
+
+    n = 20000
+    rows = [(i, (i * 131) % 1024, i % 1024) for i in range(n)]  # uid uniform, day sequential-ish
+    df = spark.createDataFrame(rows, ["event_id", "uid", "day"])
+    z = df.select("*", zorder_key(F.col("uid"), F.col("day"), bits=10).alias("zval"))
+
+    def span_sums(frame, order_col):
+        parts = (
+            frame.repartitionByRange(8, F.col(order_col))
+            .withColumn("__f", F.spark_partition_id())
+            .groupBy("__f")
+            .agg(
+                (F.max("uid") - F.min("uid")).alias("uid_span"),
+                (F.max("day") - F.min("day")).alias("day_span"),
+            )
+            .collect()
+        )
+        return sum(r["uid_span"] for r in parts), sum(r["day_span"] for r in parts)
+
+    z_uid, z_day = span_sums(z, "zval")
+    day_uid, _ = span_sums(z, "day")   # time-sorted layout
+    _, uid_day = span_sums(z, "uid")   # uid-sorted layout
+    assert z_uid < 0.6 * day_uid
+    assert z_day < 0.6 * uid_day
