@@ -3686,6 +3686,22 @@ def zorder_layout_q(spark, sf):
     )
 
 
+@q("audio_mulaw")
+def audio_mulaw_q(spark, sf):
+    """G.711 mu-law companding transcode (operators/companding): 16-bit
+    PCM -> 8-bit codes, the integer-defined 2:1 storage move for speech
+    corpora. ONE Arrow stage decodes once, compands, expands back and
+    emits scalar witnesses (crc_mu/crc_rt, max_abs_err, integer
+    companding SNR) — payload bytes stay Python-side (the bytes rule).
+    Rows-only (PCM decode basis); pytest: kernel anchors (0 -> 0xFF,
+    -32768 -> 0x00), code-level idempotency over all 256 codes, segment
+    error bound, and engine == kernel replay over the oracle decode."""
+    from ..operators.companding import mulaw_transcode
+    from ..synth import clips_spark_df
+
+    return mulaw_transcode(clips_spark_df(spark, 400, n_partitions=8))
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -3695,3 +3695,92 @@ def test_zorder_layout_tightens_file_ranges_on_both_dims(spark):
     _, uid_day = span_sums(z, "uid")   # uid-sorted layout
     assert z_uid < 0.6 * day_uid
     assert z_day < 0.6 * uid_day
+
+
+def test_mulaw_kernel_anchors_bound_and_idempotency():
+    """G.711 anchors (0 -> 0xFF, -32768 -> 0x00, +32767 -> 0x80),
+    per-sample segment error bound |x - rt| < 2^(exp+3), and code-level
+    idempotency encode(decode(mu)) == mu for all codes except the
+    negative-zero code 0x7F (which canonicalizes to 0xFF)."""
+    import numpy as np
+
+    from kneaddata_spark.operators.companding import mulaw_decode, mulaw_encode
+
+    assert mulaw_encode(np.array([0], dtype=np.int16))[0] == 0xFF
+    assert mulaw_encode(np.array([-32768], dtype=np.int16))[0] == 0x00
+    assert mulaw_encode(np.array([32767], dtype=np.int16))[0] == 0x80
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    mu = mulaw_encode(x)
+    rt = mulaw_decode(mu)
+    err = np.abs(x.astype(np.int64) - rt.astype(np.int64))
+    exponent = ((~mu.astype(np.int32)) >> 4) & 0x07
+    assert (err < (1 << (exponent + 3))).all()
+    assert err.max() < 1024
+
+    codes = np.arange(256, dtype=np.uint8)
+    re = mulaw_encode(mulaw_decode(codes))
+    neg_zero = codes == 0x7F
+    assert (re[~neg_zero] == codes[~neg_zero]).all()
+    assert mulaw_decode(np.array([0x7F], dtype=np.uint8))[0] == 0
+    assert re[neg_zero][0] == 0xFF
+
+
+def test_mulaw_transcode_replica(spark):
+    """Engine witnesses == kernel replay over the independent oracle
+    decode; 1 Arrow stage, no operator exchanges."""
+    import re as _re
+    import zlib as _zlib
+
+    import numpy as np
+
+    from kneaddata_spark.operators.companding import (
+        mulaw_decode,
+        mulaw_encode,
+        mulaw_transcode,
+    )
+    from kneaddata_spark.oracle import decode_pcm
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(60)
+    df = spark.createDataFrame(pdf[["clip_id", "bytes", "codec"]]).repartition(4)
+    res = mulaw_transcode(df)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert _re.findall(r"Exchange \w+", plan) == ["Exchange RoundRobinPartitioning"]
+
+    got = {r["clip_id"]: r for r in res.collect()}
+    n_checked = 0
+    for row in pdf.itertuples():
+        f = decode_pcm(bytes(row.bytes), row.codec)
+        if f is None or len(f) == 0:
+            assert row.clip_id not in got
+            continue
+        if row.codec == "pcm_u8":
+            x = (np.round(f * 128.0).astype(np.int64).astype(np.int16) * 256).astype(np.int16)
+        else:
+            x = np.round(f * 32768.0).astype(np.int64).clip(-32768, 32767).astype(np.int16)
+        mu = mulaw_encode(x)
+        rt = mulaw_decode(mu)
+        err = np.abs(x.astype(np.int64) - rt.astype(np.int64))
+        msx = int((x.astype(np.int64) ** 2).sum() // len(x))
+        mse = int((err**2).sum() // len(x))
+        g = got[row.clip_id]
+        assert (
+            g["n_samples"],
+            g["crc_mu"],
+            g["crc_rt"],
+            g["max_abs_err"],
+            g["meansq_x"],
+            g["snr_q"],
+        ) == (
+            len(x),
+            _zlib.crc32(mu.tobytes()),
+            _zlib.crc32(rt.astype("<i2").tobytes()),
+            int(err.max()),
+            msx,
+            msx // max(mse, 1),
+        )
+        n_checked += 1
+    assert n_checked > 30

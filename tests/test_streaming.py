@@ -139,3 +139,48 @@ def test_stream_dedup_incremental_and_idempotent(spark, tmp_path):
     assert spark.read.parquet(out).count() == n_before
     hashes2 = [r["h"] for r in spark.read.parquet(seen).collect()]
     assert sorted(hashes2) == sorted(hashes)
+
+
+def test_stream_distinct_registers_equal_batch_sketch(spark, tmp_path):
+    """Streamed per-batch HLL register tables, max-merged at read time,
+    must be REGISTER-IDENTICAL (zsum, est) to the batch sketch of the
+    full union — and re-triggering with no new files changes nothing."""
+    from kneaddata_spark.operators.sketches import hll_distinct
+    from kneaddata_spark.streaming.distinct_stream import (
+        distinct_estimate,
+        stream_distinct,
+    )
+
+    src = str(tmp_path / "in")
+    rows = [(i % 4000, ["a", "b"][i % 2]) for i in range(12000)]
+    df = spark.createDataFrame(rows, ["uid", "grp"])
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    regs_dir, ckpt = str(tmp_path / "regs"), str(tmp_path / "ckpt")
+    q = stream_distinct(
+        spark, src, regs_dir, ckpt, "uid bigint, grp string", "uid", ["grp"]
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r["grp"]: (r["zsum"], r["est_distinct"])
+        for r in distinct_estimate(spark, regs_dir, ["grp"]).collect()
+    }
+    want = {
+        r["grp"]: (r["zsum"], r["est_distinct"])
+        for r in hll_distinct(df, "uid", ["grp"]).collect()
+    }
+    assert got == want
+    # 2000 distinct uids per group; raw HLL within 20%
+    for z, est in got.values():
+        assert abs(est - 2000) / 2000 < 0.20
+
+    q2 = stream_distinct(
+        spark, src, regs_dir, ckpt, "uid bigint, grp string", "uid", ["grp"]
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["grp"]: (r["zsum"], r["est_distinct"])
+        for r in distinct_estimate(spark, regs_dir, ["grp"]).collect()
+    }
+    assert got2 == got
