@@ -118,6 +118,7 @@ HEADLINE = R3_SET + [
     "incremental_distinct",
     "zorder_layout",
     "audio_mulaw",
+    "quantile_sketch",
 ]
 
 

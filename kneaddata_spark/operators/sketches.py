@@ -234,3 +234,159 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, hash_col: str = "__h32") 
     joined = sketch.join(F.broadcast(probe_cells), ["row", "col"])
     keep = [c for c in probes.columns if c != hash_col]
     return joined.groupBy(*keep).agg(F.min("cnt").alias("cms_est"))
+
+
+# ------------------------------------------------- log-bucket quantiles ----
+
+# The third classic mergeable sketch (after cardinality and frequency):
+# rank/quantile estimation from a log-scaled histogram. Bucket =
+# 4*floor(log2(v)) + next-2-mantissa-bits — every octave splits in 4, so
+# any quantile lands in a bucket whose [lo, hi] spans a <= 25% relative
+# range. Counts merge by SUM (shard/batch/stream all compose), the
+# per-group state is <= ~130 rows for 32-bit values, and everything is
+# integer CASE/shift arithmetic reproducible in DuckDB.
+
+QB_BITS = 31  # supported value range [0, 2^31)
+
+
+def _msb_chain_branches(bits: int):
+    """(threshold, msb) pairs from the top down for a CASE chain."""
+    return [(1 << e, e) for e in range(bits - 1, -1, -1)]
+
+
+def log_bucket(v: Column) -> Column:
+    """Monotone log-scale bucket id for a non-negative integer column:
+    0 for v <= 0 is INVALID (caller filters); v in [1, 3] -> v - 1;
+    v >= 4 -> 4*msb(v) + ((v >> (msb-2)) & 3). Monotone in v, so rank
+    queries against bucket cumsums are order-correct."""
+    chain = None
+    for t, e in _msb_chain_branches(QB_BITS):
+        if e < 2:
+            continue
+        b = F.lit(4 * e) + (F.shiftright(v, e - 2) % F.lit(4))
+        chain = F.when(v >= F.lit(t), b) if chain is None else chain.when(
+            v >= F.lit(t), b
+        )
+    return chain.otherwise(v - F.lit(1)).cast("long")
+
+
+def log_bucket_sql(expr: str) -> str:
+    branches = " ".join(
+        f"WHEN ({expr}) >= {t} THEN (4 * {e} + (({expr}) >> {e - 2}) % 4)"
+        for t, e in _msb_chain_branches(QB_BITS)
+        if e >= 2
+    )
+    return f"(CASE {branches} ELSE ({expr}) - 1 END)"
+
+
+def _bucket_lo(b: Column) -> Column:
+    """Inverse mapping: smallest v in bucket b (closed-form integer)."""
+    e = F.expr("__bucket div 4")
+    m = F.col("__bucket") % F.lit(4)
+    big = F.expr("shiftleft(4 + (__bucket % 4), (__bucket div 4) - 2)")
+    return F.when(b < F.lit(8), b + F.lit(1)).otherwise(big).cast("long")
+
+
+def _bucket_hi(b: Column) -> Column:
+    width = F.expr("shiftleft(cast(1 as bigint), (__bucket div 4) - 2)")
+    return F.when(b < F.lit(8), b + F.lit(1)).otherwise(
+        _bucket_lo(b) + width - F.lit(1)
+    ).cast("long")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    q_permille: list[int] = (500, 900, 990),
+) -> DataFrame:
+    """Per-group quantile estimates from the log-bucket histogram.
+
+    Plan: one map-side-combined count per (group, bucket); cumulative
+    rank via a KEYED window over the <=130-bucket frame (partitionBy
+    group — never a global window); quantile q = the first bucket whose
+    cumulative count reaches ceil(q * n / 1000), selected by the
+    standard cum-prev < target <= cum band join against the exploded
+    quantile list. Emits the bucket's integer [lo, hi] envelope — the
+    true quantile provably lies inside it (monotone bucketing), pytest
+    checks exactly that. Values must be in [1, 2^31); rows outside drop.
+    """
+    from pyspark.sql import Window as W
+
+    v = F.col(value_col).cast("long")
+    src = df.where(v >= 1).where(v < F.lit(1 << QB_BITS))
+    counts = src.select(*group_cols, log_bucket(v).alias("__bucket")).groupBy(
+        *group_cols, "__bucket"
+    ).agg(F.count("*").cast("long").alias("__n"))
+    w = W.partitionBy(*group_cols).orderBy("__bucket")
+    cum = counts.select(
+        *group_cols,
+        "__bucket",
+        "__n",
+        F.sum("__n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("__cum"),
+    )
+    tot = counts.groupBy(*group_cols).agg(F.sum("__n").cast("long").alias("__tot"))
+    qf = F.explode(
+        F.array(*[F.lit(int(q)) for q in q_permille])
+    ).alias("q_permille")
+    want = tot.select(*group_cols, "__tot", qf).select(
+        *group_cols,
+        "__tot",
+        "q_permille",
+        # ceil(q * tot / 1000) in integers: (q*tot + 999) div 1000
+        F.expr("(q_permille * __tot + 999) div 1000").cast("long").alias("__target"),
+    )
+    j = cum.join(want, group_cols).where(
+        (F.col("__cum") >= F.col("__target"))
+        & (F.col("__cum") - F.col("__n") < F.col("__target"))
+    )
+    return j.select(
+        *group_cols,
+        "q_permille",
+        F.col("__bucket").alias("bucket"),
+        _bucket_lo(F.col("__bucket")).alias("lo"),
+        _bucket_hi(F.col("__bucket")).alias("hi"),
+        F.col("__cum").alias("n_le"),
+        F.col("__tot").alias("n_total"),
+    )
+
+
+def quantile_sketch_sql(
+    table_sql: str, value_expr: str, group_cols: list[str], q_permille=(500, 900, 990)
+) -> str:
+    g = ", ".join(group_cols)
+    qvals = ", ".join(f"({int(q)})" for q in q_permille)
+    b = log_bucket_sql(f"v")
+    return f"""
+    WITH src AS (
+      SELECT {g}, ({value_expr})::BIGINT AS v FROM ({table_sql}) s0
+      WHERE ({value_expr})::BIGINT >= 1 AND ({value_expr})::BIGINT < {1 << QB_BITS}
+    ),
+    counts AS (
+      SELECT {g}, {b} AS bucket, count(*)::BIGINT AS n
+      FROM src GROUP BY {g}, {b}
+    ),
+    cum AS (
+      SELECT {g}, bucket, n,
+             sum(n) OVER (PARTITION BY {g} ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      FROM counts
+    ),
+    tot AS (SELECT {g}, sum(n)::BIGINT AS tot FROM counts GROUP BY {g}),
+    want AS (
+      SELECT {g}, tot, q.q AS q_permille,
+             ((q.q * tot + 999) // 1000)::BIGINT AS target
+      FROM tot, (VALUES {qvals}) q(q)
+    )
+    SELECT c.{', c.'.join(group_cols)}, w.q_permille, c.bucket,
+           (CASE WHEN c.bucket < 8 THEN c.bucket + 1
+                 ELSE (4 + (c.bucket % 4)) << ((c.bucket // 4) - 2) END)::BIGINT AS lo,
+           (CASE WHEN c.bucket < 8 THEN c.bucket + 1
+                 ELSE ((4 + (c.bucket % 4)) << ((c.bucket // 4) - 2))
+                      + (1::BIGINT << ((c.bucket // 4) - 2)) - 1 END)::BIGINT AS hi,
+           c.cum AS n_le, w.tot AS n_total
+    FROM cum c JOIN want w ON {' AND '.join(f'c.{x} = w.{x}' for x in group_cols)}
+    WHERE c.cum >= w.target AND c.cum - c.n < w.target
+    """

@@ -3702,6 +3702,32 @@ def audio_mulaw_q(spark, sf):
     return mulaw_transcode(clips_spark_df(spark, 400, n_partitions=8))
 
 
+@q("quantile_sketch", None)  # oracle set right below (needs the helper)
+def quantile_sketch_q(spark, sf):
+    """Mergeable quantile sketch (sketches.quantile_sketch): p50/p90/p99
+    of n_chars per lang from a log-bucket histogram (4 sub-buckets per
+    octave -> <= 25% relative envelope). Counts merge by SUM across
+    shards/batches — the third sketch of the trio (HLL cardinality, CMS
+    frequency, log-histogram rank), same integer-portable contract: the
+    DuckDB oracle reproduces every bucket, cumsum and target rank
+    exactly. Keyed window only (per-lang, <= ~130 rows per group)."""
+    from ..operators.sketches import quantile_sketch
+
+    d = _t(spark, sf, "documents")
+    return quantile_sketch(d, "n_chars", ["lang"], [500, 900, 990])
+
+
+def _quantile_sketch_sql() -> str:
+    from ..operators.sketches import quantile_sketch_sql
+
+    return quantile_sketch_sql(
+        "SELECT lang, n_chars FROM documents", "n_chars", ["lang"], (500, 900, 990)
+    )
+
+
+ORACLES["quantile_sketch"] = _quantile_sketch_sql()
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -3784,3 +3784,41 @@ def test_mulaw_transcode_replica(spark):
         )
         n_checked += 1
     assert n_checked > 30
+
+
+def test_quantile_sketch_envelope_and_merge(spark):
+    """The true quantile (numpy, type='inverted_cdf' semantics: smallest
+    x with rank >= ceil(q*n)) lies INSIDE the emitted [lo, hi] bucket
+    envelope for every (group, q); the envelope is <= 25% relative; and
+    histogram counts merge by sum: sketching two halves and summing
+    counts equals sketching the whole (checked via identical output)."""
+    import numpy as np
+
+    from kneaddata_spark.operators.sketches import quantile_sketch
+
+    rng = [(g, int(v)) for g in ("a", "b") for v in
+           (np.arange(1, 3001) ** (1.3 if g == "a" else 1.0)).astype(np.int64)]
+    df = spark.createDataFrame(rng, ["grp", "v"])
+    qs = [500, 900, 990]
+    out = quantile_sketch(df, "v", ["grp"], qs).collect()
+    assert len(out) == 2 * len(qs)
+    vals = {g: np.sort(np.array([v for gg, v in rng if gg == g])) for g in ("a", "b")}
+    for r in out:
+        arr = vals[r["grp"]]
+        target = -(-r["q_permille"] * len(arr) // 1000)  # ceil
+        true_q = int(arr[target - 1])
+        assert r["lo"] <= true_q <= r["hi"], (r, true_q)
+        if r["lo"] >= 8:
+            assert (r["hi"] - r["lo"] + 1) * 4 <= r["lo"] + 3  # <=25% envelope
+
+    # merge-by-sum: halves' histograms sum to the whole (same output)
+    h1 = quantile_sketch(df.where("v % 2 = 0"), "v", ["grp"], qs)
+    whole = {(r["grp"], r["q_permille"]): (r["bucket"], r["n_le"]) for r in out}
+    got_union = {
+        (r["grp"], r["q_permille"]): (r["bucket"], r["n_le"])
+        for r in quantile_sketch(
+            df.where("v % 2 = 0").unionByName(df.where("v % 2 = 1")), "v", ["grp"], qs
+        ).collect()
+    }
+    assert got_union == whole
+    assert h1.count() == 2 * len(qs)
