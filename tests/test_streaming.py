@@ -184,3 +184,56 @@ def test_stream_distinct_registers_equal_batch_sketch(spark, tmp_path):
         for r in distinct_estimate(spark, regs_dir, ["grp"]).collect()
     }
     assert got2 == got
+
+
+def test_stream_cms_counters_equal_batch_sketch(spark, tmp_path):
+    """Streamed per-batch CMS counter tables, sum-merged at read time,
+    must be COUNTER-IDENTICAL to the batch sketch of the union; point
+    estimates through the merged sketch match the batch path; replay
+    with no new files changes nothing."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        mix32,
+    )
+    from kneaddata_spark.streaming.cms_stream import merged_sketch, stream_cms
+
+    src = str(tmp_path / "in")
+    rows = [(i % 900,) for i in range(8000)]
+    df = spark.createDataFrame(rows, ["k"]).select(
+        "k", mix32(F.col("k") % F.lit(1 << 32)).alias("__h32")
+    )
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    sk_dir, ckpt = str(tmp_path / "cms"), str(tmp_path / "ckpt")
+    q = stream_cms(spark, src, sk_dir, ckpt, "k bigint, __h32 bigint", "__h32")
+    q.awaitTermination(300)
+
+    streamed = {
+        (r["row"], r["col"]): r["cnt"] for r in merged_sketch(spark, sk_dir).collect()
+    }
+    batch = {
+        (r["row"], r["col"]): r["cnt"]
+        for r in cms_build(spark.read.parquet(src), "__h32").collect()
+    }
+    assert streamed == batch
+
+    probes = (
+        spark.read.parquet(src)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_exact"), F.min("__h32").alias("__h32"))
+        .orderBy(F.col("n_exact").desc(), F.col("k").asc())
+        .limit(10)
+    )
+    got = cms_estimate(merged_sketch(spark, sk_dir), probes, "__h32").collect()
+    for r in got:
+        assert r["cms_est"] >= r["n_exact"]
+
+    q2 = stream_cms(spark, src, sk_dir, ckpt, "k bigint, __h32 bigint", "__h32")
+    q2.awaitTermination(120)
+    streamed2 = {
+        (r["row"], r["col"]): r["cnt"] for r in merged_sketch(spark, sk_dir).collect()
+    }
+    assert streamed2 == streamed
