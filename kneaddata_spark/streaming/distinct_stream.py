@@ -76,3 +76,96 @@ def distinct_estimate(
     regs = spark.read.parquet(regs_dir).select(*group_cols, "__bucket", "__m")
     merged = regs.groupBy(*group_cols, "__bucket").agg(F.max("__m").alias("__m"))
     return hll_fold(merged, group_cols)
+
+
+def stream_quantiles(
+    spark: SparkSession,
+    input_dir: str,
+    hist_dir: str,
+    checkpoint_dir: str,
+    schema_ddl: str,
+    value_col: str,
+    group_cols: list[str],
+    available_now: bool = True,
+):
+    """Streaming counterpart of sketches.quantile_sketch: each
+    micro-batch writes its own per-(group, bucket) log-histogram counts
+    under ``batch_id=<n>/`` (overwrite — sum-merge needs the per-batch
+    isolation for replay safety, like cms_stream). Read the running
+    quantiles any time with ``quantile_estimate``."""
+    from ..operators.sketches import QB_BITS, log_bucket
+
+    stream = spark.readStream.schema(schema_ddl).parquet(input_dir)
+
+    def _process(batch_df, batch_id: int) -> None:
+        v = F.col(value_col).cast("long")
+        counts = (
+            batch_df.where(v >= 1)
+            .where(v < F.lit(1 << QB_BITS))
+            .select(*group_cols, log_bucket(v).alias("__bucket"))
+            .groupBy(*group_cols, "__bucket")
+            .agg(F.count("*").cast("long").alias("__n"))
+        )
+        counts.write.mode("overwrite").parquet(
+            os.path.join(hist_dir, f"batch_id={int(batch_id)}")
+        )
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def quantile_estimate(
+    spark: SparkSession,
+    hist_dir: str,
+    group_cols: list[str],
+    q_permille: list[int] = (500, 900, 990),
+) -> DataFrame:
+    """Sum-merge every batch's histogram, then run the same keyed-window
+    rank selection as the batch sketch (delegates to the shared fold in
+    operators/sketches via an already-bucketed frame)."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sketches import _bucket_hi, _bucket_lo
+
+    counts = (
+        spark.read.parquet(hist_dir)
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.sum("__n").cast("long").alias("__n"))
+    )
+    w = W.partitionBy(*group_cols).orderBy("__bucket")
+    cum = counts.select(
+        *group_cols,
+        "__bucket",
+        "__n",
+        F.sum("__n").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("__cum"),
+    )
+    tot = counts.groupBy(*group_cols).agg(F.sum("__n").cast("long").alias("__tot"))
+    want = tot.select(
+        *group_cols,
+        "__tot",
+        F.explode(F.array(*[F.lit(int(q)) for q in q_permille])).alias("q_permille"),
+    ).select(
+        *group_cols,
+        "__tot",
+        "q_permille",
+        F.expr("(q_permille * __tot + 999) div 1000").cast("long").alias("__target"),
+    )
+    j = cum.join(want, group_cols).where(
+        (F.col("__cum") >= F.col("__target"))
+        & (F.col("__cum") - F.col("__n") < F.col("__target"))
+    )
+    return j.select(
+        *group_cols,
+        "q_permille",
+        F.col("__bucket").alias("bucket"),
+        _bucket_lo(F.col("__bucket")).alias("lo"),
+        _bucket_hi(F.col("__bucket")).alias("hi"),
+        F.col("__cum").alias("n_le"),
+        F.col("__tot").alias("n_total"),
+    )

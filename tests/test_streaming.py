@@ -237,3 +237,31 @@ def test_stream_cms_counters_equal_batch_sketch(spark, tmp_path):
         (r["row"], r["col"]): r["cnt"] for r in merged_sketch(spark, sk_dir).collect()
     }
     assert streamed2 == streamed
+
+
+def test_stream_quantiles_equal_batch_sketch(spark, tmp_path):
+    """Streamed per-batch log-histograms, sum-merged + rank-selected at
+    read time, equal the batch quantile_sketch of the union exactly."""
+    from kneaddata_spark.operators.sketches import quantile_sketch
+    from kneaddata_spark.streaming.distinct_stream import (
+        quantile_estimate,
+        stream_quantiles,
+    )
+
+    src = str(tmp_path / "in")
+    rows = [((i * 37) % 5000 + 1, ["x", "y"][i % 2]) for i in range(9000)]
+    df = spark.createDataFrame(rows, ["v", "grp"])
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    hist, ckpt = str(tmp_path / "hist"), str(tmp_path / "ckpt")
+    q = stream_quantiles(
+        spark, src, hist, ckpt, "v bigint, grp string", "v", ["grp"]
+    )
+    q.awaitTermination(300)
+
+    key = lambda r: (r["grp"], r["q_permille"])
+    got = {key(r): (r["bucket"], r["lo"], r["hi"], r["n_le"], r["n_total"])
+           for r in quantile_estimate(spark, hist, ["grp"]).collect()}
+    want = {key(r): (r["bucket"], r["lo"], r["hi"], r["n_le"], r["n_total"])
+            for r in quantile_sketch(df, "v", ["grp"]).collect()}
+    assert got == want and len(got) == 6
