@@ -76,6 +76,27 @@ _EMB_DUPS_SQL = """
     SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
 """
 
+
+def _synth_clips(spark: SparkSession, n: int, n_partitions: int) -> DataFrame:
+    """Deterministic synth clip table, generated ONCE per (n, partitions)
+    into /tmp/kneaddata_bench and read as parquet afterwards: ~14 audio
+    driver queries share the same basis, so a budgeted driver sweep pays
+    the Arrow generation once instead of per query (values identical —
+    the generator is a pure function of the row id; parquet round-trips
+    binary/int/string exactly). Same cache dir/trap as bench.py's
+    ensure_clips (delete after changing synth.py)."""
+    import os as _os
+
+    path = f"/tmp/kneaddata_bench/clips_q_{n}_{n_partitions}.parquet"
+    if not _os.path.exists(path + "/_SUCCESS"):
+        from ..synth import clips_spark_df
+
+        clips_spark_df(spark, n, n_partitions=n_partitions).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 # ------------------------------------------------------------ queries ----
 
 QUERIES: dict = {}
@@ -2405,9 +2426,8 @@ def qc_pipeline_clips(spark, sf):
     Budget-proofed: 400 clips + cached model broadcasts (sized for the
     driver's per-query gate; bench.py exercises the 40k-clip version)."""
     from ..pipeline import annotate
-    from ..synth import clips_spark_df
 
-    clips = clips_spark_df(spark, 400, n_partitions=4)
+    clips = _synth_clips(spark, 400, 4)
     ann = annotate(clips, *_cached_models(spark))
     return (
         ann.select(F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"))
@@ -2605,13 +2625,12 @@ def audio_dup_pairs_q(spark, sf):
     way). Budget-proofed like qc_pipeline_clips (small n, one Arrow
     stage)."""
     from ..operators.audiodup import audio_dup_pairs
-    from ..synth import clips_spark_df
 
     # plant the dup copies via a JVM-side explode rather than a self-union
     # so the mapInPandas generator (the dominant cost — sine synthesis of
     # up-to-40 s payloads) appears exactly ONCE in the plan; a union's dup
     # branch would re-run it (and racing branches defeat a cache)
-    clips = clips_spark_df(spark, 300, n_partitions=8).select(
+    clips = _synth_clips(spark, 300, 8).select(
         F.explode(
             F.when(
                 F.crc32(F.col("clip_id")) % 7 == 0,
@@ -2720,9 +2739,8 @@ def vad_segments_q(spark, sf):
     segment rows (clip_id, seg_idx, start_ms, end_ms, n_frames). Zero
     shuffles — the audit-enforced embarrassingly-parallel shape."""
     from ..operators.vad import vad_segments
-    from ..synth import clips_spark_df
 
-    return vad_segments(clips_spark_df(spark, 400, n_partitions=8))
+    return vad_segments(_synth_clips(spark, 400, 8))
 
 
 @q("crossmodal_dup_pairs")
@@ -2740,9 +2758,8 @@ def crossmodal_dup_pairs_q(spark, sf):
     (both/audio-only/text-only)."""
     from ..operators.audiodup import audio_dup_pairs
     from ..operators.caching import persist_tracked
-    from ..synth import clips_spark_df
 
-    clips = clips_spark_df(spark, 300, n_partitions=8).select(
+    clips = _synth_clips(spark, 300, 8).select(
         F.explode(
             F.when(
                 F.crc32(F.col("clip_id")) % 7 == 0,
@@ -2788,9 +2805,8 @@ def speech_only_trim_q(spark, sf):
     scalar witnesses (crc32 of the rebuilt payload + segment/duration
     accounting). Zero shuffles."""
     from ..operators.vad import speech_only_clips
-    from ..synth import clips_spark_df
 
-    out = speech_only_clips(clips_spark_df(spark, 400, n_partitions=8))
+    out = speech_only_clips(_synth_clips(spark, 400, 8))
     return out.select(
         "clip_id",
         "codec",
@@ -2811,9 +2827,8 @@ def speed_perturb_q(spark, sf):
     decode basis); scalar witnesses (n_out, dur_out_ms, crc per rate);
     zero shuffles."""
     from ..operators.resample import speed_perturb
-    from ..synth import clips_spark_df
 
-    return speed_perturb(clips_spark_df(spark, 400, n_partitions=8))
+    return speed_perturb(_synth_clips(spark, 400, 8))
 
 
 @q("noise_mix")
@@ -2826,9 +2841,8 @@ def noise_mix_q(spark, sf):
     decode. Rows-only (PCM decode basis); scalar witnesses; zero
     shuffles."""
     from ..operators.resample import noise_mix
-    from ..synth import clips_spark_df
 
-    return noise_mix(clips_spark_df(spark, 400, n_partitions=8))
+    return noise_mix(_synth_clips(spark, 400, 8))
 
 
 @q("audio_windows")
@@ -2844,9 +2858,8 @@ def audio_windows_q(spark, sf):
     Rows-only (binary payload witnesses; DuckDB views carry no clip
     table); pytest gates bit-exact window bytes vs a python replica."""
     from ..operators.clipwindows import clip_windows
-    from ..synth import clips_spark_df
 
-    out = clip_windows(clips_spark_df(spark, 400, n_partitions=8), 1500, 700)
+    out = clip_windows(_synth_clips(spark, 400, 8), 1500, 700)
     return out.select(
         "clip_id",
         "win_idx",
@@ -2866,9 +2879,8 @@ def audio_prep_q(spark, sf):
     Bit-identical to the staged chain (pytest). Rows-only (PCM decode);
     zero shuffles."""
     from ..operators.audioprep import prep_audio
-    from ..synth import clips_spark_df
 
-    return prep_audio(clips_spark_df(spark, 400, n_partitions=8))
+    return prep_audio(_synth_clips(spark, 400, 8))
 
 
 @q("audio_loudnorm")
@@ -2881,9 +2893,8 @@ def audio_loudnorm_q(spark, sf):
     replica-gates every output against oracle.decode_pcm. Zero
     shuffles."""
     from ..operators.resample import loudness_normalize
-    from ..synth import clips_spark_df
 
-    return loudness_normalize(clips_spark_df(spark, 400, n_partitions=8))
+    return loudness_normalize(_synth_clips(spark, 400, 8))
 
 
 @q("audio_resample")
@@ -2896,9 +2907,8 @@ def audio_resample_q(spark, sf):
     the pytest gate checks (n_in, n_out, crc) against a pure-python
     replica over the independent oracle.decode_pcm. Zero shuffles."""
     from ..operators.resample import resample_audio
-    from ..synth import clips_spark_df
 
-    return resample_audio(clips_spark_df(spark, 400, n_partitions=8))
+    return resample_audio(_synth_clips(spark, 400, 8))
 
 
 @q(
@@ -3141,9 +3151,8 @@ def pitch_screen_q(spark, sf):
     cases incl. the octave guard. Plan: 1 ArrowEvalPython, 0 exchanges
     (pytest-enforced)."""
     from ..operators.pitch import pitch_screen
-    from ..synth import clips_spark_df
 
-    return pitch_screen(clips_spark_df(spark, 400, n_partitions=8))
+    return pitch_screen(_synth_clips(spark, 400, 8))
 
 
 @q(
@@ -3212,9 +3221,8 @@ def snr_screen_q(spark, sf):
     loud/quiet/sub-threshold/short cases. Plan: 1 ArrowEvalPython,
     0 exchanges (pytest-enforced)."""
     from ..operators.snr import snr_screen
-    from ..synth import clips_spark_df
 
-    return snr_screen(clips_spark_df(spark, 400, n_partitions=8))
+    return snr_screen(_synth_clips(spark, 400, 8))
 
 
 @q(
@@ -3290,9 +3298,8 @@ def audio_screens_q(spark, sf):
     (binary PCM decode basis). Plan: 1 ArrowEvalPython, 0 exchanges
     (pytest-enforced)."""
     from ..operators.audioscreen import screen_audio
-    from ..synth import clips_spark_df
 
-    return screen_audio(clips_spark_df(spark, 400, n_partitions=8))
+    return screen_audio(_synth_clips(spark, 400, 8))
 
 
 @q(
@@ -3697,9 +3704,8 @@ def audio_mulaw_q(spark, sf):
     -32768 -> 0x00), code-level idempotency over all 256 codes, segment
     error bound, and engine == kernel replay over the oracle decode."""
     from ..operators.companding import mulaw_transcode
-    from ..synth import clips_spark_df
 
-    return mulaw_transcode(clips_spark_df(spark, 400, n_partitions=8))
+    return mulaw_transcode(_synth_clips(spark, 400, 8))
 
 
 @q("quantile_sketch", None)  # oracle set right below (needs the helper)
