@@ -30,7 +30,19 @@ def get_spark(app: str = "kneaddata_spark", master: str | None = None, cores: in
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config(
+            # vectorized parquet batches are sized in ROWS (default 4096);
+            # audio rows carry ~100 KB binary payloads, so a 4096-row
+            # column vector asks for ~100+ MB of contiguous heap PER TASK
+            # and 32 concurrent scan tasks OOM any reasonable driver heap
+            # (observed reading the 40k-clip table after a 90-query
+            # session). 1024 rows keeps fat-binary scans at ~tens of MB
+            # per task; measured neutral for thin relational scans (512
+            # cost dup_clusters ~15%).
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_COLUMNAR_BATCH", "1024"),
+        )
         .config(
             # small corpora must still split into >= cores tasks; at real
             # scale the default 128m is right (overridable via env)
