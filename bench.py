@@ -119,6 +119,7 @@ HEADLINE = R3_SET + [
     "zorder_layout",
     "audio_mulaw",
     "quantile_sketch",
+    "hll_overlap",
 ]
 
 

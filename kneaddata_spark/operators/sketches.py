@@ -390,3 +390,108 @@ def quantile_sketch_sql(
     FROM cum c JOIN want w ON {' AND '.join(f'c.{x} = w.{x}' for x in group_cols)}
     WHERE c.cum >= w.target AND c.cum - c.n < w.target
     """
+
+
+def hll_overlap(df: DataFrame, key: str, set_col: str) -> DataFrame:
+    """Set-overlap estimation from HLL register algebra: for every pair
+    of sets (values of ``set_col``), est(|A ∩ B|) by inclusion-exclusion
+    est(A) + est(B) - est(A ∪ B), where est(A ∪ B) folds the max-merged
+    registers — no rescan, no join of the underlying rows.
+
+    The audience-overlap / cross-source-contamination question at
+    10^12 rows: the raw data is scanned ONCE (register build); every
+    pairwise union after that is an O(m) register merge. Emitted
+    est_inter can be slightly negative on near-disjoint sets (standard
+    inclusion-exclusion noise) — clamped at 0, with the three raw
+    estimates emitted so the caller sees the arithmetic."""
+    regs = hll_registers(df, key, [set_col]).withColumnRenamed(set_col, "__set")
+    singles = hll_fold(regs, ["__set"]).select(
+        "__set", F.col("est_distinct").alias("__est")
+    )
+    # union registers must cover buckets present in EITHER set (an inner
+    # join on bucket would silently treat one-sided buckets as empty and
+    # overestimate the union's Z-sum): enumerate the tiny pair frame,
+    # tag each side's registers with it, max-merge
+    sets = regs.select("__set").distinct()
+    pairs = (
+        sets.select(F.col("__set").alias("set_a"))
+        .crossJoin(sets.select(F.col("__set").alias("set_b")))
+        .where(F.col("set_a") < F.col("set_b"))
+    )
+    tagged = (
+        F.broadcast(pairs)
+        .join(regs, pairs["set_a"] == regs["__set"])
+        .select("set_a", "set_b", "__bucket", "__m")
+        .unionByName(
+            F.broadcast(pairs)
+            .join(regs, pairs["set_b"] == regs["__set"])
+            .select("set_a", "set_b", "__bucket", "__m")
+        )
+    )
+    pair_regs = tagged.groupBy("set_a", "set_b", "__bucket").agg(
+        F.max("__m").alias("__m")
+    )
+    unions = hll_fold(pair_regs, ["set_a", "set_b"]).select(
+        "set_a", "set_b", F.col("est_distinct").alias("est_union")
+    )
+    ea = singles.select(F.col("__set").alias("set_a"), F.col("__est").alias("est_a"))
+    eb = singles.select(F.col("__set").alias("set_b"), F.col("__est").alias("est_b"))
+    out = unions.join(F.broadcast(ea), "set_a").join(F.broadcast(eb), "set_b")
+    return out.select(
+        "set_a",
+        "set_b",
+        "est_a",
+        "est_b",
+        "est_union",
+        F.greatest(
+            F.lit(0), (F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        ).cast("long").alias("est_inter"),
+    )
+
+
+def hll_overlap_sql(table_sql: str, key: str, set_col: str) -> str:
+    """DuckDB replica of ``hll_overlap`` (same registers, same merges,
+    same folds — bit-identical estimates)."""
+    h = mix32_sql(f"({key}::BIGINT) % {M32}")
+    scale = HLL_WBITS + 1
+    num = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << scale)
+    fold = (
+        f"(sum((1::BIGINT << ({scale} - m)))::BIGINT"
+        f" + ({HLL_M} - count(*)::BIGINT) * {1 << scale})"
+    )
+    return f"""
+    WITH src AS ({table_sql}),
+    b AS (
+      SELECT {set_col} AS s, (({h}) >> {HLL_WBITS}) AS bucket,
+             {_rho_sql(f"({h}) % {1 << HLL_WBITS}")} AS rho
+      FROM src
+    ),
+    regs AS (SELECT s, bucket, max(rho) AS m FROM b GROUP BY s, bucket),
+    singles AS (
+      SELECT s, ({num} // (1000000 * {fold}))::BIGINT AS est
+      FROM regs GROUP BY s
+    ),
+    sets AS (SELECT DISTINCT s FROM regs),
+    pairs AS (SELECT a.s AS set_a, b.s AS set_b
+              FROM sets a JOIN sets b ON a.s < b.s),
+    tagged AS (
+      SELECT p.set_a, p.set_b, r.bucket, r.m
+      FROM pairs p JOIN regs r ON r.s = p.set_a
+      UNION ALL
+      SELECT p.set_a, p.set_b, r.bucket, r.m
+      FROM pairs p JOIN regs r ON r.s = p.set_b
+    ),
+    pair_regs AS (
+      SELECT set_a, set_b, bucket, max(m) AS m
+      FROM tagged GROUP BY set_a, set_b, bucket
+    ),
+    unions AS (
+      SELECT set_a, set_b, ({num} // (1000000 * {fold}))::BIGINT AS est_union
+      FROM pair_regs GROUP BY set_a, set_b
+    )
+    SELECT u.set_a, u.set_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+           greatest(0, ea.est + eb.est - u.est_union)::BIGINT AS est_inter
+    FROM unions u
+    JOIN singles ea ON u.set_a = ea.s
+    JOIN singles eb ON u.set_b = eb.s
+    """

@@ -3822,3 +3822,25 @@ def test_quantile_sketch_envelope_and_merge(spark):
     }
     assert got_union == whole
     assert h1.count() == 2 * len(qs)
+
+
+def test_hll_overlap_planted_sets(spark):
+    """Inclusion-exclusion overlap estimates on planted sets with known
+    intersections: A=[0,3000), B=[2000,5000) (|A∩B|=1000),
+    C=[10000,13000) (disjoint from both). Estimates within the combined
+    3-sketch error budget; disjoint pair near zero."""
+    from kneaddata_spark.operators.sketches import hll_overlap
+
+    rows = (
+        [(i, "A") for i in range(0, 3000)]
+        + [(i, "B") for i in range(2000, 5000)]
+        + [(i, "C") for i in range(10000, 13000)]
+    )
+    df = spark.createDataFrame(rows, ["uid", "s"])
+    got = {(r["set_a"], r["set_b"]): r for r in hll_overlap(df, "uid", "s").collect()}
+    ab = got[("A", "B")]
+    assert abs(ab["est_inter"] - 1000) < 600  # 3 estimates x ~6.5% of 3-5k
+    for pair in (("A", "C"), ("B", "C")):
+        assert got[pair]["est_inter"] < 600
+    # union estimate sanity: |A u B| = 5000
+    assert abs(ab["est_union"] - 5000) / 5000 < 0.20
