@@ -117,7 +117,7 @@ HEADLINE = R3_SET + [
     "pmi_collocations",
     "incremental_distinct",
     "zorder_layout",
-    "audio_mulaw",
+    "audio_g711",
     "quantile_sketch",
     "hll_overlap",
 ]

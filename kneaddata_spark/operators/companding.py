@@ -1,4 +1,4 @@
-"""G.711 mu-law companding transcode: 16-bit PCM -> 8-bit mu-law codes.
+"""G.711 companding transcode (mu-law AND A-law): 16-bit PCM -> 8-bit codes.
 
 The storage-tier move for speech corpora (telephony's 2:1 with ~segment-
 proportional quantization error): at 10^12 clips, halving the payload
@@ -57,18 +57,18 @@ def mulaw_decode(mu: np.ndarray) -> np.ndarray:
     return np.where(sign != 0, -mag, mag).astype(np.int16)
 
 
-_MU_T = (
-    "struct<n_samples:bigint,crc_mu:bigint,crc_rt:bigint,"
-    "max_abs_err:bigint,meansq_x:bigint,snr_q:bigint>"
+_G711_T = (
+    "array<struct<law:string,n_samples:bigint,crc_code:bigint,crc_rt:bigint,"
+    "max_abs_err:bigint,meansq_x:bigint,snr_q:bigint>>"
 )
 
-
-def _make_mulaw_udf():
-    @F.arrow_udf(_MU_T)
-    def _mu_udf(raw: pa.Array, codec: pa.Array) -> pa.Array:
+def _make_g711_udf(laws: tuple):
+    @F.arrow_udf(_G711_T)
+    def _g_udf(raw: pa.Array, codec: pa.Array) -> pa.Array:
         from ..functions.audio import _binary_bounds
         from .audiodup import _decode_s16
 
+        kernels = {"mulaw": (mulaw_encode, mulaw_decode), "alaw": (alaw_encode, alaw_decode)}
         data, starts, ends = _binary_bounds(raw)
         codecs = codec.to_pylist()
         out = []
@@ -77,39 +77,80 @@ def _make_mulaw_udf():
             if x is None or len(x) == 0:
                 out.append(None)
                 continue
-            mu = mulaw_encode(x)
-            rt = mulaw_decode(mu)
-            err = np.abs(x.astype(np.int64) - rt.astype(np.int64))
-            meansq_x = int((x.astype(np.int64) ** 2).sum() // len(x))
-            meansq_e = int((err**2).sum() // len(x))
-            out.append(
-                {
-                    "n_samples": int(len(x)),
-                    "crc_mu": int(zlib.crc32(mu.tobytes())),
-                    "crc_rt": int(zlib.crc32(rt.astype("<i2").tobytes())),
-                    "max_abs_err": int(err.max()),
-                    "meansq_x": meansq_x,
-                    # integer companding SNR (power ratio, snr_screen
-                    # convention: 100 ~ 20 dB)
-                    "snr_q": meansq_x // max(meansq_e, 1),
-                }
-            )
+            xi = x.astype(np.int64)
+            meansq_x = int((xi**2).sum() // len(x))
+            row = []
+            for law in laws:
+                enc, dec = kernels[law]
+                code = enc(x)
+                rt = dec(code)
+                err = np.abs(xi - rt.astype(np.int64))
+                meansq_e = int((err**2).sum() // len(x))
+                row.append(
+                    {
+                        "law": law,
+                        "n_samples": int(len(x)),
+                        "crc_code": int(zlib.crc32(code.tobytes())),
+                        "crc_rt": int(zlib.crc32(rt.astype("<i2").tobytes())),
+                        "max_abs_err": int(err.max()),
+                        "meansq_x": meansq_x,
+                        # integer companding SNR (power ratio, snr_screen
+                        # convention: 100 ~ 20 dB)
+                        "snr_q": meansq_x // max(meansq_e, 1),
+                    }
+                )
+            out.append(row)
         return pa.array(
             out,
-            type=pa.struct(
-                [
-                    ("n_samples", pa.int64()),
-                    ("crc_mu", pa.int64()),
-                    ("crc_rt", pa.int64()),
-                    ("max_abs_err", pa.int64()),
-                    ("meansq_x", pa.int64()),
-                    ("snr_q", pa.int64()),
-                ]
+            type=pa.list_(
+                pa.struct(
+                    [
+                        ("law", pa.string()),
+                        ("n_samples", pa.int64()),
+                        ("crc_code", pa.int64()),
+                        ("crc_rt", pa.int64()),
+                        ("max_abs_err", pa.int64()),
+                        ("meansq_x", pa.int64()),
+                        ("snr_q", pa.int64()),
+                    ]
+                )
             ),
         )
 
     # one decode per row (the audiodup/VAD nondeterministic pin)
-    return _mu_udf.asNondeterministic()
+    return _g_udf.asNondeterministic()
+
+
+def g711_transcode(
+    clips: DataFrame,
+    laws: tuple = ("mulaw", "alaw"),
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+) -> DataFrame:
+    """(clip_id, law, n_samples, crc_code, crc_rt, max_abs_err, meansq_x,
+    snr_q) — |laws| rows per decodable clip, BOTH companding laws from
+    ONE decode (the speed_perturb decode-once fusion). Undecodable clips
+    drop (the screens' NULL rule). One Arrow stage, zero shuffles."""
+    for law in laws:
+        if law not in ("mulaw", "alaw"):
+            raise ValueError(f"unknown companding law: {law}")
+    st = _make_g711_udf(tuple(laws))(F.col(bytes_col), F.col(codec_col)).alias("__g")
+    ex = (
+        clips.select(F.col(id_col), st)
+        .where(F.col("__g").isNotNull())
+        .select(F.col(id_col), F.explode("__g").alias("r"))
+    )
+    return ex.select(
+        F.col(id_col),
+        F.col("r.law").alias("law"),
+        F.col("r.n_samples").alias("n_samples"),
+        F.col("r.crc_code").alias("crc_code"),
+        F.col("r.crc_rt").alias("crc_rt"),
+        F.col("r.max_abs_err").alias("max_abs_err"),
+        F.col("r.meansq_x").alias("meansq_x"),
+        F.col("r.snr_q").alias("snr_q"),
+    )
 
 
 def mulaw_transcode(
@@ -118,20 +159,54 @@ def mulaw_transcode(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
 ) -> DataFrame:
-    """(clip_id, n_samples, crc_mu, crc_rt, max_abs_err, meansq_x, snr_q)
-    per decodable clip. Undecodable clips drop (the screens' NULL rule).
-    One Arrow stage, zero shuffles."""
-    st = _make_mulaw_udf()(F.col(bytes_col), F.col(codec_col)).alias("__m")
-    return (
-        clips.select(F.col(id_col), st)
-        .where(F.col("__m").isNotNull())
-        .select(
-            F.col(id_col),
-            F.col("__m.n_samples").alias("n_samples"),
-            F.col("__m.crc_mu").alias("crc_mu"),
-            F.col("__m.crc_rt").alias("crc_rt"),
-            F.col("__m.max_abs_err").alias("max_abs_err"),
-            F.col("__m.meansq_x").alias("meansq_x"),
-            F.col("__m.snr_q").alias("snr_q"),
-        )
+    """Back-compat single-law shape: mu-law only, historical column
+    names (crc_mu)."""
+    out = g711_transcode(clips, ("mulaw",), id_col, bytes_col, codec_col)
+    return out.select(
+        F.col(id_col),
+        "n_samples",
+        F.col("crc_code").alias("crc_mu"),
+        "crc_rt",
+        "max_abs_err",
+        "meansq_x",
+        "snr_q",
     )
+
+
+# A-law — G.711's other half (European trunks); same segment structure,
+# different low-segment behavior (linear below 256, no bias) and the
+# even-bit toggle 0x55 instead of full complement.
+
+ALAW_XOR = 0x55
+
+
+_ALAW_SEG_ENDS = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF)
+
+
+def alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 -> uint8 G.711 A-law codes — the standard CCITT formulation
+    (13-bit domain: s = x >> 3; negatives map via -s - 1; segments 0 and
+    1 are both linear with mantissa = (mag >> 1) & 0xF; positive codes
+    carry mask 0xD5, negative 0x55), vectorized."""
+    s = x.astype(np.int32) >> 3
+    mask = np.where(s >= 0, 0xD5, 0x55).astype(np.int32)
+    mag = np.minimum(np.where(s >= 0, s, -s - 1), 0xFFF)
+    seg = np.zeros_like(mag)
+    for end in _ALAW_SEG_ENDS:
+        seg += (mag > end).astype(np.int32)
+    mantissa = np.where(seg < 2, (mag >> 1) & 0x0F, (mag >> seg) & 0x0F)
+    return (((seg << 4) | mantissa) ^ mask).astype(np.uint8)
+
+
+def alaw_decode(code: np.ndarray) -> np.ndarray:
+    """uint8 A-law codes -> int16 (CCITT cell-midpoint reconstruction;
+    output is already 16-bit scale — max round-trip error ~520 at the
+    top segment, ~15 in the linear segments)."""
+    a = code.astype(np.int32) ^ ALAW_XOR
+    t = (a & 0x0F) << 4
+    seg = (a >> 4) & 0x07
+    # the seg>=2 branch shifts by (seg-1); clip keeps the vector shift
+    # well-defined for every lane (seg 0/1 lanes take the other branches)
+    hi = (t + 0x108) << np.clip(seg - 1, 0, 6)
+    mag = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, hi))
+    return np.where((a & 0x80) != 0, mag, -mag).astype(np.int16)

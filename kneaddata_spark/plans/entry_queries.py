@@ -3693,19 +3693,20 @@ def zorder_layout_q(spark, sf):
     )
 
 
-@q("audio_mulaw")
-def audio_mulaw_q(spark, sf):
-    """G.711 mu-law companding transcode (operators/companding): 16-bit
-    PCM -> 8-bit codes, the integer-defined 2:1 storage move for speech
-    corpora. ONE Arrow stage decodes once, compands, expands back and
-    emits scalar witnesses (crc_mu/crc_rt, max_abs_err, integer
-    companding SNR) — payload bytes stay Python-side (the bytes rule).
-    Rows-only (PCM decode basis); pytest: kernel anchors (0 -> 0xFF,
-    -32768 -> 0x00), code-level idempotency over all 256 codes, segment
-    error bound, and engine == kernel replay over the oracle decode."""
-    from ..operators.companding import mulaw_transcode
+@q("audio_g711")
+def audio_g711_q(spark, sf):
+    """G.711 companding transcode, BOTH laws (operators/companding):
+    16-bit PCM -> 8-bit mu-law AND A-law codes from ONE decode — the
+    integer-defined 2:1 storage move for speech corpora. One Arrow
+    stage; scalar witnesses (per-law code/round-trip crc, max_abs_err,
+    integer companding SNR); payload bytes stay Python-side (the bytes
+    rule). Rows-only (PCM decode basis); pytest: spec anchors for both
+    laws (mu: 0 -> 0xFF; A: 0 -> 0xD5, +max -> 0xAA), all-256-codes
+    idempotency, segment error bounds, engine == kernel replay over the
+    oracle decode."""
+    from ..operators.companding import g711_transcode
 
-    return mulaw_transcode(_synth_clips(spark, 400, 8))
+    return g711_transcode(_synth_clips(spark, 400, 8))
 
 
 @q("quantile_sketch", None)  # oracle set right below (needs the helper)

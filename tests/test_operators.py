@@ -3844,3 +3844,70 @@ def test_hll_overlap_planted_sets(spark):
         assert got[pair]["est_inter"] < 600
     # union estimate sanity: |A u B| = 5000
     assert abs(ab["est_union"] - 5000) / 5000 < 0.20
+
+
+def test_alaw_kernel_anchors_bound_and_idempotency():
+    """A-law spec anchors (0 -> 0xD5, +max -> 0xAA, -max -> 0x2A),
+    round-trip error bound, and code-level idempotency for ALL 256
+    codes (the CCITT pair is exactly idempotent, unlike mu-law's
+    negative-zero canonicalization)."""
+    import numpy as np
+
+    from kneaddata_spark.operators.companding import alaw_decode, alaw_encode
+
+    assert alaw_encode(np.array([0], dtype=np.int16))[0] == 0xD5
+    assert alaw_encode(np.array([32767], dtype=np.int16))[0] == 0xAA
+    assert alaw_encode(np.array([-32768], dtype=np.int16))[0] == 0x2A
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    rt = alaw_decode(alaw_encode(x))
+    err = np.abs(x.astype(np.int64) - rt.astype(np.int64))
+    assert err.max() <= 512
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert (alaw_encode(alaw_decode(codes)) == codes).all()
+
+
+def test_g711_transcode_both_laws_replica(spark):
+    """g711_transcode emits both laws from one decode; per (clip, law)
+    witnesses equal the kernel replay over the oracle decode; 1 Arrow
+    stage."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from kneaddata_spark.operators.companding import (
+        alaw_decode,
+        alaw_encode,
+        g711_transcode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+    from kneaddata_spark.oracle import decode_pcm
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(40)
+    df = spark.createDataFrame(pdf[["clip_id", "bytes", "codec"]]).repartition(4)
+    res = g711_transcode(df)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+
+    got = {(r["clip_id"], r["law"]): r for r in res.collect()}
+    kernels = {"mulaw": (mulaw_encode, mulaw_decode), "alaw": (alaw_encode, alaw_decode)}
+    n_checked = 0
+    for row in pdf.itertuples():
+        f = decode_pcm(bytes(row.bytes), row.codec)
+        if f is None or len(f) == 0:
+            continue
+        if row.codec == "pcm_u8":
+            x = (np.round(f * 128.0).astype(np.int64).astype(np.int16) * 256).astype(np.int16)
+        else:
+            x = np.round(f * 32768.0).astype(np.int64).clip(-32768, 32767).astype(np.int16)
+        for law, (enc, dec) in kernels.items():
+            code = enc(x)
+            rt = dec(code)
+            g = got[(row.clip_id, law)]
+            assert g["crc_code"] == _zlib.crc32(code.tobytes())
+            assert g["crc_rt"] == _zlib.crc32(rt.astype("<i2").tobytes())
+            n_checked += 1
+    assert n_checked > 40
