@@ -120,6 +120,7 @@ HEADLINE = R3_SET + [
     "audio_g711",
     "quantile_sketch",
     "hll_overlap",
+    "funnel_steps",
 ]
 
 

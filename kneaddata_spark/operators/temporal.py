@@ -113,3 +113,58 @@ def range_join(
         .where(F.abs(F.col("__lts") - F.col("__rts")) <= delta)
         .select(key, *left_cols, *right_cols, (F.col("__rts") - F.col("__lts")).alias("ts_diff"))
     )
+
+
+def funnel_steps(
+    ev: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for steps [s1, s2, ..., sn], how many
+    users performed s1, then later s2, ..., as an ordered SUBSEQUENCE of
+    their event stream (other events may interleave) — the product-
+    analytics staple over an events table.
+
+    Plan: one shuffle on the user key (sort_array over
+    (ts, tiebreak, type) structs — the event_sequences deterministic-
+    ordering rule), then a single JVM `aggregate` HOF walks each user's
+    type sequence advancing a step pointer (no Python, no per-step
+    joins, no window). The per-user `reached` level reduces to a
+    <= n+1-row histogram; cumulative step counts come from a tiny
+    step x level cross join — nothing global. Output:
+    (step_idx, step, n_users) with n_users = |users reaching >= idx|.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(steps)
+    steps_arr = "array(" + ", ".join(f"'{s}'" for s in steps) + ")"
+    seq = F.expr(
+        f"transform(sort_array(collect_list(struct({ts_col}, {tiebreak_col}, "
+        f"{type_col}))), x -> x.{type_col})"
+    )
+    reached = F.expr(
+        f"aggregate(__seq, 0, (acc, t) -> CASE WHEN acc < {n} AND "
+        f"t = element_at({steps_arr}, acc + 1) THEN acc + 1 ELSE acc END)"
+    )
+    per_user = (
+        ev.groupBy(user_col)
+        .agg(seq.alias("__seq"))
+        .select(reached.alias("__reached"))
+    )
+    hist = per_user.groupBy("__reached").agg(F.count("*").cast("long").alias("__n"))
+    ks = F.explode(
+        F.arrays_zip(
+            F.array(*[F.lit(i + 1) for i in range(n)]).alias("step_idx"),
+            F.array(*[F.lit(s) for s in steps]).alias("step"),
+        )
+    ).alias("k")
+    kframe = ev.sparkSession.range(1).select(ks).select("k.step_idx", "k.step")
+    joined = F.broadcast(kframe).crossJoin(hist).where(
+        F.col("__reached") >= F.col("step_idx")
+    )
+    return joined.groupBy("step_idx", "step").agg(
+        F.sum("__n").cast("long").alias("n_users")
+    ).select(F.col("step_idx").cast("long"), "step", "n_users")

@@ -3761,6 +3761,44 @@ def _hll_overlap_sql() -> str:
 ORACLES["hll_overlap"] = _hll_overlap_sql()
 
 
+@q(
+    "funnel_steps",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' ELSE 'x' END, '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    reached AS (
+      SELECT CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 3
+                  WHEN regexp_matches(s, 'v.*c') THEN 2
+                  WHEN regexp_matches(s, 'v') THEN 1 ELSE 0 END AS r
+      FROM seq
+    )
+    SELECT k.step_idx::BIGINT AS step_idx, k.step,
+           count(*)::BIGINT AS n_users
+    FROM reached,
+         (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) k(step_idx, step)
+    WHERE reached.r >= k.step_idx
+    GROUP BY k.step_idx, k.step
+    """,
+)
+def funnel_steps_q(spark, sf):
+    """Ordered-funnel analysis (temporal.funnel_steps): users completing
+    view -> click -> purchase as an ordered SUBSEQUENCE of their event
+    stream. One user-keyed shuffle + a JVM aggregate-HOF pointer walk
+    per user (no window, no per-step self-joins — the n-way join
+    formulation every SQL funnel tutorial writes is n scans and n
+    shuffles; this is one of each). The oracle expresses the same
+    subsequence semantics as a regex over the deterministic-ordered
+    event string."""
+    from ..operators.temporal import funnel_steps
+
+    e = _t(spark, sf, "events")
+    return funnel_steps(e, ["view", "click", "purchase"])
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

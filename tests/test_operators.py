@@ -3911,3 +3911,30 @@ def test_g711_transcode_both_laws_replica(spark):
             assert g["crc_rt"] == _zlib.crc32(rt.astype("<i2").tobytes())
             n_checked += 1
     assert n_checked > 40
+
+
+def test_funnel_steps_hand_case(spark):
+    """Hand-enumerable funnel: interleaved events count (subsequence
+    semantics), wrong-order does not, ties broken by event id."""
+    from kneaddata_spark.operators.temporal import funnel_steps
+
+    rows = [
+        # u1: full funnel with interleave -> reaches 3
+        (1, 1, 10, "view"), (1, 2, 20, "error"), (1, 3, 30, "click"),
+        (1, 4, 40, "signup"), (1, 5, 50, "purchase"),
+        # u2: purchase BEFORE click -> reaches only 'view' + later click = 2
+        (2, 6, 10, "view"), (2, 7, 20, "purchase"), (2, 8, 30, "click"),
+        # u3: no view -> 0
+        (3, 9, 10, "click"), (3, 10, 20, "purchase"),
+        # u4: view only -> 1
+        (4, 11, 10, "view"),
+    ]
+    import datetime
+
+    df = spark.createDataFrame(
+        [(u, e, datetime.datetime(2024, 1, 1, 0, 0, t), ty) for u, e, t, ty in rows],
+        ["user_id", "event_id", "ts", "event_type"],
+    )
+    got = {r["step_idx"]: (r["step"], r["n_users"]) for r in
+           funnel_steps(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
