@@ -51,6 +51,25 @@ AUTO_DF_MIN = 5
 AUTO_DF_DIV = 100  # ceiling = 1% of corpus size
 
 
+def _hot_fingerprints(
+    dfc: DataFrame, corpus: DataFrame, max_df: int | str
+) -> DataFrame:
+    """Fingerprints/shingles above the document-frequency ceiling.
+
+    `dfc` is a (key, __df) count frame; `max_df="auto"` computes the
+    ceiling INSIDE the plan (corpus size enters as a broadcast 1-row frame
+    — no driver-side count job), an int caps df directly. Shared by the
+    shingle guard and the winnowing-fingerprint guard so the threshold
+    algebra can't drift between them (VERDICT r4 #7)."""
+    if max_df == "auto":
+        n_docs = corpus.select(F.count("*").alias("__nd"))
+        ceiling = F.greatest(
+            F.lit(AUTO_DF_MIN), F.expr(f"__nd div {AUTO_DF_DIV}")
+        )
+        return dfc.crossJoin(F.broadcast(n_docs)).where(F.col("__df") > ceiling)
+    return dfc.where(F.col("__df") > int(max_df))
+
+
 def word_shingles(
     df: DataFrame,
     id_col: str,
@@ -99,14 +118,7 @@ def word_shingles(
         .agg(F.count("*").alias("__n"))
     )
     dfc = part.groupBy("shingle").agg(F.sum("__n").alias("__df"))
-    if max_df == "auto":
-        # corpus size enters the plan as a broadcast 1-row frame — no
-        # driver-side count job, the ceiling is computed inside the plan
-        n_docs = df.select(F.count("*").alias("__nd"))
-        ceiling = F.greatest(F.lit(AUTO_DF_MIN), F.expr(f"__nd div {AUTO_DF_DIV}"))
-        hot = dfc.crossJoin(F.broadcast(n_docs)).where(F.col("__df") > ceiling)
-    else:
-        hot = dfc.where(F.col("__df") > int(max_df))
+    hot = _hot_fingerprints(dfc, df, max_df)
     return sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti").select(
         "id", "shingle"
     )
@@ -789,15 +801,7 @@ def substring_dup_pairs(
     )
     fp = persist_tracked(fp)
     dfc = fp.groupBy("fp").agg(F.count("*").alias("__df"))
-    if max_df == "auto":
-        n_docs = corpus.select(F.count("*").alias("__nd"))
-        ceiling = F.greatest(
-            F.lit(AUTO_DF_MIN), F.expr(f"__nd div {AUTO_DF_DIV}")
-        )
-        hot = dfc.crossJoin(F.broadcast(n_docs)).where(F.col("__df") > ceiling)
-    else:
-        hot = dfc.where(F.col("__df") > int(max_df))
-    hot = hot.select("fp")
+    hot = _hot_fingerprints(dfc, corpus, max_df).select("fp")
     kept = fp.join(F.broadcast(hot), "fp", "left_anti")
     buckets = (
         kept.groupBy("fp")

@@ -87,7 +87,10 @@ def hll_registers(df: DataFrame, key: str, group_cols: list[str]) -> DataFrame:
     group. The register table IS the persistable sketch state: two
     register tables merge with ``hll_merge_registers`` (max per bucket)
     and fold with ``hll_fold`` — the incremental-ingest shape."""
-    h = mix32(F.col(key).cast("long") % F.lit(M32))
+    # pmod, not % (ADVICE r4): Spark % preserves the dividend's sign, so a
+    # negative key would silently violate mix32's [0, 2^32) precondition
+    # (negative buckets, > m register rows per group, degraded estimate)
+    h = mix32(F.pmod(F.col(key).cast("long"), F.lit(M32)))
     bucketed = df.select(
         *group_cols,
         F.shiftright(h, HLL_WBITS).alias("__bucket"),
@@ -148,7 +151,8 @@ def hll_distinct_sql(table_sql: str, key: str, group_cols: list[str]) -> str:
     """DuckDB replica of ``hll_distinct`` (same constants, same CASE
     chain, same scaled integer fold)."""
     g = ", ".join(group_cols)
-    h = mix32_sql(f"({key}::BIGINT) % {M32}")
+    # ((x % m) + m) % m: DuckDB % also preserves sign; mirror Spark's pmod
+    h = mix32_sql(f"((({key}::BIGINT) % {M32} + {M32}) % {M32})")
     scale = HLL_WBITS + 1
     num = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << scale)
     return f"""
@@ -216,9 +220,13 @@ def cms_build(tokens: DataFrame, hash_col: str = "__h32") -> DataFrame:
 
 def cms_estimate(sketch: DataFrame, probes: DataFrame, hash_col: str = "__h32") -> DataFrame:
     """Point-estimate counts for a (small) probe frame carrying the same
-    32-bit hash: explode the d cells per probe, broadcast-join the probe
-    cells against the sketch, min over rows. CMS guarantees
-    est >= true count (one-sided error), asserted in tests."""
+    32-bit hash: explode the d cells per probe, LEFT-join against the
+    (<= d*w row, broadcast) sketch, min(coalesce(cnt, 0)) over rows. The
+    left join matters (ADVICE r4): a probe key whose cells are all absent
+    has true count 0 and must return cms_est = 0, not vanish — and min()
+    must range over all d rows, with absent cells counting as 0, which is
+    the canonical CMS estimate. CMS guarantees est >= true count
+    (one-sided error), asserted in tests."""
     h = F.col(hash_col)
     probe_cells = probes.select(
         "*",
@@ -231,9 +239,11 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, hash_col: str = "__h32") 
             )
         ).alias("c"),
     ).select(*[c for c in probes.columns], "c.row", "c.col")
-    joined = sketch.join(F.broadcast(probe_cells), ["row", "col"])
+    joined = probe_cells.join(F.broadcast(sketch), ["row", "col"], "left")
     keep = [c for c in probes.columns if c != hash_col]
-    return joined.groupBy(*keep).agg(F.min("cnt").alias("cms_est"))
+    return joined.groupBy(*keep).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0)).cast("long")).alias("cms_est")
+    )
 
 
 # ------------------------------------------------- log-bucket quantiles ----
@@ -452,7 +462,7 @@ def hll_overlap(df: DataFrame, key: str, set_col: str) -> DataFrame:
 def hll_overlap_sql(table_sql: str, key: str, set_col: str) -> str:
     """DuckDB replica of ``hll_overlap`` (same registers, same merges,
     same folds — bit-identical estimates)."""
-    h = mix32_sql(f"({key}::BIGINT) % {M32}")
+    h = mix32_sql(f"((({key}::BIGINT) % {M32} + {M32}) % {M32})")
     scale = HLL_WBITS + 1
     num = HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << scale)
     fold = (

@@ -97,6 +97,21 @@ def _synth_clips(spark: SparkSession, n: int, n_partitions: int) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Every (n, n_partitions) shape the query builders request — keep in sync
+# with the _synth_clips call sites below (grep "_synth_clips(spark").
+CLIP_CACHE_SHAPES = [(300, 8), (400, 4), (400, 8)]
+
+
+def prewarm_clip_cache(spark: SparkSession) -> None:
+    """Materialize every clip-cache shape the builders read (ADVICE r4):
+    builders are job-free EXCEPT that a cold /tmp clip cache makes the
+    first audio builder run a one-time synthesis write. Tools that build
+    plans without executing them (tools/audit_plans.py) call this first
+    so the build phase itself stays job-free."""
+    for n, p in CLIP_CACHE_SHAPES:
+        _synth_clips(spark, n, p)
+
+
 # ------------------------------------------------------------ queries ----
 
 QUERIES: dict = {}
@@ -114,6 +129,9 @@ def q(name: str, sql: str | None = None):
         # pinned storage accumulates across the sweep. Releasing at build
         # time keeps each query's own caches alive for its action(s) and
         # keeps builders job-free (the plan audit builds without running).
+        # One documented exception: a COLD /tmp clip cache triggers a
+        # one-time synthesis write inside the first audio builder — tools
+        # that must stay job-free call prewarm_clip_cache() up front.
         @functools.wraps(fn)
         def wrapped(spark, sf_dir):
             from ..operators.caching import release_tracked
@@ -673,11 +691,11 @@ def salted_group_count_q(spark, sf):
       SELECT 'lang' AS col, lang AS val FROM documents
       UNION ALL SELECT 'source' AS col, source AS val FROM documents
     ),
-    c AS (SELECT col, val, count(*) AS n FROM kv GROUP BY col, val),
-    t AS (SELECT col, sum(n) AS tot FROM c GROUP BY col)
-    SELECT c.col, c.val, c.n, (c.n * 1000 // t.tot) AS permille
+    c AS (SELECT col, val, count(*)::BIGINT AS n FROM kv GROUP BY col, val),
+    t AS (SELECT col, sum(n)::BIGINT AS tot FROM c GROUP BY col)
+    SELECT c.col, c.val, c.n, ((c.n * 1000) // t.tot)::BIGINT AS permille
     FROM c JOIN t ON c.col = t.col
-    WHERE c.n * 1000 >= t.tot * 50
+    WHERE (c.n * 1000)::BIGINT >= (t.tot * 50)::BIGINT
     """,
 )
 def hot_keys_q(spark, sf):
@@ -2063,7 +2081,11 @@ def quantized_topk_q(spark, sf):
 @q(
     "cosine_dup_pairs",
     f"""
-    WITH d AS ({_EMB_DUPS_SQL}),
+    WITH d AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20
+    ),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM d)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({_COS_SQL}, 4) AS cos
     FROM e a, e b
@@ -2077,9 +2099,25 @@ def cosine_dup_pairs_q(spark, sf):
     bit-identical (collide in every band); a non-identical pair just above
     threshold at a new sf would be missed by LSH but reported by the
     oracle. The scale-shaped banded-LSH default stays exercised by
-    tests/test_operators.py::test_cosine_pairs_bucketed_default_matches_exact."""
-    e = _emb_with_dups(spark, sf)
-    out = similarity.cosine_pairs_threshold(e, threshold=0.99, small=True)
+    tests/test_operators.py::test_cosine_pairs_bucketed_default_matches_exact
+    and timed in bench.py's scale_path walls.
+
+    The fixture is PINNED to vec_id < 500 on BOTH sides (VERDICT r4 #6):
+    the oracle is O(n^2) whatever the sf, so sf0.1's 2020-row corpus spent
+    ~19 s of driver-sweep budget pricing a deliberately-fenced exact path;
+    500 rows (+ the 20 planted dups) exercise exactly the same contract.
+    At sf0.01 the slice IS the whole table (ids 0..499)."""
+    e = (
+        _t(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .where("vec_id < 500")
+    )
+    dup = e.where("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.cosine_pairs_threshold(
+        e.unionByName(dup), threshold=0.99, small=True
+    )
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
@@ -3525,8 +3563,8 @@ def _cms_sql() -> str:
     top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 20),
     probe AS (SELECT tok, n_exact, r.rw AS row, {col} AS col
               FROM top, (VALUES {rows}) r(rw))
-    SELECT p.tok, p.n_exact, min(s.cnt) AS cms_est
-    FROM probe p JOIN sketch s ON p.row = s.row AND p.col = s.col
+    SELECT p.tok, p.n_exact, min(coalesce(s.cnt, 0)::BIGINT) AS cms_est
+    FROM probe p LEFT JOIN sketch s ON p.row = s.row AND p.col = s.col
     GROUP BY p.tok, p.n_exact
     """
 
