@@ -121,6 +121,7 @@ HEADLINE = R3_SET + [
     "quantile_sketch",
     "hll_overlap",
     "funnel_steps",
+    "excise_spans",
 ]
 
 

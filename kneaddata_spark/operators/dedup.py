@@ -666,6 +666,125 @@ def decontaminate_substrings(
     return corpus.join(dirty, id_col, "left_anti")
 
 
+def excise_substrings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """Substring-span EXCISION — the production half of Lee et al. (2022)
+    that `decontaminate_substrings` leaves on the table: instead of
+    dropping every corpus document that shares winnowed fingerprints with
+    the benchmark set, CUT the duplicated/contaminated token spans out and
+    keep the remainder. Reference analog: the trim stages remove
+    contaminated SPANS of a read and keep the rest (run.py:372-450); they
+    never discard the whole read for one bad window.
+
+    Span location: each matched corpus fingerprint at token position p
+    witnesses a shared k-gram [p, p+k-1], PADDED by window-1 tokens on
+    both sides. The pad is what makes coverage COMPLETE: winnowing
+    selects one fingerprint per window of `window` consecutive k-grams,
+    so the first/last selected print of a shared run can sit up to
+    window-1 k-grams inside it — unpadded spans would leave up to
+    window-1 duplicated tokens at each end, and for decontamination the
+    failure mode is LEAVING benchmark text, not over-cutting <= window-1
+    adjacent tokens. Witnesses within `merge_gap` uncovered tokens of
+    each other merge into one span (default merge_gap=window — inside a
+    single shared run, selected prints are at most `window` k-grams
+    apart, so the run coalesces into ONE span). Emits one row per corpus
+    document — untouched docs pass through with n_cut = 0:
+    (id, clean_text, n_tokens, n_cut, n_spans).
+
+    clean_text is rebuilt over the NORMALIZED token stream (lower,
+    whitespace-collapsed — the same stream the fingerprints are computed
+    on), so span arithmetic and emission share one tokenization.
+
+    Plan shape: benchmark fingerprint values broadcast into a semi-join
+    probe of the corpus fingerprint stream (exactly the
+    decontaminate_substrings screen); the surviving (doc, pos) witnesses
+    — tiny by construction — merge into spans with doc-keyed windows (no
+    global window), collect to <= one array row per CONTAMINATED doc, and
+    broadcast-left-join back onto the corpus, so the corpus text never
+    reshuffles. The rebuild is pure JVM higher-order algebra
+    (transform/filter/exists/concat_ws) — no Python in the emission path.
+    """
+    from pyspark.sql import Window as W
+
+    from .textstats import winnowing_fingerprints
+
+    if merge_gap is None:
+        merge_gap = window
+
+    bfp = (
+        winnowing_fingerprints(benchmark, id_col, text_col, k, window)
+        .select("fp")
+        .distinct()
+    )
+    cfp = winnowing_fingerprints(corpus, id_col, text_col, k, window).select(
+        F.col(id_col).alias("id"), "fp_pos", "fp"
+    )
+    pad = window - 1
+    hits = (
+        cfp.join(F.broadcast(bfp), "fp", "left_semi")
+        .select(
+            "id",
+            F.greatest(F.col("fp_pos") - pad, F.lit(0)).alias("s"),
+            (F.col("fp_pos") + k - 1 + pad).alias("e"),
+        )
+        .distinct()
+    )
+
+    # gaps-and-islands merge, doc-keyed windows only: a witness starts a
+    # new span iff it leaves > merge_gap uncovered tokens after everything
+    # seen so far
+    w_ord = W.partitionBy("id").orderBy("s", "e")
+    prev_end = F.max("e").over(w_ord.rowsBetween(W.unboundedPreceding, -1))
+    brk = F.when(
+        F.col("s") > F.coalesce(prev_end, F.lit(-(1 << 40))) + 1 + merge_gap, 1
+    ).otherwise(0)
+    grp = hits.withColumn(
+        "g", F.sum(brk).over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    spans = grp.groupBy("id", "g").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("__spans")
+    )
+
+    norm_toks = F.split(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
+    )
+    base = corpus.select(F.col(id_col), norm_toks.alias("__toks"))
+    joined = base.join(
+        F.broadcast(per_doc.withColumnRenamed("id", id_col)), id_col, "left"
+    ).withColumn(
+        "__spans",
+        F.coalesce(
+            "__spans", F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)")
+        ),
+    )
+    kept = F.expr(
+        "filter(transform(__toks, (t, i) -> struct(t as t, i as i)), "
+        "x -> NOT exists(__spans, sp -> x.i >= sp.s AND x.i <= sp.e))"
+    )
+    return (
+        joined.withColumn("__kept", kept)
+        .select(
+            id_col,
+            F.concat_ws(" ", F.expr("transform(__kept, x -> x.t)")).alias(
+                "clean_text"
+            ),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size("__kept")).cast("long").alias("n_cut"),
+            F.size("__spans").cast("long").alias("n_spans"),
+        )
+    )
+
+
 # ---------------------------------------------------- paragraph dedup --
 
 

@@ -1106,6 +1106,64 @@ def decontaminate_substrings_q(spark, sf):
 
 
 @q(
+    "excise_spans",
+    f"""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    bfp AS (SELECT DISTINCT fp FROM ({_winnow_sql("bench")})),
+    m AS (SELECT DISTINCT doc_id, greatest(fp_pos - 3, 0)::BIGINT AS s,
+                 (fp_pos + 6)::BIGINT AS e
+          FROM ({_winnow_sql("corpus")}) WHERE fp IN (SELECT fp FROM bfp)),
+    isl AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      -1099511627776) + 1 + 4
+                  THEN 1 ELSE 0 END AS brk
+      FROM m),
+    grp AS (SELECT doc_id, s, e,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM isl),
+    spans AS (SELECT doc_id, g, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, g),
+    t AS (SELECT doc_id,
+                 string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS toks
+          FROM corpus),
+    tok AS (SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS tok
+            FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+    kept AS (SELECT tk.doc_id, tk.pos, tk.tok FROM tok tk
+             WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                               WHERE sp.doc_id = tk.doc_id
+                                 AND tk.pos BETWEEN sp.s AND sp.e)),
+    ntok AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id),
+    nk AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+                  string_agg(tok, ' ' ORDER BY pos) AS clean_text
+           FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY doc_id)
+    SELECT c.doc_id, coalesce(nk.clean_text, '') AS clean_text, ntok.n_tokens,
+           (ntok.n_tokens - coalesce(nk.n_kept, 0))::BIGINT AS n_cut,
+           coalesce(nsp.n_spans, 0)::BIGINT AS n_spans
+    FROM corpus c
+    JOIN ntok ON ntok.doc_id = c.doc_id
+    LEFT JOIN nk ON nk.doc_id = c.doc_id
+    LEFT JOIN nsp ON nsp.doc_id = c.doc_id
+    """,
+)
+def excise_spans_q(spark, sf):
+    """Substring-span EXCISION (dedup.excise_substrings; VERDICT r4 #5 —
+    the Lee et al. 2022 production shape): corpus docs sharing winnowed
+    fingerprints with the benchmark subset (doc_id % 20 == 0) keep their
+    text with the contaminated token spans CUT OUT instead of being
+    dropped whole; every corpus doc emits one row with kept/cut token
+    accounting. Benchmark fingerprints broadcast; span merge uses
+    doc-keyed windows only; the rebuild is JVM higher-order algebra."""
+    d = _t(spark, sf, "documents")
+    return dedup.excise_substrings(
+        d.where("doc_id % 20 <> 0"), d.where("doc_id % 20 = 0"), "doc_id", "text"
+    )
+
+
+@q(
     "stratified_cap",
     f"""
     SELECT doc_id, lang FROM documents

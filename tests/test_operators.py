@@ -949,6 +949,90 @@ def test_decontaminate_substrings_planted_and_edit_robust(spark):
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
 
 
+def _excise_reference(corpus_rows, bench_texts, k=4, window=4, merge_gap=None):
+    """Independent python replica of excise_substrings (winnow both sides
+    via _winnow_reference, merge witness k-grams gaps-and-islands style,
+    cut covered tokens from the normalized stream)."""
+    import re
+
+    if merge_gap is None:
+        merge_gap = window
+    pad = window - 1
+    bfp = set()
+    for t in bench_texts:
+        bfp |= {fp for _, fp in _winnow_reference(t, k, window)}
+    out = {}
+    for doc_id, text in corpus_rows:
+        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        hits = sorted(
+            {
+                (max(pos - pad, 0), pos + k - 1 + pad)
+                for pos, fp in _winnow_reference(text, k, window)
+                if fp in bfp
+            }
+        )
+        spans = []
+        for s, e in hits:
+            if spans and s <= spans[-1][1] + 1 + merge_gap:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        kept = [
+            t
+            for i, t in enumerate(toks)
+            if not any(s <= i <= e for s, e in spans)
+        ]
+        out[doc_id] = (
+            " ".join(kept),
+            len(toks),
+            len(toks) - len(kept),
+            len(spans),
+        )
+    return out
+
+
+def test_excise_substrings_matches_reference_on_planted_passages(spark):
+    """Span excision == the python replica on planted pasted passages:
+    a doc with a benchmark passage pasted mid-text loses EXACTLY that
+    span (prefix/suffix survive); a doc that IS the passage excises to
+    empty; two pasted copies separated by unrelated text yield two
+    spans; untouched docs pass through byte-identical with n_cut = 0."""
+    from kneaddata_spark.operators.dedup import excise_substrings
+
+    passage = (
+        "the isotope separation cascade requires precisely machined "
+        "rotor bearings spinning beyond fifty thousand revolutions"
+    )  # 14 tokens
+    filler = (
+        "meanwhile the village bakery produced seventeen kinds of rye "
+        "bread every morning before sunrise customers arrived early"
+    )
+    rows = [
+        (1, "intro words here " + passage + " closing words follow"),
+        (2, filler),
+        (3, passage),
+        (4, passage + " " + filler + " " + passage),
+        (5, "Mixed   CASE and\twhitespace " + passage + " trailing bit"),
+    ]
+    bench = spark.createDataFrame([(100, passage)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"], r["n_spans"])
+        for r in excise_substrings(corpus, bench, "doc_id", "text").collect()
+    }
+    want = _excise_reference(rows, [passage])
+    assert got == want
+    # semantic spot-checks on top of exact replica equality
+    n_p = len(passage.split(" "))
+    assert got[2] == (filler, len(filler.split(" ")), 0, 0)  # untouched
+    assert got[3] == ("", n_p, n_p, 1)           # full excision -> empty
+    assert got[4][3] == 2                        # two separated spans
+    # pasted passage fully gone; over-cut bounded by pad per side
+    assert "cascade" not in got[1][0] and "separation" not in got[1][0]
+    assert n_p <= got[1][2] <= n_p + 2 * 3
+    assert got[5][2] >= n_p and "cascade" not in got[5][0]
+
+
 def test_review_hardening_r4(spark, tmp_path):
     """Regressions for the r4 self-review findings: crafted nested-LIST
     AVI returns None (no RecursionError) and rides the stub fallback;
