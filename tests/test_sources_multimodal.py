@@ -234,6 +234,119 @@ def test_bmp_mixed_with_fake_mimes(spark):
         extract_image_features(df, strict=True).collect()
 
 
+# ------------------------------------------------------------ PNG kernel --
+
+
+def make_png(px, filters=None, ctype=2, depth=8, interlace=0, corrupt_crc=False):
+    """Independent PNG writer for tests: (H, W, C) uint8 -> bytes, with an
+    EXPLICIT filter type per scanline (encode side of the spec's filter
+    definitions — exercises the decoder's unfilter paths one by one)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    c = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * c).astype(np.int32)
+    bpp = c
+    if filters is None:
+        filters = [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row, f = flat[y], filters[y]
+        if f == 0:
+            filt = row % 256
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - left) % 256
+        elif f == 2:
+            filt = (row - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
+            filt = (row - (left + prev) // 2) % 256
+        elif f == 4:
+            filt = np.empty(w * c, dtype=np.int32)
+            for x in range(w * c):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                cc = prev[x - bpp] if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                filt[x] = (row[x] - pred) % 256
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(cid, body):
+        crc = zlib.crc32(cid + body) & 0xFFFFFFFF
+        if corrupt_crc and cid == b"IDAT":
+            crc ^= 1
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
+
+    ct = {1: 0, 3: 2, 4: 6}[c] if ctype == "auto" else ctype
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ct, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filters_pixel_exact():
+    """decode_png recovers pixels EXACTLY through every scanline filter
+    (None/Sub/Up/Average/Paeth), for RGB, grayscale (-> replicated to 3
+    channels) and RGBA (alpha dropped); corrupt CRC / palette / 16-bit /
+    interlaced payloads return None."""
+    import numpy as np
+
+    from kneaddata_spark.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    got = decode_png(make_png(px, filters=[0, 1, 2, 3, 4]))
+    assert got is not None and np.array_equal(got, px)
+
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    got = decode_png(make_png(gray, filters=[4, 3, 2, 1], ctype=0))
+    assert got is not None and np.array_equal(got, np.repeat(gray[:, :, None], 3, 2))
+
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    got = decode_png(make_png(rgba, filters=[1, 4, 3], ctype=6))
+    assert got is not None and np.array_equal(got, rgba[:, :, :3])
+
+    assert decode_png(make_png(px, corrupt_crc=True)) is None
+    assert decode_png(make_png(px, ctype=3)) is None       # palette
+    assert decode_png(make_png(px, depth=16)) is None      # 16-bit
+    assert decode_png(make_png(px, interlace=1)) is None   # Adam7
+    assert decode_png(make_png(px)[:-8]) is None           # truncated IEND
+    assert decode_png(b"\x89PNG\r\n\x1a\n" + b"junk" * 10) is None
+
+
+def test_png_real_features_through_spark(spark):
+    """image/png rows flow through the mapInPandas feature stage with REAL
+    decompressed pixel statistics under strict=True — the compressed-
+    format proof of the registry seam (a zlib DEFLATE stream, not a
+    fixed-layout container)."""
+    import numpy as np
+
+    from kneaddata_spark.multimodal import IMAGE_META_SCHEMA, extract_image_features
+
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    px[:, :, 2] = 200  # pure-ish blue
+    raw = make_png(px, filters=[0, 2, 2, 2])
+    df = spark.createDataFrame(
+        [("png1", bytearray(raw), "image/png", 1, 1)], IMAGE_META_SCHEMA
+    )
+    r = extract_image_features(df, strict=True).collect()[0]
+    assert (r["width"], r["height"]) == (8, 4)  # header wins over metadata
+    assert abs(r["feat"][2] - 200 / 255) < 1e-6 and abs(r["feat"][0]) < 1e-6
+    assert abs(r["feat"][6] - 8 / 4) < 1e-6
+
+
 # ------------------------------------------------------- RIFF/AVI kernel --
 
 
