@@ -122,6 +122,7 @@ HEADLINE = R3_SET + [
     "hll_overlap",
     "funnel_steps",
     "excise_spans",
+    "excise_dup_spans",
 ]
 
 

@@ -726,16 +726,35 @@ def excise_substrings(
     cfp = winnowing_fingerprints(corpus, id_col, text_col, k, window).select(
         F.col(id_col).alias("id"), "fp_pos", "fp"
     )
-    pad = window - 1
-    hits = (
-        cfp.join(F.broadcast(bfp), "fp", "left_semi")
-        .select(
-            "id",
-            F.greatest(F.col("fp_pos") - pad, F.lit(0)).alias("s"),
-            (F.col("fp_pos") + k - 1 + pad).alias("e"),
-        )
-        .distinct()
+    witnesses = cfp.join(F.broadcast(bfp), "fp", "left_semi").select(
+        "id", "fp_pos"
     )
+    return _excise_from_witnesses(
+        corpus, witnesses, id_col, text_col, k, window, merge_gap
+    )
+
+
+def _excise_from_witnesses(
+    corpus: DataFrame,
+    witnesses: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    window: int,
+    merge_gap: int,
+) -> DataFrame:
+    """Shared excision tail: pad witness k-grams ((id, fp_pos) rows) by
+    window-1 per side, merge gaps-and-islands on doc-keyed windows, and
+    rebuild the kept token stream JVM-side. See excise_substrings for the
+    coverage-slop argument behind the pad."""
+    from pyspark.sql import Window as W
+
+    pad = window - 1
+    hits = witnesses.select(
+        "id",
+        F.greatest(F.col("fp_pos") - pad, F.lit(0)).alias("s"),
+        (F.col("fp_pos") + k - 1 + pad).alias("e"),
+    ).distinct()
 
     # gaps-and-islands merge, doc-keyed windows only: a witness starts a
     # new span iff it leaves > merge_gap uncovered tokens after everything
@@ -782,6 +801,55 @@ def excise_substrings(
             (F.size("__toks") - F.size("__kept")).cast("long").alias("n_cut"),
             F.size("__spans").cast("long").alias("n_spans"),
         )
+    )
+
+
+def excise_dup_substrings(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+    merge_gap: int | None = None,
+) -> DataFrame:
+    """INTRA-corpus duplicate-span excision — Lee et al. (2022)
+    ExactSubstr semantics: when a passage appears in several documents,
+    KEEP its first occurrence (the min-id document) intact and cut the
+    span out of every later document, so exactly one copy of every
+    passage survives. The keep-first rule mirrors paragraph_dedup /
+    first_occurrence_dedup; the span machinery is excise_substrings'.
+
+    Scale shape — NO pair expansion anywhere: one winnowing pass, a
+    count>1 filter on the per-fingerprint frame (map-side combinable
+    min/count agg) so only genuinely shared fingerprint values — a tiny
+    fraction of the corpus — re-join the fingerprint stream (fp-keyed
+    hash join), and a witness is any (doc, pos) whose doc is NOT the
+    value's min-id keeper. Hot boilerplate fingerprints are the point
+    here, not a skew hazard: cost is linear in occurrences (each yields
+    one witness row), never quadratic pairs. Corpus text still never
+    reshuffles (broadcast span-array join, bounded by contaminated-doc
+    count)."""
+    from .textstats import winnowing_fingerprints
+
+    if merge_gap is None:
+        merge_gap = window
+
+    fp = winnowing_fingerprints(corpus, id_col, text_col, k, window).select(
+        F.col(id_col).alias("id"), "fp_pos", "fp"
+    )
+    shared = (
+        fp.groupBy("fp")
+        .agg(F.min("id").alias("__keep_id"), F.count("*").alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("fp", "__keep_id")
+    )
+    witnesses = (
+        fp.join(shared, "fp")
+        .where(F.col("id") != F.col("__keep_id"))
+        .select("id", "fp_pos")
+    )
+    return _excise_from_witnesses(
+        corpus, witnesses, id_col, text_col, k, window, merge_gap
     )
 
 

@@ -1105,15 +1105,14 @@ def decontaminate_substrings_q(spark, sf):
     ).select("doc_id")
 
 
-@q(
-    "excise_spans",
-    f"""
-    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
-    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
-    bfp AS (SELECT DISTINCT fp FROM ({_winnow_sql("bench")})),
-    m AS (SELECT DISTINCT doc_id, greatest(fp_pos - 3, 0)::BIGINT AS s,
-                 (fp_pos + 6)::BIGINT AS e
-          FROM ({_winnow_sql("corpus")}) WHERE fp IN (SELECT fp FROM bfp)),
+def _excise_tail_sql(head_ctes: str) -> str:
+    """Shared DuckDB tail of the excision oracles: given CTEs that define
+    `corpus` (doc_id, text) and `m` (doc_id, padded witness s/e), merge
+    witnesses gaps-and-islands style (merge_gap=window=4), cut covered
+    tokens from the normalized stream, and emit per-doc accounting —
+    mirroring dedup._excise_from_witnesses exactly."""
+    return f"""
+    WITH {head_ctes},
     isl AS (
       SELECT doc_id, s, e,
              CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
@@ -1147,7 +1146,19 @@ def decontaminate_substrings_q(spark, sf):
     JOIN ntok ON ntok.doc_id = c.doc_id
     LEFT JOIN nk ON nk.doc_id = c.doc_id
     LEFT JOIN nsp ON nsp.doc_id = c.doc_id
-    """,
+    """
+
+
+@q(
+    "excise_spans",
+    _excise_tail_sql(
+        f"""bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+    bfp AS (SELECT DISTINCT fp FROM ({_winnow_sql("bench")})),
+    m AS (SELECT DISTINCT doc_id, greatest(fp_pos - 3, 0)::BIGINT AS s,
+                 (fp_pos + 6)::BIGINT AS e
+          FROM ({_winnow_sql("corpus")}) WHERE fp IN (SELECT fp FROM bfp))"""
+    ),
 )
 def excise_spans_q(spark, sf):
     """Substring-span EXCISION (dedup.excise_substrings; VERDICT r4 #5 —
@@ -1161,6 +1172,30 @@ def excise_spans_q(spark, sf):
     return dedup.excise_substrings(
         d.where("doc_id % 20 <> 0"), d.where("doc_id % 20 = 0"), "doc_id", "text"
     )
+
+
+@q(
+    "excise_dup_spans",
+    _excise_tail_sql(
+        f"""corpus AS ({_DOCS_DUPS_SQL}),
+    w AS ({_winnow_sql("corpus")}),
+    sh AS (SELECT fp, min(doc_id) AS keep_id FROM w
+           GROUP BY fp HAVING count(*) > 1),
+    m AS (SELECT DISTINCT w.doc_id, greatest(w.fp_pos - 3, 0)::BIGINT AS s,
+                 (w.fp_pos + 6)::BIGINT AS e
+          FROM w JOIN sh ON w.fp = sh.fp
+          WHERE w.doc_id <> sh.keep_id)"""
+    ),
+)
+def excise_dup_spans_q(spark, sf):
+    """INTRA-corpus duplicate-span excision (dedup.excise_dup_substrings —
+    Lee et al. 2022 ExactSubstr semantics): over the planted-duplicate
+    corpus, a passage appearing in several docs survives ONLY in its
+    min-id document; later copies are cut out, leaving the non-shared
+    remainder (the planted near-dups keep their ' tail extra' suffix,
+    exact copies excise to empty). No pair expansion anywhere — linear
+    witness rows via a count>1 fingerprint filter."""
+    return dedup.excise_dup_substrings(_docs_with_dups(spark, sf), "doc_id", "text")
 
 
 @q(

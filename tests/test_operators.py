@@ -957,38 +957,59 @@ def _excise_reference(corpus_rows, bench_texts, k=4, window=4, merge_gap=None):
 
     if merge_gap is None:
         merge_gap = window
-    pad = window - 1
     bfp = set()
     for t in bench_texts:
         bfp |= {fp for _, fp in _winnow_reference(t, k, window)}
     out = {}
     for doc_id, text in corpus_rows:
-        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
-        hits = sorted(
-            {
-                (max(pos - pad, 0), pos + k - 1 + pad)
-                for pos, fp in _winnow_reference(text, k, window)
-                if fp in bfp
-            }
-        )
-        spans = []
-        for s, e in hits:
-            if spans and s <= spans[-1][1] + 1 + merge_gap:
-                spans[-1][1] = max(spans[-1][1], e)
-            else:
-                spans.append([s, e])
-        kept = [
-            t
-            for i, t in enumerate(toks)
-            if not any(s <= i <= e for s, e in spans)
-        ]
-        out[doc_id] = (
-            " ".join(kept),
-            len(toks),
-            len(toks) - len(kept),
-            len(spans),
-        )
+        wit = {pos for pos, fp in _winnow_reference(text, k, window) if fp in bfp}
+        out[doc_id] = _cut_spans_reference(text, wit, k, window, merge_gap)
     return out
+
+
+def _cut_spans_reference(text, witness_positions, k, window, merge_gap):
+    """Shared replica tail: pad witness k-grams, merge, cut, account."""
+    import re
+
+    pad = window - 1
+    toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+    hits = sorted(
+        {(max(p - pad, 0), p + k - 1 + pad) for p in witness_positions}
+    )
+    spans = []
+    for s, e in hits:
+        if spans and s <= spans[-1][1] + 1 + merge_gap:
+            spans[-1][1] = max(spans[-1][1], e)
+        else:
+            spans.append([s, e])
+    kept = [
+        t for i, t in enumerate(toks) if not any(s <= i <= e for s, e in spans)
+    ]
+    return (" ".join(kept), len(toks), len(toks) - len(kept), len(spans))
+
+
+def _excise_dup_reference(corpus_rows, k=4, window=4, merge_gap=None):
+    """Python replica of excise_dup_substrings: per shared fingerprint
+    value, the min-id doc keeps; every other occurrence is a witness."""
+    from collections import defaultdict
+
+    if merge_gap is None:
+        merge_gap = window
+    occ = defaultdict(list)
+    for doc_id, text in corpus_rows:
+        for pos, fp in _winnow_reference(text, k, window):
+            occ[fp].append((doc_id, pos))
+    wit = defaultdict(set)
+    for fp, lst in occ.items():
+        if len(lst) > 1:
+            keep = min(d for d, _ in lst)
+            for d, p in lst:
+                if d != keep:
+                    wit[d].add(p)
+    return {
+        doc_id: _cut_spans_reference(text, wit[doc_id], k, window, merge_gap)
+        for doc_id, text in corpus_rows
+    }
 
 
 def test_excise_substrings_matches_reference_on_planted_passages(spark):
@@ -1031,6 +1052,39 @@ def test_excise_substrings_matches_reference_on_planted_passages(spark):
     assert "cascade" not in got[1][0] and "separation" not in got[1][0]
     assert n_p <= got[1][2] <= n_p + 2 * 3
     assert got[5][2] >= n_p and "cascade" not in got[5][0]
+
+
+def test_excise_dup_substrings_keep_first(spark):
+    """Intra-corpus duplicate-span excision == the python replica, and the
+    keep-first contract holds: the min-id copy of a shared passage stays
+    intact, later copies lose exactly the shared span (a near-dup keeps
+    its unique suffix; an exact copy excises to empty)."""
+    from kneaddata_spark.operators.dedup import excise_dup_substrings
+
+    passage = (
+        "quarterly filings must disclose material weaknesses in internal "
+        "controls before the auditor signs the engagement letter"
+    )
+    rows = [
+        (1, "opening remarks " + passage + " closing remarks"),
+        (2, passage + " with five unique suffix tokens appended here"),
+        (3, passage),                          # later exact body
+        (4, "unrelated prose about migrating herons across the delta "
+            "estuary wetlands during early autumn fog"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"], r["n_spans"])
+        for r in excise_dup_substrings(corpus, "doc_id", "text").collect()
+    }
+    want = _excise_dup_reference(rows)
+    assert got == want
+    assert got[1][2] == 0 and "disclose" in got[1][0]  # first copy intact
+    assert got[4][2] == 0                               # unrelated intact
+    assert "disclose" not in got[2][0] and "disclose" not in got[3][0]
+    # unique suffix survives beyond the <= pad(=3 tokens) over-cut
+    assert got[2][0].endswith("appended here")
+    assert got[3][0] == ""
 
 
 def test_review_hardening_r4(spark, tmp_path):
