@@ -77,41 +77,53 @@ def _collect_fit_sample(
     return np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
 
 
-def _np_kmeans(X: np.ndarray, k: int, seed: int, max_iter: int) -> np.ndarray:
-    """Deterministic in-driver Lloyd k-means with k-means++ init over the
-    (bounded) fit sample. Replaces pyspark.ml KMeans for the ANN coarse
-    quantizers: a COARSE quantizer needs centroid-quality, not a
-    converged distributed fit, and the ML fit costs ~2 jobs per iteration
-    per codebook — the dominant wall of ann_ivf/ann_pq at every scale.
-    Returns a (k, dim) float64 centroid matrix."""
+def _np_kmeans(
+    X: np.ndarray, k: int, seed: int, max_iter: int, n_init: int = 4
+) -> np.ndarray:
+    """Deterministic in-driver Lloyd k-means over the (bounded) fit
+    sample: n_init k-means++ restarts (seeds seed..seed+n_init-1), each
+    Lloyd-iterated to max_iter or convergence, keep the lowest-inertia
+    run. Replaces pyspark.ml KMeans for the ANN coarse quantizers: a
+    COARSE quantizer needs centroid-quality, not a converged distributed
+    fit, and the ML fit costs ~2 jobs per iteration per codebook — the
+    dominant wall of ann_ivf/ann_pq at every scale. In-driver restarts
+    are nearly free at sample scale (<= cap x dim floats), and the
+    multi-restart closes the init-quality gap to k-means|| (measured in
+    ANN_RECALL.json). Returns a (k, dim) float64 centroid matrix."""
     n = X.shape[0]
     if n == 0:
         raise ValueError("empty fit sample")
-    rng = np.random.RandomState(seed)
-    # k-means++ seeding (deterministic given seed)
-    centers = [X[rng.randint(n)]]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
-    while len(centers) < k:
-        tot = float(d2.sum())
-        if tot <= 0.0:  # all points coincide with a center already
-            centers.append(X[rng.randint(n)])
-        else:
-            idx = int(np.searchsorted(np.cumsum(d2), rng.rand() * tot))
-            centers.append(X[min(idx, n - 1)])
-        d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
-    C = np.asarray(centers, dtype=np.float64)
-    for _ in range(max_iter):
+    best_C, best_inertia = None, np.inf
+    for trial in range(n_init):
+        rng = np.random.RandomState(seed + trial)
+        # k-means++ seeding (deterministic given seed)
+        centers = [X[rng.randint(n)]]
+        d2 = ((X - centers[0]) ** 2).sum(axis=1)
+        while len(centers) < k:
+            tot = float(d2.sum())
+            if tot <= 0.0:  # all points coincide with a center already
+                centers.append(X[rng.randint(n)])
+            else:
+                idx = int(np.searchsorted(np.cumsum(d2), rng.rand() * tot))
+                centers.append(X[min(idx, n - 1)])
+            d2 = np.minimum(d2, ((X - centers[-1]) ** 2).sum(axis=1))
+        C = np.asarray(centers, dtype=np.float64)
+        for _ in range(max_iter):
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+            assign = d.argmin(axis=1)
+            newC = C.copy()
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    newC[j] = X[mask].mean(axis=0)
+            if np.allclose(newC, C):
+                break
+            C = newC
         d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
-        assign = d.argmin(axis=1)
-        newC = C.copy()
-        for j in range(k):
-            mask = assign == j
-            if mask.any():
-                newC[j] = X[mask].mean(axis=0)
-        if np.allclose(newC, C):
-            break
-        C = newC
-    return C
+        inertia = float(d.min(axis=1).sum())  # + const ||x||^2: same argmin
+        if inertia < best_inertia:
+            best_C, best_inertia = C, inertia
+    return best_C
 
 
 def cosine_topk_bruteforce(
@@ -269,7 +281,7 @@ def ann_ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 13,
-    max_iter: int = 8,
+    max_iter: int = 25,
     fit_sample_rows: int = FIT_SAMPLE_CAP,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize vectors with k-means
@@ -561,7 +573,7 @@ def ann_pq_topk(
     m_subspaces: int = 8,
     n_codes: int = 16,
     seed: int = 17,
-    max_iter: int = 4,
+    max_iter: int = 25,
     fit_sample_rows: int = FIT_SAMPLE_CAP,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011 — the IVF-PQ family

@@ -352,7 +352,9 @@ def main() -> None:
             problems.append(f"{name}: non-scalar output column(s): {ns}")
     sections.insert(0, (
         "global-window + scalar-schema sweep",
-        f"scanned {len(QUERIES) - 1} driver queries; {n_gw} with a global Window; "
+        f"scanned {len(QUERIES) - 1} driver queries "
+        f"(qc_stream_counts excluded: building it executes a streaming "
+        f"query); {n_gw} with a global Window; "
         f"{n_ns} with non-scalar output columns",
         ["want 0 global Windows — no PARTITION BY funnels every row through one task",
          "want 0 non-scalar outputs — the driver canonicalizer cannot hash list cells"],
