@@ -174,6 +174,39 @@ def test_read_count_pivot_na_fill(spark):
     assert got["s2"][0] == 5
 
 
+def test_fit_sample_cap_and_np_kmeans(spark):
+    """_collect_fit_sample honors the cap branch (seeded Bernoulli, ~cap
+    rows, deterministic across calls) and _np_kmeans centroids are
+    deterministic, k-row, and assign a well-separated planted clustering
+    perfectly regardless of restart count."""
+    import numpy as np
+
+    from kneaddata_spark.operators.similarity import (
+        _collect_fit_sample,
+        _np_kmeans,
+    )
+
+    df = spark.range(2000).selectExpr(
+        "id", "array(cast(id % 7 as float), cast(id % 13 as float)) as v"
+    )
+    a = _collect_fit_sample(df, "v", cap=300, seed=5)
+    b = _collect_fit_sample(df, "v", cap=300, seed=5)
+    assert np.array_equal(a, b)                      # deterministic
+    assert 150 <= a.shape[0] <= 600 and a.shape[1] == 2   # ~cap, sampled
+    full = _collect_fit_sample(df, "v", cap=5000, seed=5)
+    assert full.shape == (2000, 2)                   # no-sample branch
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[0.0, 0.0], [100.0, 0.0], [0.0, 100.0]])
+    X = np.vstack([c + rng.normal(0, 0.5, size=(50, 2)) for c in centers])
+    C1 = _np_kmeans(X, 3, seed=9, max_iter=25)
+    C2 = _np_kmeans(X, 3, seed=9, max_iter=25)
+    assert np.array_equal(C1, C2) and C1.shape == (3, 2)
+    # every planted center recovered to within the cluster noise
+    for c in centers:
+        assert np.abs(C1 - c).sum(axis=1).min() < 1.0
+
+
 def test_ann_variants_recall(spark):
     """LSH and IVF ANN must recover most of the brute-force top-k for a
     clustered corpus (planted structure -> high recall expected)."""
