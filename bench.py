@@ -123,6 +123,7 @@ HEADLINE = R3_SET + [
     "funnel_steps",
     "excise_spans",
     "excise_dup_spans",
+    "dup_token_report",
 ]
 
 
@@ -290,6 +291,12 @@ def main() -> None:
             "speedup_N_to_4N": s.get("headline", {}).get("speedup"),
             "scaling_efficiency": s.get("headline", {}).get("scaling_efficiency"),
         }
+        # min-wall efficiency can nominally exceed 1.0 on this shared box
+        # (long t_N windows absorb more neighbor steal); ship the
+        # conservative pairing alongside so the record is self-explaining
+        cons = s.get("headline", {}).get("conservative_efficiency")
+        if cons is not None:
+            out["scaling"]["conservative_efficiency"] = cons
     # fill "queries" with the slowest walls, keeping the WHOLE line within
     # the driver's tail-capture budget (self-truncating: never regress to
     # r4's parsed:null regardless of how many queries future rounds add)

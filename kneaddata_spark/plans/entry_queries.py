@@ -1105,12 +1105,19 @@ def decontaminate_substrings_q(spark, sf):
     ).select("doc_id")
 
 
-def _excise_tail_sql(head_ctes: str) -> str:
+def _excise_tail_sql(head_ctes: str, final_select: str | None = None) -> str:
     """Shared DuckDB tail of the excision oracles: given CTEs that define
     `corpus` (doc_id, text) and `m` (doc_id, padded witness s/e), merge
     witnesses gaps-and-islands style (merge_gap=window=4), cut covered
     tokens from the normalized stream, and emit per-doc accounting —
-    mirroring dedup._excise_from_witnesses exactly."""
+    mirroring dedup._excise_from_witnesses exactly. `final_select`
+    replaces the default per-doc emission (it can reference the CTEs and
+    the per-doc frame via `perdoc`) for aggregate consumers like
+    dup_token_report."""
+    if final_select is None:
+        final_select = """
+    SELECT doc_id, clean_text, n_tokens, n_cut, n_spans FROM perdoc
+    """
     return f"""
     WITH {head_ctes},
     isl AS (
@@ -1138,14 +1145,17 @@ def _excise_tail_sql(head_ctes: str) -> str:
     nk AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
                   string_agg(tok, ' ' ORDER BY pos) AS clean_text
            FROM kept GROUP BY doc_id),
-    nsp AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY doc_id)
-    SELECT c.doc_id, coalesce(nk.clean_text, '') AS clean_text, ntok.n_tokens,
-           (ntok.n_tokens - coalesce(nk.n_kept, 0))::BIGINT AS n_cut,
-           coalesce(nsp.n_spans, 0)::BIGINT AS n_spans
-    FROM corpus c
-    JOIN ntok ON ntok.doc_id = c.doc_id
-    LEFT JOIN nk ON nk.doc_id = c.doc_id
-    LEFT JOIN nsp ON nsp.doc_id = c.doc_id
+    nsp AS (SELECT doc_id, count(*)::BIGINT AS n_spans FROM spans GROUP BY doc_id),
+    perdoc AS (
+      SELECT c.doc_id, coalesce(nk.clean_text, '') AS clean_text, ntok.n_tokens,
+             (ntok.n_tokens - coalesce(nk.n_kept, 0))::BIGINT AS n_cut,
+             coalesce(nsp.n_spans, 0)::BIGINT AS n_spans
+      FROM corpus c
+      JOIN ntok ON ntok.doc_id = c.doc_id
+      LEFT JOIN nk ON nk.doc_id = c.doc_id
+      LEFT JOIN nsp ON nsp.doc_id = c.doc_id
+    )
+    {final_select}
     """
 
 
@@ -1196,6 +1206,60 @@ def excise_dup_spans_q(spark, sf):
     exact copies excise to empty). No pair expansion anywhere — linear
     witness rows via a count>1 fingerprint filter."""
     return dedup.excise_dup_substrings(_docs_with_dups(spark, sf), "doc_id", "text")
+
+
+@q(
+    "dup_token_report",
+    _excise_tail_sql(
+        f"""corpus AS (SELECT doc_id, text FROM documents),
+    w AS ({_winnow_sql("corpus")}),
+    sh AS (SELECT fp, min(doc_id) AS keep_id FROM w
+           GROUP BY fp HAVING count(*) > 1),
+    m AS (SELECT DISTINCT w.doc_id, greatest(w.fp_pos - 3, 0)::BIGINT AS s,
+                 (w.fp_pos + 6)::BIGINT AS e
+          FROM w JOIN sh ON w.fp = sh.fp
+          WHERE w.doc_id <> sh.keep_id)""",
+        final_select="""
+    SELECT d.lang, d.source,
+           count(*)::BIGINT AS n_docs,
+           sum(e.n_tokens)::BIGINT AS toks,
+           sum(e.n_cut)::BIGINT AS cut,
+           ((sum(e.n_cut)::BIGINT * 1000) // sum(e.n_tokens)::BIGINT)::BIGINT
+             AS cut_permille
+    FROM perdoc e JOIN documents d ON d.doc_id = e.doc_id
+    GROUP BY d.lang, d.source
+    """,
+    ),
+)
+def dup_token_report_q(spark, sf):
+    """Duplicated-token corpus card: what FRACTION of each (lang, source)
+    slice's tokens sit inside intra-corpus duplicated spans — the
+    measurement layer over excise_dup_substrings that a corpus-quality
+    dashboard reports (Lee et al. 2022 motivate dedup by exactly this
+    number). Composition: keep-first span excision over the NATURAL
+    documents corpus (no planted dups — naturally shared boilerplate runs
+    are the signal), join the per-doc accounting back to the dims, one
+    combinable aggregation; integer permille for cross-engine equality."""
+    out = dedup.excise_dup_substrings(_t(spark, sf, "documents"), "doc_id", "text")
+    dims = _t(spark, sf, "documents").select("doc_id", "lang", "source")
+    return (
+        out.select("doc_id", "n_tokens", "n_cut")
+        .join(dims, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("toks"),
+            F.sum("n_cut").alias("cut"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "toks",
+            "cut",
+            F.expr("(cut * 1000) div toks").cast("long").alias("cut_permille"),
+        )
+    )
 
 
 @q(
