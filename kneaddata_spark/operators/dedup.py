@@ -666,14 +666,36 @@ def decontaminate_substrings(
     return corpus.join(dirty, id_col, "left_anti")
 
 
-def excise_substrings(
-    corpus: DataFrame,
+def benchmark_fingerprints(
     benchmark: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 4,
     window: int = 4,
+) -> DataFrame:
+    """Distinct winnowing fingerprint VALUES of a benchmark/eval set — the
+    small broadcastable probe side of every substring screen. Compute (and
+    persist) it ONCE when screening many batches against the same
+    benchmark (streaming/excise_stream.py); excise_substrings accepts it
+    via benchmark_fps."""
+    from .textstats import winnowing_fingerprints
+
+    return (
+        winnowing_fingerprints(benchmark, id_col, text_col, k, window)
+        .select("fp")
+        .distinct()
+    )
+
+
+def excise_substrings(
+    corpus: DataFrame,
+    benchmark: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
     merge_gap: int | None = None,
+    benchmark_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-span EXCISION — the production half of Lee et al. (2022)
     that `decontaminate_substrings` leaves on the table: instead of
@@ -711,17 +733,17 @@ def excise_substrings(
     reshuffles. The rebuild is pure JVM higher-order algebra
     (transform/filter/exists/concat_ws) — no Python in the emission path.
     """
-    from pyspark.sql import Window as W
-
     from .textstats import winnowing_fingerprints
 
     if merge_gap is None:
         merge_gap = window
+    if (benchmark is None) == (benchmark_fps is None):
+        raise ValueError("pass exactly one of benchmark / benchmark_fps")
 
     bfp = (
-        winnowing_fingerprints(benchmark, id_col, text_col, k, window)
-        .select("fp")
-        .distinct()
+        benchmark_fps
+        if benchmark_fps is not None
+        else benchmark_fingerprints(benchmark, id_col, text_col, k, window)
     )
     cfp = winnowing_fingerprints(corpus, id_col, text_col, k, window).select(
         F.col(id_col).alias("id"), "fp_pos", "fp"

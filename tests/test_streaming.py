@@ -78,6 +78,73 @@ def test_stream_vad_matches_batch(spark, clips_path, tmp_path):
     assert got == want and len(want) > 50
 
 
+def test_stream_excise_equals_batch_and_idempotent(spark, tmp_path):
+    """Streaming span excision == the batch operator over the union: two
+    files, one with planted benchmark passages; per-doc outputs from the
+    stream must equal excise_substrings run in batch on all docs, the
+    per-batch metric rows must sum to the batch accounting, and
+    re-triggering with the same checkpoint must change nothing."""
+    from kneaddata_spark.operators.dedup import excise_substrings
+    from kneaddata_spark.streaming.excise_stream import stream_excise
+
+    passage = (
+        "the benchmark answer key states that mitochondria are the "
+        "powerhouse of the cell in every textbook"
+    )
+    bench = spark.createDataFrame([("q1", passage)], "doc_id string, text string")
+    f0 = [("a0", "plain prose about rivers flowing gently through quiet "
+                  "valleys beneath old stone bridges"),
+          ("a1", "intro words " + passage + " outro words here")]
+    f1 = [("b0", passage),
+          ("b1", "another clean document describing careful bread baking "
+                 "methods in small village kitchens")]
+
+    src, out, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    import glob
+    import os
+    import shutil
+
+    def stage(rows, name):
+        tmp = src + "_stage_" + name
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], os.path.join(src, name))
+
+    stage(f0, "f0.parquet")
+    stage(f1, "f1.parquet")
+    q = stream_excise(spark, src, out, ckpt, bench, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"], r["n_spans"])
+        for r in spark.read.parquet(out + "/docs").collect()
+    }
+    both = spark.createDataFrame(f0 + f1, "doc_id string, text string")
+    want = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"], r["n_spans"])
+        for r in excise_substrings(both, bench, "doc_id", "text").collect()
+    }
+    assert got == want
+    assert got["a0"][2] == 0 and got["b1"][2] == 0     # clean docs intact
+    assert got["b0"][0] == "" and got["a1"][2] > 0     # passages cut
+
+    m = spark.read.parquet(out + "/metrics")
+    agg = m.groupBy().sum("n_docs", "docs_touched", "toks", "cut").collect()[0]
+    assert agg[0] == 4 and agg[1] == 2
+    assert agg[2] == sum(v[1] for v in want.values())
+    assert agg[3] == sum(v[2] for v in want.values())
+
+    q2 = stream_excise(spark, src, out, ckpt, bench, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_cut"], r["n_spans"])
+        for r in spark.read.parquet(out + "/docs").collect()
+    }
+    assert got2 == want
+
+
 def test_stream_dedup_incremental_and_idempotent(spark, tmp_path):
     """Streaming ingest dedup == the sequential batch composition:
     two files processed one-per-trigger; file B repeats content from
