@@ -234,6 +234,46 @@ def test_bmp_mixed_with_fake_mimes(spark):
         extract_image_features(df, strict=True).collect()
 
 
+# ------------------------------------------------------------ JSONL source --
+
+
+def test_jsonl_source_quarantine_split(spark, tmp_path):
+    """read_documents_jsonl: clean/quarantine split over a gzipped shard
+    with planted corruption — broken JSON, a blank line, and a valid
+    object missing a required field all land in quarantine with reasons;
+    row accounting closes (clean + quarantine == lines); extra JSON keys
+    are ignored."""
+    import gzip
+    import json
+
+    from kneaddata_spark.sources.jsonl import read_documents_jsonl
+
+    lines = [
+        json.dumps({"doc_id": 1, "lang": "en", "source": "web", "text": "hello world"}),
+        json.dumps({"doc_id": 2, "text": "no dims", "extra_key": [1, 2]}),
+        '{"doc_id": 3, "text": unquoted oops',               # broken JSON
+        "",                                                   # blank line
+        json.dumps({"doc_id": 4, "lang": "fr"}),              # missing text
+        json.dumps({"lang": "de", "text": "missing id"}),     # missing doc_id
+        json.dumps({"doc_id": 5, "text": "ok again"}),
+    ]
+    p = tmp_path / "shard.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines))
+
+    clean, quar = read_documents_jsonl(spark, str(p))
+    got = {r["doc_id"]: r for r in clean.collect()}
+    assert set(got) == {1, 2, 5}
+    assert got[1]["lang"] == "en" and got[2]["lang"] is None
+    assert got[2]["text"] == "no dims"  # extra keys ignored
+
+    q = {r["raw_line"]: r["reason"] for r in quar.collect()}
+    assert len(q) == 4 and clean.count() + quar.count() == len(lines)
+    assert q[lines[2]] == "unparseable" and q[""] == "unparseable"
+    assert q[lines[4]] == "missing:text"
+    assert q[lines[5]] == "missing:doc_id"
+
+
 # ------------------------------------------------------------ PNG kernel --
 
 
