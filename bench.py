@@ -124,6 +124,7 @@ HEADLINE = R3_SET + [
     "excise_spans",
     "excise_dup_spans",
     "dup_token_report",
+    "audio_flac",
 ]
 
 

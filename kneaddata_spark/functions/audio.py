@@ -120,6 +120,16 @@ def decode_wav(raw: bytes) -> "np.ndarray | None":
 # vectorized trim/clip kernel as the builtin codecs
 register_codec("wav", decode_wav)
 
+# "flac" is REAL since r5 (functions/flaccodec.py: mono/16-bit subset of
+# the public spec, numpy-vectorized Rice decode) — a genuinely COMPRESSED
+# format through the registry. Trimmed-byte re-slicing does not apply
+# (compressed payloads are not sample-sliceable JVM-side): flac rows get
+# NULL bytes_trimmed like non-canonical wavs, and a production sink
+# re-encodes (pipeline.bytes_trimmed_col docstring).
+from .flaccodec import decode_flac  # noqa: E402  (registry wiring)
+
+register_codec("flac", decode_flac)
+
 _S16 = 32768.0
 _U8 = 128.0
 _CLIP_S16 = 32736      # smallest int16 magnitude with |x|/32768 >= CLIP_SAMPLE_THRESH

@@ -151,7 +151,8 @@ def speech_only_clips(
     (the prep stage between VAD and packing/training: non-speech audio is
     wasted tokens). Returns (clip_id, codec, sr_hz, n_segments, speech_ms,
     speech_bytes); clips that are undecodable, have no qualifying speech
-    segment, or are non-canonical wavs emit NULL speech_bytes (a
+    segment, or carry payloads that JVM byte algebra cannot re-slice
+    (non-canonical wavs, real FLAC) emit NULL speech_bytes (a
     production sink re-encodes those — the bytes_trimmed_col rule).
 
     Boundary contract (the pipeline's asymmetric-Arrow shape): the VAD
@@ -206,6 +207,10 @@ def speech_only_clips(
         .when(F.col("codec") == "pcm_u8", pcmu8)
         .when((F.col("codec") == "wav") & F.expr(WAV_CANONICAL_SQL), wav)
         .when(F.col("codec") == "wav", F.lit(None).cast("binary"))
+        # real FLAC (r5): compressed payloads are not sample-sliceable in
+        # JVM binary algebra — NULL speech_bytes, the non-canonical-wav
+        # contract (segments/speech_ms stay exact; a sink re-encodes)
+        .when(F.col("codec") == "flac", F.lit(None).cast("binary"))
         .otherwise(fake)
     )
     return a.select(

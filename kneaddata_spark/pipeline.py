@@ -60,7 +60,7 @@ def bytes_trimmed_col() -> F.Column:
     nb = "(2*(trim_end - trim_start))"  # trimmed payload bytes (s16)
     pcm16 = F.expr("substring(bytes, 2*trim_start + 1, 2*(trim_end - trim_start))")
     pcmu8 = F.expr("substring(bytes, trim_start + 1, trim_end - trim_start)")
-    # fake flac/opus/mp3 container: 4-byte magic + LE-u32 payload length +
+    # fake opus/mp3 container: 4-byte magic + LE-u32 payload length +
     # s16le payload (rules.FAKE_MAGIC; real codec libs absent here)
     fake = F.expr(
         f"concat(substring(bytes, 1, 4), {le_u32(nb)}, "
@@ -85,6 +85,12 @@ def bytes_trimmed_col() -> F.Column:
         .when(F.col("codec") == "pcm_u8", pcmu8)
         .when((F.col("codec") == "wav") & wav_canonical, wav)
         .when(F.col("codec") == "wav", F.lit(None).cast("binary"))
+        # real FLAC (r5): a compressed payload is not sample-sliceable in
+        # JVM binary algebra — NULL trimmed bytes, the non-canonical-wav
+        # contract (QC verdict/features/trim bounds are complete; a
+        # production sink re-encodes). Parity moves to decoded-slice
+        # equality (tests/test_parity.py pcm SNR path).
+        .when(F.col("codec") == "flac", F.lit(None).cast("binary"))
         .otherwise(fake)
     )
 
@@ -200,6 +206,42 @@ def annotate(df: DataFrame, langid_bc, ppl_bc) -> DataFrame:
     return a
 
 
+def qc_output_select(ann: DataFrame) -> DataFrame:
+    """The QC output projection, shared by run_qc and streaming.stream_qc
+    (one contract, two execution modes — kneaddata's per-stage tmp files
+    collapse into this single partitioned table, run.py:372-450).
+
+    Payload contract for kept rows: `bytes` is the TRIMMED payload when
+    JVM byte algebra can re-slice the codec (pcm/canonical-wav/fake
+    containers — bytes_trimmed_col), else the ORIGINAL payload passes
+    through with `needs_reencode=true` and the exact `trim_start`/
+    `trim_end` sample bounds so an archival sink can re-encode (real FLAC
+    since r5, non-canonical wavs). Passing the original through instead of
+    NULL is the 100 TB-correct move: dropping a compressed payload the
+    annotate stage chose to KEEP would lose data; the trim metadata makes
+    the deferred re-encode exact (operators/flacarchive.reencode_trimmed
+    is that sink; its pytest proves slice-equality)."""
+    return ann.select(
+        "clip_id",
+        F.when(
+            F.col("keep"), F.coalesce(F.col("bytes_trimmed"), F.col("bytes"))
+        ).alias("bytes"),
+        (
+            F.col("keep") & F.col("bytes_trimmed").isNull() & F.col("decode_ok")
+        ).alias("needs_reencode"),
+        F.col("trim_start").cast("long").alias("trim_start"),
+        F.col("trim_end").cast("long").alias("trim_end"),
+        "sr_hz",
+        F.when(F.col("keep"), F.col("kept_ms").cast("int"))
+        .otherwise(F.col("dur_ms"))
+        .alias("dur_ms"),
+        "codec",
+        F.when(F.col("keep"), F.col("transcript_scrubbed")).alias("transcript"),
+        F.col("lang"),
+        F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"),
+    )
+
+
 @dataclass
 class QcResult:
     out_path: str       # one table, partitioned by status (kept | <drop_rule>)
@@ -261,18 +303,7 @@ def run_qc(
         *rule_counts,
     )
 
-    out = ann.select(
-        "clip_id",
-        F.when(F.col("keep"), F.col("bytes_trimmed")).alias("bytes"),
-        "sr_hz",
-        F.when(F.col("keep"), F.col("kept_ms").cast("int"))
-        .otherwise(F.col("dur_ms"))
-        .alias("dur_ms"),
-        "codec",
-        F.when(F.col("keep"), F.col("transcript_scrubbed")).alias("transcript"),
-        F.col("lang"),
-        F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"),
-    )
+    out = qc_output_select(ann)
     out_path = f"{out_dir}/clips_qc"
     out.write.mode("overwrite").partitionBy("status").parquet(out_path)
     # observe() sums are NULL over an empty input; normalize to 0 so callers

@@ -3904,6 +3904,21 @@ def audio_g711_q(spark, sf):
     return g711_transcode(_synth_clips(spark, 400, 8))
 
 
+@q("audio_flac")
+def audio_flac_q(spark, sf):
+    """FLAC archival transcode (operators/flacarchive): every decodable
+    clip re-encoded as a REAL FLAC stream (functions/flaccodec.py, the
+    in-repo mono/16-bit subset of the public spec) with a decode-back
+    round-trip proof per row — the lossless storage-tier move beside
+    G.711's lossy one. One Arrow stage, zero shuffles, payload bytes
+    stay Python-side. Rows-only (PCM decode + bit-level codec basis);
+    pytest: round-trip exactness on every row, crc_rt == crc_pcm,
+    ratio sanity vs incompressible noise, replica over oracle decode."""
+    from ..operators.flacarchive import flac_archive
+
+    return flac_archive(_synth_clips(spark, 400, 8))
+
+
 @q("quantile_sketch", None)  # oracle set right below (needs the helper)
 def quantile_sketch_q(spark, sf):
     """Mergeable quantile sketch (sketches.quantile_sketch): p50/p90/p99

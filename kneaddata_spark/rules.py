@@ -152,8 +152,10 @@ SCRUB_PATTERNS = (
 )
 
 # fake container magics used by the deterministic synthetic encoder/decoder
-# (real flac/opus/mp3 codec libraries are not in this container; the decode
+# (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic
 # header + little-endian s16 payload. The Spark-side plumbing — schema,
-# batching, partitioning — is real.)
-FAKE_MAGIC = {"flac": b"KSFL", "opus": b"KSOP", "mp3": b"KSMP"}
+# batching, partitioning — is real. `flac` rows carry REAL FLAC streams
+# since r5: functions/flaccodec.py implements the mono/16-bit subset of
+# the public spec in-repo, so flac left this table.)
+FAKE_MAGIC = {"opus": b"KSOP", "mp3": b"KSMP"}

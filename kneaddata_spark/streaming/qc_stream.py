@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline import annotate, broadcast_models
+from ..pipeline import annotate, broadcast_models, qc_output_select
 
 CLIP_DDL = (
     "clip_id string, bytes binary, sr_hz int, dur_ms int, "
@@ -52,18 +52,9 @@ def stream_qc(
     clips = reader.parquet(input_dir)
 
     ann = annotate(clips, langid_bc, ppl_bc)
-    out = ann.select(
-        "clip_id",
-        F.when(F.col("keep"), F.col("bytes_trimmed")).alias("bytes"),
-        "sr_hz",
-        F.when(F.col("keep"), F.col("kept_ms").cast("int"))
-        .otherwise(F.col("dur_ms"))
-        .alias("dur_ms"),
-        "codec",
-        F.when(F.col("keep"), F.col("transcript_scrubbed")).alias("transcript"),
-        F.col("lang"),
-        F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"),
-    )
+    # identical projection to the batch path (pipeline.qc_output_select):
+    # stream==batch is a schema-level contract, not just a count-level one
+    out = qc_output_select(ann)
     writer = (
         out.writeStream.format("parquet")
         .option("path", out_dir)

@@ -48,15 +48,20 @@ def _rng(i: int) -> np.random.Generator:
 
 
 def _encode(pcm: np.ndarray, codec: str, rng: np.random.Generator, sr_hz: int = 16000) -> bytes:
-    """Serialize float32 [-1,1] PCM per codec. flac/opus/mp3 use the
+    """Serialize float32 [-1,1] PCM per codec. opus/mp3 use the
     deterministic fake container (rules.FAKE_MAGIC): real codec libs are
-    absent in this environment; decode plumbing stays real."""
+    absent in this environment; decode plumbing stays real. flac is a
+    REAL compressed stream (functions/flaccodec.py) since r5."""
     s16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype("<i2")
     if codec == "pcm_s16le":
         return s16.tobytes()
     if codec == "pcm_u8":
         u8 = np.clip(np.round(pcm * 127.0) + 128, 0, 255).astype(np.uint8)
         return u8.tobytes()
+    if codec == "flac":
+        from .functions.flaccodec import encode_flac
+
+        return encode_flac(s16.view(np.int16), sr_hz if sr_hz > 0 else 16000)
     if codec in rules.FAKE_MAGIC:
         payload = s16.tobytes()
         return rules.FAKE_MAGIC[codec] + struct.pack("<I", len(payload)) + payload
@@ -131,7 +136,9 @@ def gen_clip(i: int) -> dict:
     pcm = np.clip(pcm, -1.0, 1.0)
 
     raw = _encode(pcm, codec, rng, sr)
-    if defect == "truncated" and (codec.startswith("pcm") or codec == "wav"):
+    if defect == "truncated" and (
+        codec.startswith("pcm") or codec in ("wav", "flac")
+    ):
         raw = raw[: max(2, len(raw) // 3)]
 
     # transcript: ~10% planted text defects, ~8% PII insertion

@@ -57,6 +57,7 @@ def annotated_pdf(spark, clips_path):
         "drop_rule",
         "keep",
         "transcript_scrubbed",
+        "bytes",
         "bytes_trimmed",
         "codec",
         "trim_start",

@@ -250,3 +250,114 @@ def test_cross_decoder_parity():
     bad = [cases[0][:100], b"fLaC" + bytes(60), bytes(200)]
     for raw in bad:
         assert decode_flac(raw) is None and decode_pcm(raw, "flac") is None
+
+
+# ----------------------------------------------------- archival operator ---
+
+
+def test_flac_archive_replica(spark):
+    """flac_archive witnesses equal the codec replay over the oracle
+    decode; every emitted row is round-trip exact (lossless proof);
+    exactly 1 Arrow stage, 0 exchanges."""
+    import zlib as _zlib
+
+    from kneaddata_spark.operators.flacarchive import flac_archive
+    from kneaddata_spark.oracle import decode_pcm
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(40)
+    base = spark.createDataFrame(pdf[["clip_id", "bytes", "codec"]])
+    plan = flac_archive(base)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("Exchange") == 0        # the operator adds no shuffle
+    res = flac_archive(base.repartition(4))
+
+    got = {r["clip_id"]: r for r in res.collect()}
+    n_checked = 0
+    for row in pdf.itertuples():
+        f = decode_pcm(bytes(row.bytes), row.codec)
+        if f is None or len(f) == 0:
+            assert row.clip_id not in got
+            continue
+        if row.codec == "pcm_u8":
+            x = (np.round(f * 128.0).astype(np.int64).astype(np.int16) * 256).astype(np.int16)
+        else:
+            x = np.round(f * 32768.0).astype(np.int64).clip(-32768, 32767).astype(np.int16)
+        g = got[row.clip_id]
+        enc = encode_flac(x, 16000)
+        assert g["n_samples"] == len(x)
+        assert g["flac_bytes"] == len(enc)
+        assert g["ratio_permille"] == len(enc) * 1000 // (2 * len(x))
+        assert g["crc_pcm"] == _zlib.crc32(x.astype("<i2").tobytes())
+        assert g["roundtrip_exact"] and g["crc_rt"] == g["crc_pcm"]
+        n_checked += 1
+    assert n_checked >= 25
+
+
+def test_flac_rows_flow_through_qc(spark):
+    """End-to-end: synth now emits REAL flac; those rows decode through
+    the registry inside annotate(), kept flac rows carry NULL
+    bytes_trimmed (compressed payloads are not JVM-sliceable — the
+    non-canonical-wav contract), and trim bounds remain exact."""
+    import pyspark.sql.functions as F
+
+    from kneaddata_spark.pipeline import annotate, broadcast_models
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    pdf = gen_clips_pdf(600)
+    flac_pdf = pdf[pdf["codec"] == "flac"]
+    assert len(flac_pdf) > 20                 # synth coverage guard
+    assert all(bytes(b)[:4] == b"fLaC" or len(bytes(b)) < 42
+               for b in flac_pdf["bytes"])    # truncated-defect rows excepted
+    df = spark.createDataFrame(pdf)
+    ann = annotate(df, *broadcast_models(spark)).where(F.col("codec") == "flac")
+    rows = ann.select("clip_id", "decode_ok", "keep", "trim_start", "trim_end",
+                      F.col("bytes_trimmed").isNull().alias("null_trim")).collect()
+    kept = [r for r in rows if r["keep"]]
+    assert len(kept) > 5
+    assert all(r["null_trim"] for r in rows)
+    assert any(r["decode_ok"] for r in rows)
+    assert any(not r["decode_ok"] for r in rows)   # truncated flac defects
+
+
+def test_reencode_trimmed_sink(spark, clips_path, tmp_path):
+    """run_qc pass-through contract + the archival re-encode sink: kept
+    flac rows leave run_qc with the ORIGINAL payload, needs_reencode=true
+    and exact trim bounds; reencode_trimmed turns each into a fresh FLAC
+    stream that decodes EXACTLY to decoded-original[trim_start:trim_end]
+    (the deferred version of the JVM bytes_trimmed slice)."""
+    import pyspark.sql.functions as F
+
+    from kneaddata_spark.operators.flacarchive import reencode_trimmed
+    from kneaddata_spark.oracle import decode_pcm
+    from kneaddata_spark.pipeline import run_qc
+
+    df = spark.read.parquet(clips_path)
+    res = run_qc(spark, df, str(tmp_path / "qc"))
+    out = spark.read.parquet(res.out_path)
+    kept = out.where("status = 'kept'")
+    # contract: every kept row carries a payload; needs_reencode marks
+    # exactly the rows whose payload is the untrimmed original
+    assert kept.where(F.col("bytes").isNull()).count() == 0
+    flagged = kept.where("needs_reencode").collect()
+    assert len(flagged) > 5
+    assert all(r["codec"] == "flac" for r in flagged)  # this corpus: only flac
+    assert kept.where("codec = 'flac' AND NOT needs_reencode").count() == 0
+
+    originals = {
+        r["clip_id"]: (bytes(r["bytes"]), r["codec"])
+        for r in df.select("clip_id", "bytes", "codec").collect()
+    }
+    enc = {r["clip_id"]: r for r in reencode_trimmed(kept).collect()}
+    assert set(enc) == {r["clip_id"] for r in flagged}
+    for r in flagged:
+        g = enc[r["clip_id"]]
+        assert g["roundtrip_exact"] and g["codec"] == "flac"
+        raw, codec = originals[r["clip_id"]]
+        full = decode_pcm(raw, codec)
+        want16 = np.round(full * 32768.0).astype(np.int64).clip(-32768, 32767)
+        got = decode_pcm(bytes(g["bytes"]), "flac")
+        sl = want16[int(r["trim_start"]):int(r["trim_end"])]
+        got16 = np.round(got * 32768.0).astype(np.int64).clip(-32768, 32767)
+        assert np.array_equal(got16, sl), r["clip_id"]
+        assert g["n_samples"] == len(sl)

@@ -3175,7 +3175,7 @@ def test_speech_only_clips_bit_exact(spark):
     assert _re.findall(r"Exchange \w+", plan) == ["Exchange RoundRobinPartitioning"]
 
     out = {r["clip_id"]: r for r in res.collect()}
-    n_checked = 0
+    n_checked = n_flac = 0
     for row in pdf.itertuples():
         r = out[row.clip_id]
         f = decode_pcm(bytes(row.bytes), row.codec)
@@ -3194,14 +3194,21 @@ def test_speech_only_clips_bit_exact(spark):
         if not segs:
             assert r["speech_bytes"] is None and r["n_segments"] == 0
             continue
-        want = np.concatenate([f[s * fl : e * fl] for s, e in segs])
-        got = decode_pcm(bytes(r["speech_bytes"]), row.codec)
-        assert got is not None and np.array_equal(got, want), row.clip_id
         assert r["n_segments"] == len(segs)
         tot = sum(e - s for s, e in segs)
         assert r["speech_ms"] == fl * tot * 1000 // sr
+        if row.codec == "flac":
+            # real FLAC (r5): compressed, not JVM-sliceable -> NULL
+            # payload by contract; segment accounting above stays exact
+            assert r["speech_bytes"] is None, row.clip_id
+            n_flac += 1
+            continue
+        want = np.concatenate([f[s * fl : e * fl] for s, e in segs])
+        got = decode_pcm(bytes(r["speech_bytes"]), row.codec)
+        assert got is not None and np.array_equal(got, want), row.clip_id
         n_checked += 1
     assert n_checked > 30  # the corpus exercises every codec branch
+    assert n_flac > 2  # NULL-contract path covered
 
 
 def test_clip_windows_decode_free_bit_exact(spark):

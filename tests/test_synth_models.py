@@ -41,6 +41,10 @@ def test_decode_roundtrip_all_codecs():
                 + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
                 + b"data" + struct.pack("<I", len(payload)) + payload
             )
+        elif codec == "flac":
+            from kneaddata_spark.functions.flaccodec import encode_flac
+
+            raw = encode_flac(s16.view(np.int16), 16000)
         else:
             raw = rules.FAKE_MAGIC[codec] + struct.pack("<I", len(s16.tobytes())) + s16.tobytes()
         dec = decode_pcm(raw, codec)
