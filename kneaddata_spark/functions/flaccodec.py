@@ -79,6 +79,65 @@ def crc16(data: bytes) -> int:
     return r
 
 
+_CRC16_CHUNK = 64
+_CRC16_ADV: "np.ndarray | None" = None  # advance-state-by-CHUNK-zero-bytes map
+
+
+def _crc16_advance_table() -> np.ndarray:
+    """state -> state after _CRC16_CHUNK zero bytes, for all 2^16 states.
+
+    CRC-16 with init 0 / no final xor is GF(2)-LINEAR in (state, message),
+    so crc(A || B) = ADV(crc(A)) ^ crc(B) when |B| == CHUNK: processing B
+    from state r equals processing zeros from r XOR processing B from 0.
+    Built once by running the byte-step over all 65536 states in lockstep
+    (CHUNK vectorized iterations); 128 KiB, cached for the process."""
+    global _CRC16_ADV
+    if _CRC16_ADV is None:
+        r = np.arange(65536, dtype=np.uint32)
+        for _ in range(_CRC16_CHUNK):
+            r = _CRC16_TAB[(r >> 8) & 0xFF] ^ ((r << 8) & 0xFFFF)
+        _CRC16_ADV = r.astype(np.uint16)
+    return _CRC16_ADV
+
+
+def crc16_many(frames: "list[bytes]") -> "list[int]":
+    """CRC-16 of many buffers via chunk-folding: each buffer is LEFT-padded
+    with zeros (identity under init 0) to a multiple of CHUNK bytes, every
+    CHUNK-byte chunk's CRC is computed independently in LOCKSTEP (one
+    python iteration per chunk byte POSITION, vectorized across ALL chunks
+    of ALL frames), then per frame the chunk CRCs fold left-to-right
+    through the advance-by-CHUNK-zeros table. ~CHUNK-fold fewer python
+    iterations than the per-byte crc16 (the encoder's measured hot spot:
+    58% of encode wall)."""
+    if not frames:
+        return []
+    s = _CRC16_CHUNK
+    rows = []
+    counts = []
+    for f in frames:
+        pad = (-len(f)) % s
+        b = np.frombuffer(f, dtype=np.uint8)
+        if pad:
+            b = np.concatenate([np.zeros(pad, dtype=np.uint8), b])
+        rows.append(b.reshape(-1, s))
+        counts.append(len(b) // s)
+    arr = np.vstack(rows) if rows else np.empty((0, s), dtype=np.uint8)
+    r = np.zeros(len(arr), dtype=np.uint32)
+    tab = _CRC16_TAB
+    for j in range(s):
+        r = tab[((r >> 8) ^ arr[:, j]) & 0xFF] ^ ((r << 8) & 0xFFFF)
+    adv = _crc16_advance_table()
+    out = []
+    off = 0
+    for c in counts:
+        state = 0
+        for cc in r[off : off + c]:
+            state = int(adv[state]) ^ int(cc)
+        out.append(state)
+        off += c
+    return out
+
+
 # --------------------------------------------------------- bit plumbing ----
 
 _POW2 = (1 << np.arange(63, -1, -1, dtype=np.int64))  # MSB-first weights
@@ -333,7 +392,7 @@ def encode_flac(
     si.w(n_total, 36)
     head = b"fLaC" + bytes([0x80]) + struct.pack(">I", 34)[1:] + si.to_bytes() + md5
 
-    out = [head]
+    frames = []
     for fidx, blk in enumerate(blocks):
         bs = len(blk)
         code = _BS_CODE.get(bs)
@@ -346,37 +405,16 @@ def encode_flac(
             hdr += struct.pack(">H", bs - 1)
         hdr.append(crc8(bytes(hdr)))
         body = _encode_block(blk.astype(np.int64), lpc_order, porder).to_bytes()
-        frame = bytes(hdr) + body
-        frame += struct.pack(">H", crc16(frame))
-        out.append(frame)
+        frames.append(bytes(hdr) + body)
+    # frame CRC-16s in lockstep across the clip's frames (crc16_many)
+    crcs = crc16_many(frames)
+    out = [head]
+    for frame, c in zip(frames, crcs):
+        out.append(frame + struct.pack(">H", c))
     return b"".join(out)
 
 
 # ------------------------------------------------------------- decoder -----
-
-# byte -> popcount and byte -> bit positions (MSB-first, matching
-# np.unpackbits order); used to list set-bit positions ~8x faster than
-# np.flatnonzero over the unpacked bit array (measured: nonzero was 47%
-# of decode wall)
-_POPCNT = np.array([bin(v).count("1") for v in range(256)], dtype=np.uint8)
-_NTH_BIT = np.zeros((256, 8), dtype=np.uint8)
-for _v in range(256):
-    _ps = [p for p in range(8) if (_v >> (7 - p)) & 1]
-    _NTH_BIT[_v, : len(_ps)] = _ps
-
-
-def _set_bit_positions(byts: np.ndarray) -> np.ndarray:
-    """Positions of set bits (int64) of a uint8 byte array, MSB-first."""
-    counts = _POPCNT[byts]
-    total = int(counts.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    rep = np.repeat(byts, counts)
-    ends = np.cumsum(counts.astype(np.int64))
-    within = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
-    base = np.repeat(np.arange(len(byts), dtype=np.int64) * 8, counts)
-    return base + _NTH_BIT[rep, within]
-
 
 class _Reader:
     """Bit cursor over np.unpackbits of the stream; vectorized group reads.
@@ -385,24 +423,23 @@ class _Reader:
     single try/except maps any malformation to None (the register_codec
     contract: undecodable -> None, surfacing as decode_error)."""
 
-    __slots__ = ("bits", "pos", "ones", "nbits", "ranks")
+    __slots__ = ("bits", "pos", "ones", "nbits")
 
     def __init__(self, data: bytes) -> None:
         byts = np.frombuffer(data, dtype=np.uint8)
         self.bits = np.unpackbits(byts)
         self.nbits = len(self.bits)
-        self.ones = _set_bit_positions(byts)
-        # ranks[p] = number of set bits at positions <= p, so the index of
-        # the first set bit at position >= p is ranks[p-1] (0 for p == 0):
-        # every "next set bit" / jump-table query becomes one O(1) gather
-        # instead of a searchsorted (measured: searchsorted was 18% of
-        # decode wall)
-        self.ranks = np.cumsum(self.bits, dtype=np.uint32)
+        # flatnonzero over the (already unpacked) bit array measures ~2.2x
+        # faster than the earlier byte-popcount listing on this numpy;
+        # rank queries are O(log n) searchsorted (scalar, a handful per
+        # frame) — the earlier full cumsum rank array cost ~2.7 ms per
+        # stream, more than every rank query it served
+        self.ones = np.flatnonzero(self.bits).astype(np.int64, copy=False)
         self.pos = 0
 
     def _rank(self, p: int) -> int:
         """Index into self.ones of the first set bit at position >= p."""
-        return int(self.ranks[p - 1]) if p > 0 else 0
+        return int(np.searchsorted(self.ones, p, side="left"))
 
     def u(self, n: int) -> int:
         if self.pos + n > self.nbits:
@@ -464,13 +501,22 @@ class _Reader:
             if m == 0:
                 raise IndexError
             # jump table: after terminator loc[j] and its k suffix bits,
-            # the next terminator is the first set bit >= loc[j]+1+k —
-            # rank-gather, clamped into the local slice
+            # the next terminator is the first set bit >= loc[j]+1+k. Its
+            # slice index is j + 1 + (# ones in (loc[j], loc[j]+k]) — one
+            # LOCAL cumsum over the partition's bit window + two gathers,
+            # ~6x cheaper than a per-query binary search at noise-like k
             fpad = np.empty(m + 1, dtype=np.int64)
-            tail = np.minimum(loc + k, self.nbits - 1)
-            np.minimum(
-                self.ranks[tail].astype(np.int64) - i0, m, out=fpad[:m]
-            )
+            if k > 0:
+                lo0 = int(loc[0])
+                hi = min(int(loc[-1]) + k + 1, self.nbits)
+                S = np.cumsum(self.bits[lo0:hi], dtype=np.int32)
+                upper = np.minimum(loc + k, hi - 1) - lo0
+                cnt = S[upper] - S[loc - lo0]
+                np.minimum(
+                    np.arange(1, m + 1, dtype=np.int64) + cnt, m, out=fpad[:m]
+                )
+            else:
+                fpad[:m] = np.arange(1, m + 1, dtype=np.int64)
             fpad[m] = m                           # absorbing sentinel
             orb = np.zeros(1, dtype=np.int64)
             F = fpad
