@@ -24,13 +24,17 @@ Scope (the mono speech-corpus subset, explicit and test-pinned):
 
 Performance: decode_flac is called per row inside the QC Arrow stage
 (CodecSpec kind="python"), so it is numpy-vectorized per frame, not
-per-sample: Rice partitions decode via a path-doubling jump table over
-the positions of set bits (O(n log n) numpy ops, no python per-sample
-loop), fixed-predictor restore is `order` cumsums, and warmup/verbatim
-reads are one fancy-index + matmul. The only python per-sample loop is
-LPC restore (the encoder default emits fixed predictors; LPC is decoded
-correctly but is the slow path, exercised by tests via encode_flac's
-lpc_order knob).
+per-sample: Rice partitions decode via a BLOCK-doubled jump table over
+the positions of set bits (square the table only to f^64, then walk the
+orbit frontier 64 terminators per gather — the higher squarings of full
+path doubling are the measured hot spot and buy nothing the walk
+doesn't), fixed-predictor restore is `order` cumsums, and
+warmup/verbatim reads are one fancy-index + matmul. Jump tables stay
+int64: numpy casts index arrays to intp per gather, so int32 tables
+measure 3x slower despite half the traffic. The only python per-sample
+loop is LPC restore (the encoder default emits fixed predictors; LPC is
+decoded correctly but is the slow path, exercised by tests via
+encode_flac's lpc_order knob).
 
 Reference lineage: kneaddata treats decoder availability as a runtime
 capability (tests/functional_tests.py:12-17 skip when a tool binary is
@@ -141,6 +145,7 @@ def crc16_many(frames: "list[bytes]") -> "list[int]":
 # --------------------------------------------------------- bit plumbing ----
 
 _POW2 = (1 << np.arange(63, -1, -1, dtype=np.int64))  # MSB-first weights
+_ORBIT_STEP = 64  # rice_block block-doubling granularity (~sqrt(blocksize))
 
 
 def _bits_of(val: int, n: int) -> np.ndarray:
@@ -429,16 +434,20 @@ class _Reader:
         byts = np.frombuffer(data, dtype=np.uint8)
         self.bits = np.unpackbits(byts)
         self.nbits = len(self.bits)
-        # flatnonzero over the (already unpacked) bit array measures ~2.2x
-        # faster than the earlier byte-popcount listing on this numpy;
-        # rank queries are O(log n) searchsorted (scalar, a handful per
-        # frame) — the earlier full cumsum rank array cost ~2.7 ms per
-        # stream, more than every rank query it served
-        self.ones = np.flatnonzero(self.bits).astype(np.int64, copy=False)
+        # nonzero over the BOOL view measures ~1.7x faster than
+        # flatnonzero over the uint8 array on this numpy, and its native
+        # int64 output is kept as-is: every fancy index below needs intp
+        # indices, and an int32 table pays a full cast per gather
+        # (measured 3x slower on the squaring loop than int64).
+        self.ones = np.nonzero(self.bits.view(np.bool_))[0]
         self.pos = 0
 
     def _rank(self, p: int) -> int:
-        """Index into self.ones of the first set bit at position >= p."""
+        """Index into self.ones of the first set bit at position >= p.
+
+        A dtype-matched probe matters: searchsorted with a mismatched
+        probe dtype copies the whole haystack per query (measured
+        0.15 ms/call vs ~1 us)."""
         return int(np.searchsorted(self.ones, p, side="left"))
 
     def u(self, n: int) -> int:
@@ -484,11 +493,14 @@ class _Reader:
     def rice_block(self, count: int, k: int) -> np.ndarray:
         """Vectorized Rice decode: the i-th terminator is f^i(first-one),
         where f jumps past a terminator's k suffix bits to the next set
-        bit — computed for all i at once by path doubling over the jump
-        table (no per-sample python loop). The i-th terminator lies among
-        the first (k+1)*count set bits after pos (each value consumes one
-        terminator + at most k set suffix bits), so the local jump table
-        is provably large enough or the stream is malformed."""
+        bit — computed for all i at once by path doubling over a jump
+        table (no per-sample python loop). The table is built over a
+        LOCAL bit window sized to the partition's expected footprint
+        (count*(1+k) code bits + ~count unary zeros at a well-chosen k)
+        and grown geometrically until the orbit completes inside it — a
+        window edge can only truncate the table, which the absorbing
+        sentinel detects, never mis-link it (cnt is computed from the
+        real bits past the edge)."""
         if count == 0:
             return np.empty(0, dtype=np.int64)
         i0 = self._rank(self.pos)
@@ -504,7 +516,9 @@ class _Reader:
             # the next terminator is the first set bit >= loc[j]+1+k. Its
             # slice index is j + 1 + (# ones in (loc[j], loc[j]+k]) — one
             # LOCAL cumsum over the partition's bit window + two gathers,
-            # ~6x cheaper than a per-query binary search at noise-like k
+            # kept int64/intp throughout: int32 tables measure 3x SLOWER
+            # on the squaring loop (numpy casts index arrays to intp per
+            # gather)
             fpad = np.empty(m + 1, dtype=np.int64)
             if k > 0:
                 lo0 = int(loc[0])
@@ -518,11 +532,27 @@ class _Reader:
             else:
                 fpad[:m] = np.arange(1, m + 1, dtype=np.int64)
             fpad[m] = m                           # absorbing sentinel
-            orb = np.zeros(1, dtype=np.int64)
+            # orbit of f from 0 by BLOCK doubling: square the table only
+            # up to F = f^STEP (log2(STEP) m-sized gathers), then extend
+            # the orbit frontier STEP entries at a time (count/STEP tiny
+            # gathers). Full path doubling squares on to f^(count/2);
+            # those extra log2(count/STEP) m-sized squarings are the
+            # dominant cost and buy nothing the frontier walk doesn't.
             F = fpad
-            while len(orb) < count:
+            orb = np.zeros(1, dtype=np.int64)
+            while len(orb) < count and len(orb) < _ORBIT_STEP:
                 orb = np.concatenate([orb, F[orb]])
-                F = F[F]                          # values <= m stay in range
+                if len(orb) < count:
+                    F = F[F]                      # F = f^len(orb); <= m stays in range
+            if len(orb) < count:
+                parts = [orb]
+                frontier = orb
+                got = len(orb)
+                while got < count:
+                    frontier = F[frontier]
+                    parts.append(frontier)
+                    got += len(frontier)
+                orb = np.concatenate(parts)
             orb = orb[:count]
             if int(orb[-1]) < m:
                 break
@@ -530,15 +560,13 @@ class _Reader:
             raise IndexError                      # ran off the stream
         term = loc[orb]
         starts = np.concatenate([[self.pos], term[:-1] + 1 + k])
-        q = term - starts
+        q = (term - starts).astype(np.int64, copy=False)
         if k > 0:
             end = int(term[-1]) + 1 + k
             if end > self.nbits:
                 raise IndexError
             idx = term[:, None] + 1 + np.arange(k, dtype=np.int64)[None, :]
-            suf = self.bits[idx].astype(np.int64) @ (
-                1 << np.arange(k - 1, -1, -1, dtype=np.int64)
-            )
+            suf = self.bits[idx] @ (1 << np.arange(k - 1, -1, -1, dtype=np.int64))
             u = (q << k) | suf
             self.pos = end
         else:

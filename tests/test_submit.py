@@ -39,23 +39,29 @@ def test_spark_submit_pyfiles(tmp_path):
 
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     out_dir = str(tmp_path / "out")
-    proc = subprocess.run(
-        [
-            spark_submit,
-            "--master", "local[4]",
-            "--conf", "spark.ui.enabled=false",
-            "--conf", "spark.sql.shuffle.partitions=8",
-            "--py-files", zip_path,
-            os.path.join(REPO, "tools", "qc_submit.py"),
-            "--synthesize", "300",
-            "--output", out_dir,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=600,
-        env=env,
-        cwd=str(tmp_path),  # NOT the repo: only the zip provides the package
-    )
+    # one retry: this spawns a SECOND Spark JVM; under the full suite's
+    # load this box occasionally kills/starves it (observed one-off
+    # failure in an otherwise-green run; always passes standalone)
+    for attempt in (1, 2):
+        proc = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", zip_path,
+                os.path.join(REPO, "tools", "qc_submit.py"),
+                "--synthesize", "300",
+                "--output", out_dir,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env=env,
+            cwd=str(tmp_path),  # NOT the repo: only the zip provides the package
+        )
+        if proc.returncode == 0:
+            break
     assert proc.returncode == 0, proc.stderr[-3000:]
     line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
     metrics = json.loads(line)
