@@ -514,21 +514,23 @@ class _Reader:
                 raise IndexError
             # jump table: after terminator loc[j] and its k suffix bits,
             # the next terminator is the first set bit >= loc[j]+1+k. Its
-            # slice index is j + 1 + (# ones in (loc[j], loc[j]+k]) — one
-            # LOCAL cumsum over the partition's bit window + two gathers,
-            # kept int64/intp throughout: int32 tables measure 3x SLOWER
-            # on the squaring loop (numpy casts index arrays to intp per
-            # gather)
+            # slice index is j + 1 + (# ones in (loc[j], loc[j]+k]), and
+            # because loc lists EVERY set bit of the window in order,
+            # rank(loc[j]) = j+1 exactly — so f(j) collapses to
+            # S[loc[j]+k], the rank of the suffix's last bit position:
+            # one LOCAL cumsum + one gather. Tables stay int64/intp:
+            # int32 measures 3x SLOWER on the squaring loop (numpy casts
+            # index arrays to intp per gather).
             fpad = np.empty(m + 1, dtype=np.int64)
             if k > 0:
                 lo0 = int(loc[0])
                 hi = min(int(loc[-1]) + k + 1, self.nbits)
-                S = np.cumsum(self.bits[lo0:hi], dtype=np.int32)
-                upper = np.minimum(loc + k, hi - 1) - lo0
-                cnt = S[upper] - S[loc - lo0]
-                np.minimum(
-                    np.arange(1, m + 1, dtype=np.int64) + cnt, m, out=fpad[:m]
-                )
+                S = np.cumsum(self.bits[lo0:hi], dtype=np.int64)
+                # loc[j]+k never exceeds hi-1 == loc[-1]+k except when hi
+                # is clamped by the stream end — where no bits exist past
+                # nbits anyway, so clamping preserves the rank
+                upper = np.minimum(loc + (k - lo0), hi - 1 - lo0)
+                np.minimum(S[upper], m, out=fpad[:m])
             else:
                 fpad[:m] = np.arange(1, m + 1, dtype=np.int64)
             fpad[m] = m                           # absorbing sentinel
