@@ -212,6 +212,9 @@ def _rice_bits(u: np.ndarray, k: int) -> int:
 
 
 def _best_rice_k(u: np.ndarray) -> int:
+    # NOTE: a one-shot (n, 15) shift + column-reduce looks cheaper under
+    # cProfile but measures ~20% SLOWER in wall time — the 15 small
+    # passes stay in L1/L2 while the matrix materializes 0.5 MB per call
     best_k, best = 0, _rice_bits(u, 0)
     for k in range(1, 15):
         c = _rice_bits(u, k)
