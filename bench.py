@@ -125,6 +125,7 @@ HEADLINE = R3_SET + [
     "excise_dup_spans",
     "dup_token_report",
     "audio_flac",
+    "webdataset_manifest",
 ]
 
 

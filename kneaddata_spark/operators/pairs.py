@@ -93,20 +93,37 @@ def global_rank(
 
     The zipWithIndex shape, kept fully declarative: range-repartition on the
     order keys (a distributed sort), rank within each range partition, then
-    add per-partition offsets. The partition-count frame appears twice in
-    the plan over the SAME range exchange, so Spark's ReuseExchange rule
-    shuffles the data once; offsets come from a triangular self-join over
+    add per-partition offsets. Offsets come from a triangular self-join over
     the (tiny, = #partitions rows) count frame — no global window anywhere,
     no driver collect. Rows with equal keys land in the same range
     partition, so ranks are exactly row_number() over a global sort.
+
+    The ranged frame is persist_tracked (r5 correctness fix): the offsets
+    subtree and the data subtree MUST see the SAME range partitioning.
+    ReuseExchange used to be what aligned them, but it only fires when the
+    two subtrees stay identical after optimization — a downstream
+    projection that prunes columns on one side (e.g. an aggregate over a
+    payload column the count side never reads) breaks reuse, and each
+    range exchange then SAMPLES ITS OWN boundaries (RangePartitioner
+    seeds per RDD), silently mis-ranking rows near partition edges
+    (caught by the webdataset_manifest oracle at sf0.1). The persist pins
+    ONE evaluation of the sort for both subtrees regardless of pruning
+    (the cache is matched on the pre-pruning logical plan) — and drops
+    the second sort ReuseExchange used to leave behind when it missed.
+    Callers should rank slim projections (every in-repo caller ranks
+    (id, key) columns; payload columns join back afterwards).
     """
+    from .caching import persist_tracked
+
     cols = [F.col(c).asc() for c in order_cols]
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    s = df.repartitionByRange(num_partitions, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    s = persist_tracked(
+        df.repartitionByRange(num_partitions, *cols).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     cnt = s.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     offs = (
