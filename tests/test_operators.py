@@ -271,6 +271,40 @@ def test_global_rank_no_global_window(spark):
     assert [r for _, _, r in got] == list(range(1, 202))
 
 
+def test_global_rank_survives_divergent_pruning(spark):
+    """r5 regression pin: global_rank's offsets and data subtrees must see
+    ONE range partitioning even when downstream pruning differs between
+    them (an aggregate over a payload column the count side never reads).
+    Pre-fix, correctness hinged on ReuseExchange deduplicating the two
+    range sorts; pruning divergence broke reuse and each exchange sampled
+    its own boundaries (seeded per RDD id — session-dependent, which is
+    why the bug surfaced only in the sf0.1 oracle sweep). The fix persists
+    the ranged frame, so the structural assert is that BOTH consumers
+    read the cache (>=2 InMemoryTableScan), alongside the behavioral
+    rank check on a payload-carrying frame."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p" * 64), F.col("id").cast("string")).alias("payload"),
+    )
+    ranked = pairs.global_rank(df, ["k"], rank_col="__r")
+    agg = ranked.groupBy(
+        F.expr("cast((__r - 1) div 64 as bigint)").alias("shard")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length("payload")).alias("payload_bytes"),
+        F.min("k").alias("lo"),
+        F.max("k").alias("hi"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    rows = sorted(tuple(r) for r in agg.collect())
+    for shard, n, _, lo, hi in rows:
+        want_n = 64 if shard < 3000 // 64 else 3000 % 64
+        assert (n, lo, hi) == (want_n, shard * 64, shard * 64 + n - 1), rows[:4]
+
+
 def test_no_global_window_in_driver_queries(spark):
     """Sweep every driver query plan for single-partition Windows
     (scale-killer guard; streaming query excluded — building it executes)."""
