@@ -6,12 +6,15 @@ Image and video decode each have a registry mirroring the audio codec
 seam (``register_image_decoder`` / ``register_video_decoder``), with
 REAL formats registered — an uncompressed 24-bit BMP (``decode_bmp``),
 a genuinely COMPRESSED baseline PNG (``decode_png``, stdlib zlib +
-numpy: DEFLATE streams, chunk CRCs, all five scanline filters) and an
-uncompressed RIFF/AVI frame extractor (``decode_avi_frames``) — no
-external library needed, and rows carrying a registered mime get real
-pixel-derived features (header geometry, per-channel stats, per-frame
-crc/mean/std). Formats needing absent libraries (jpeg via PIL,
-compressed video codecs via ffmpeg) remain STUBS with two modes:
+numpy: DEFLATE streams, chunk CRCs, all five scanline filters), a real
+baseline JPEG (``functions/jpegcodec.decode_jpeg``: Huffman entropy
+decode, dequant + vectorized IDCT, 4:2:0/4:4:4 chroma, restart
+markers) and an uncompressed RIFF/AVI frame extractor
+(``decode_avi_frames``) — no external library needed, and rows
+carrying a registered mime get real pixel-derived features (header
+geometry, per-channel stats, per-frame crc/mean/std). Formats needing
+absent libraries (compressed video codecs via ffmpeg) remain STUBS
+with two modes:
  - strict=True  -> NotImplementedError (clearly marked missing kernel);
  - strict=False -> deterministic fake features derived from the byte
    content (stable hashes), so the Spark-side plumbing — schema, Arrow
@@ -156,12 +159,21 @@ def decode_png(raw: bytes) -> "np.ndarray | None":
     return px[:, :, :3].copy()
 
 
+def _decode_jpeg(raw: bytes) -> "np.ndarray | None":
+    # lazy import: jpegcodec builds DCT/zigzag tables at module import,
+    # and most pipelines never touch image rows
+    from .functions.jpegcodec import decode_jpeg
+
+    return decode_jpeg(raw)
+
+
 # mime -> decode(bytes) -> (H, W, 3) uint8 RGB or None. The image-side
 # analog of functions/audio.register_codec: a real PIL/ffmpeg decoder
 # drops in without touching the Spark plan.
 IMAGE_DECODERS: dict[str, Callable[[bytes], "np.ndarray | None"]] = {
     "image/bmp": decode_bmp,
     "image/png": decode_png,
+    "image/jpeg": _decode_jpeg,
 }
 
 
