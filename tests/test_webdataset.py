@@ -146,3 +146,77 @@ def test_shard_plan_rejects_bad_chunk(spark):
 
     with pytest.raises(ValueError):
         shard_plan(_docs(spark), "doc_id", samples_per_shard=0)
+
+
+def test_stream_shards_equal_batch_and_idempotent(spark, tmp_path):
+    """Streaming shard sink == per-batch write_shards, byte-for-byte: two
+    files processed one per trigger; every batch's streamed tars must
+    carry the same sha256 set as running the batch operator on that
+    file's rows alone, and a re-trigger on the same checkpoint must leave
+    every tar byte-identical (receipts prove it — the sink's idempotency
+    is byte-grade, not just overwrite-grade)."""
+    import glob
+    import shutil
+    import time
+
+    from kneaddata_spark.sources.webdataset import shard_plan, write_shards
+    from kneaddata_spark.streaming.shard_stream import stream_webdataset
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "shards")
+    rec = str(tmp_path / "receipts")
+    ckpt = str(tmp_path / "ckpt")
+
+    batches = [
+        [(f"a{i:03d}", f"alpha document {i} " + "x" * (i % 7)) for i in range(45)],
+        [(f"b{i:03d}", f"beta document {i}") for i in range(23)],
+    ]
+
+    def stage(rows, name):
+        tmp = src + "_stage_" + name
+        spark.createDataFrame(rows, "doc_id string, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        os.makedirs(src, exist_ok=True)
+        shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], os.path.join(src, name))
+
+    stage(batches[0], "f0.parquet")
+    q = stream_webdataset(spark, src, out, rec, ckpt, samples_per_shard=20,
+                          max_files_per_trigger=1)
+    q.awaitTermination(180)
+    stage(batches[1], "f1.parquet")
+    time.sleep(0.2)
+    q = stream_webdataset(spark, src, out, rec, ckpt, samples_per_shard=20,
+                          max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {
+        (r.batch_id, r.shard): (r.n_samples, r.sha256)
+        for r in spark.read.parquet(rec).collect()
+    }
+    # batch replica: write_shards per file into a fresh dir
+    want = {}
+    for bid, rows in enumerate(batches):
+        d = spark.createDataFrame(rows, "doc_id string, text string")
+        rep = write_shards(
+            shard_plan(d, "doc_id", 20), str(tmp_path / f"ref{bid}"),
+            "doc_id", "text",
+        ).collect()
+        for r in rep:
+            want[(bid, r.shard)] = (r.n_samples, r.sha256)
+    assert got == want
+
+    # re-trigger: no new input -> receipts unchanged, tar files unchanged
+    hashes_before = {
+        p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out, "batch_id=*", "*.tar"))
+    }
+    assert len(hashes_before) == len(want)
+    q = stream_webdataset(spark, src, out, rec, ckpt, samples_per_shard=20,
+                          max_files_per_trigger=1)
+    q.awaitTermination(120)
+    hashes_after = {
+        p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+        for p in glob.glob(os.path.join(out, "batch_id=*", "*.tar"))
+    }
+    assert hashes_after == hashes_before
