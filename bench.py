@@ -126,6 +126,7 @@ HEADLINE = R3_SET + [
     "dup_token_report",
     "audio_flac",
     "webdataset_manifest",
+    "fbank_stats",
 ]
 
 

@@ -3334,6 +3334,23 @@ def bpe_tokenize_q(spark, sf):
     return bpe.bpe_encode(d, merges)
 
 
+@q("fbank_stats")
+def fbank_stats_q(spark, sf):
+    """Log-mel filterbank witness panel (operators/fbank): the standard
+    ASR training front-end — 25 ms Hamming frames at a 10 ms hop, power
+    spectrum, 23 HTK-mel triangles, log floor — reduced to per-clip
+    scalars (n_frames, dominant_band, mean/std milli). Rows-only by
+    necessity (binary PCM decode, the vad_segments basis); pytest
+    replica-gates the kernel against an independent direct-DFT double
+    sum + explicit triangle filters, planted tones land in their mel
+    band, and every Spark scalar equals the kernel over
+    oracle.decode_pcm. Plan: 1 ArrowEvalPython, 0 exchanges
+    (pytest-enforced)."""
+    from ..operators.fbank import fbank_stats
+
+    return fbank_stats(_synth_clips(spark, 400, 8))
+
+
 @q("pitch_screen")
 def pitch_screen_q(spark, sf):
     """Pitch / periodicity screen (operators/pitch): integer

@@ -102,6 +102,18 @@ PITCH_F0_MAX_HZ = 350
 # argmax drifts to whichever multiple is closest to an integer lag.
 PITCH_PEAK_TOL_PERMILLE = 950
 
+# --- log-mel filterbank features (operators/fbank.py) ----------------------
+# The standard ASR training front-end: 25 ms Hamming frames at a 10 ms
+# hop, power spectrum, triangular mel filters from FBANK_FMIN_HZ to
+# sr/2 (HTK mel scale 2595*log10(1+f/700)), natural log with an energy
+# floor. Frames are FULL frames only (the clip_windows tail rule).
+FBANK_N_MELS = 23
+FBANK_WIN_MS = 25
+FBANK_HOP_MS = 10
+FBANK_FMIN_HZ = 20
+FBANK_LOG_FLOOR = 1e-10
+FBANK_PREEMPH_MILLI = 970   # y[i] = x[i] - 0.970*x[i-1]
+
 # --- transcript structural ------------------------------------------------
 MIN_TRANSCRIPT_CHARS = 3
 

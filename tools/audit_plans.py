@@ -123,6 +123,9 @@ AUDIT = [
     # r4e: pitch screen — ONE Arrow decode+autocorr stage, zero shuffles
     # (same pin as VAD/resample); verdicts are JVM integer compares
     ("pitch_screen", {"max_exchanges": 0, "arrow_only": True}),
+    # r5: log-mel filterbank witnesses — ONE Arrow decode+FFT stage,
+    # zero shuffles (same pin); scalars out, frame matrices stay Python
+    ("fbank_stats", {"max_exchanges": 0, "arrow_only": True}),
     # r4e: zone-map stats — one combinable agg; the two count_distincts
     # plan as one expand + two-phase agg (2 shuffles)
     ("zone_map_stats", {"max_exchanges": 2, "no_python": True}),
