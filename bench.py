@@ -148,11 +148,15 @@ def ensure_clips(spark, n: int) -> str:
     return path
 
 
-def bench_qc_pipeline(spark, n_clips: int, reps: int = 3) -> tuple[float, list, dict]:
+def bench_qc_pipeline(spark, n_clips: int, reps: int = 5) -> tuple[float, list, dict]:
     """Best-of-reps: this VM shows 2-4x run-to-run variance under
     noisy-neighbor steal; best-of is the stable engine-speed signal.
     Per-rep walls are returned so the noise is VISIBLE in BENCH output
-    (VERDICT r1 next-round #7)."""
+    (VERDICT r1 next-round #7). reps=5 (r5): after the ~98-query sweep
+    the first QC reps absorb session churn (GC + page-cache turnover) —
+    a measured 3-rep tail was still descending [52.5, 36.6, 18.7] while
+    the same build isolated on the same box reads 10.9 s; five reps let
+    the recorded best converge to engine speed."""
     from kneaddata_spark.pipeline import broadcast_models, run_qc
 
     path = ensure_clips(spark, n_clips)
