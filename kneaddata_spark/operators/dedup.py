@@ -414,8 +414,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_label"))
         )
+        # carry the round's starting label as __old so convergence is a
+        # scan of the checkpointed frame, NOT a shuffle join back to the
+        # previous label table — one fewer shuffle per round, and at
+        # corpus scale the convergence check costs a filter instead of a
+        # re-partition of the full label table
         new = labels.join(nbr_min, "id", "left").select(
             "id",
+            F.col("cluster_id").alias("__old"),
             F.least(
                 F.col("cluster_id"), F.coalesce("nbr_label", F.col("cluster_id"))
             ).alias("cluster_id"),
@@ -430,19 +436,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             new.join(parent, new.cluster_id == parent.__pid, "left")
             .select(
                 "id",
+                "__old",
                 F.least(
                     F.col("cluster_id"), F.coalesce("__plabel", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new
+        changed = new.where(F.col("cluster_id") != F.col("__old")).count()
+        labels = new.select("id", "cluster_id")
         if changed == 0:
             break
     if changed != 0:
