@@ -127,6 +127,9 @@ HEADLINE = R3_SET + [
     "audio_flac",
     "webdataset_manifest",
     "fbank_stats",
+    "audio_adpcm",
+    "specaugment",
+    "containment_pairs",
 ]
 
 

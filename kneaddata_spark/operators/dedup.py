@@ -165,6 +165,51 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | str | None = "auto",
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+    C = inter / min(|A|, |B|) >= threshold (id_a < id_b), plus
+    contained_id = the smaller-shingle-set side (ties -> id_a).
+
+    The case Jaccard structurally misses: a short document quoted
+    verbatim inside a long one has J = |A|/|B| (tiny) but C = 1.0 —
+    the quote-inclusion / subset-page class (Broder 1997 'roughly
+    contained'). Same machinery and scale shape as ngram_jaccard_pairs:
+    one shingle self-join (df-guard bounded), sizes joined back keyed
+    (AQE broadcasts when small), persist_tracked shingle frame."""
+    sh = persist_tracked(word_shingles(df, id_col, text_col, n, max_df))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("containment", F.col("inter") / F.least("sz_a", "sz_b"))
+        .where(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("containment", 6).alias("containment"),
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("contained_id"),
+        )
+    )
+    return out
+
+
 # -------------------------------------------------------------- minhash --
 
 # Mersenne prime 2^31-1: (x%p)*a + b stays < 2^62, no int64 overflow

@@ -2020,6 +2020,68 @@ def ngram_jaccard_pairs_q(spark, sf):
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+# Quote-inclusion planting for the containment screen: the first 15
+# space-tokens of each doc_id < 30 re-appear as their own document —
+# the subset/quote class whose Jaccard is tiny (|A|/|B|) but whose
+# containment is 1.0. Literal-space split on BOTH engines.
+_DOCS_QUOTES_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           array_to_string(string_split(text, ' ')[1:15], ' ') AS text
+    FROM documents WHERE doc_id < 30
+"""
+
+
+def _docs_with_quotes(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = d.where("doc_id < 30").select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 15), " ").alias("text"),
+    )
+    return d.unionByName(quotes)
+
+
+_CONTAIN_SQL = f"""
+    WITH d AS ({_DOCS_QUOTES_SQL}),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS tokens FROM d),
+           LATERAL (SELECT unnest(generate_series(1, greatest(len(tokens) - 2, 0))) AS i)
+    ),
+    hot AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) > greatest({dedup.AUTO_DF_MIN}, (SELECT count(*) FROM d) // {dedup.AUTO_DF_DIV})
+    ),
+    sh2 AS (SELECT id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sz AS (SELECT id, count(*) AS sz FROM sh2 GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh2 a JOIN sh2 b USING (shingle) WHERE a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / least(sa.sz, sb.sz), 6) AS containment,
+           CASE WHEN sa.sz <= sb.sz THEN id_a ELSE id_b END AS contained_id
+    FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+    WHERE inter::DOUBLE / least(sa.sz, sb.sz) >= 0.8
+"""
+
+
+@q("containment_pairs", _CONTAIN_SQL)
+def containment_pairs_q(spark, sf):
+    """Asymmetric n-gram CONTAINMENT near-dup pairs (dedup.
+    containment_pairs): C = inter / min(|A|,|B|) >= 0.8, the Broder
+    'roughly contained' relation — catches the quote-inclusion /
+    subset-page class whose Jaccard is structurally tiny (a 15-token
+    quote inside a 200-token page has J ~ 0.07 but C = 1.0; the
+    planted quote docs prove it). Same single-shuffle shingle
+    self-join + df-guard shape as ngram_jaccard_pairs; contained_id
+    names the subset side (ties -> id_a)."""
+    d = _docs_with_quotes(spark, sf)
+    return dedup.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)
+
+
 @q("minhash_dedup_pairs", _JACCARD_SQL)
 def minhash_dedup_pairs_q(spark, sf):
     """MinHash+LSH near-dup screen, oracle-checked against the EXACT
@@ -3334,6 +3396,26 @@ def bpe_tokenize_q(spark, sf):
     return bpe.bpe_encode(d, merges)
 
 
+@q("specaugment")
+def specaugment_q(spark, sf):
+    """SpecAugment (operators/specaugment): deterministic time/frequency
+    masking over the decode-once fbank stage (Park et al. 2019) — the
+    standard ASR training augmentation. Mask geometry is a pure integer
+    function of (clip_id, seed) via crc32 (the noise_mix determinism
+    rule: augmented shards must be retry/partitioning-invariant), and
+    ALL masking is JVM Column algebra (transform/zip_with/aggregate in
+    whole-stage codegen) — the augmentation adds ZERO Python on top of
+    the one Arrow fbank stage. Witness panel: mask geometry, EXACT
+    masked-cell count (predicate-counted, so a natural 0.0 never
+    aliases a mask), integer milli-digest of the masked matrix.
+    Rows-only (binary PCM decode basis); pytest: every mask position ==
+    a python crc32 replica, masked cells are exactly 0.0, unmasked
+    cells bit-identical to fbank_frames, counts and digest replayed."""
+    from ..operators.specaugment import specaugment
+
+    return specaugment(_synth_clips(spark, 400, 8), seed=5)
+
+
 @q("fbank_stats")
 def fbank_stats_q(spark, sf):
     """Log-mel filterbank witness panel (operators/fbank): the standard
@@ -3919,6 +4001,25 @@ def audio_g711_q(spark, sf):
     from ..operators.companding import g711_transcode
 
     return g711_transcode(_synth_clips(spark, 400, 8))
+
+
+@q("audio_adpcm")
+def audio_adpcm_q(spark, sf):
+    """IMA ADPCM transcode (operators/adpcm): 16-bit PCM -> packed
+    WAV-IMA blocks (505 samples / 256 bytes, ~3.95:1) — the third
+    storage-tier codec family beside G.711 (2:1) and FLAC (lossless).
+    Block-based state reset is what makes the format seekable AND
+    data-parallel: every block of every clip encodes in ONE vectorized
+    504-step loop; spec-legal per-block header index chosen from the
+    block's mean |delta|. Decode-back proof runs THROUGH the packed
+    byte format (the flac_archive rule). One Arrow stage, zero
+    shuffles; scalar witnesses only (bytes stay Python-side).
+    Rows-only (PCM decode basis); pytest: hand-derived quantizer
+    anchors, pack/unpack inverse, engine == independent per-sample
+    scalar replica over the oracle decode (crc-for-crc on 60 clips)."""
+    from ..operators.adpcm import adpcm_transcode
+
+    return adpcm_transcode(_synth_clips(spark, 400, 8))
 
 
 @q("audio_flac")

@@ -132,6 +132,37 @@ def test_jaccard_and_minhash_agree(spark):
     assert mh == {(1, 2)}
 
 
+def test_containment_catches_quote_inclusion(spark):
+    # the case Jaccard structurally misses: a short doc quoted verbatim
+    # inside a long one — J = |A|/|B| (tiny), C = 1.0
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = quote + " " + " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, long_doc),
+        (2, quote),                  # fully contained in 1
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # Jaccard at 0.5 misses the pair (containment ratio ~8/68 shingles)
+    j = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (1, 2) not in j
+    got = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(df, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    r = got[(1, 2)]
+    assert r["containment"] == 1.0
+    assert r["contained_id"] == 2   # the smaller-shingle-set side
+    # tie in shingle-set size -> contained_id = id_a
+    tie = spark.createDataFrame([(7, quote), (9, quote)], ["doc_id", "text"])
+    tr = dedup.containment_pairs(tie, "doc_id", "text", threshold=0.8).collect()
+    assert len(tr) == 1 and tr[0]["contained_id"] == 7
+
+
 def test_simhash_identical_distance_zero(spark):
     rows = [(1, "aaa bbb ccc ddd"), (2, "aaa bbb ccc ddd"), (3, "zzz yyy xxx www")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])

@@ -126,6 +126,12 @@ AUDIT = [
     # r5: log-mel filterbank witnesses — ONE Arrow decode+FFT stage,
     # zero shuffles (same pin); scalars out, frame matrices stay Python
     ("fbank_stats", {"max_exchanges": 0, "arrow_only": True}),
+    # r5: IMA ADPCM transcode — ONE Arrow decode+block-codec stage,
+    # zero shuffles (same pin); packed bytes stay Python-side
+    ("audio_adpcm", {"max_exchanges": 0, "arrow_only": True}),
+    # r5: SpecAugment — the one Arrow fbank stage + JVM-only masking
+    # (transform/zip_with/aggregate HOFs); zero shuffles
+    ("specaugment", {"max_exchanges": 0, "arrow_only": True}),
     # r4e: zone-map stats — one combinable agg; the two count_distincts
     # plan as one expand + two-phase agg (2 shuffles)
     ("zone_map_stats", {"max_exchanges": 2, "no_python": True}),
