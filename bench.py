@@ -130,6 +130,8 @@ HEADLINE = R3_SET + [
     "audio_adpcm",
     "specaugment",
     "containment_pairs",
+    "mfcc_stats",
+    "cmvn_stats",
 ]
 
 

@@ -3433,6 +3433,40 @@ def fbank_stats_q(spark, sf):
     return fbank_stats(_synth_clips(spark, 400, 8))
 
 
+@q("mfcc_stats")
+def mfcc_stats_q(spark, sf):
+    """MFCC witness panel (operators/mfcc): orthonormal DCT-II cepstra
+    over the decode-once fbank stage — the classical ASR feature
+    (Kaldi/HTK front-end default). The DCT is pure JVM Column algebra
+    (each coefficient a zip_with dot product against a plan-time literal
+    weight row, left-folded by F.aggregate), so the cepstral lift adds
+    ZERO Python on top of the one Arrow fbank stage. Witnesses: per-clip
+    half-up-milli c0 sum + whole-matrix milli digest. Rows-only (binary
+    PCM decode basis); pytest: engine cepstra bit-identical to a python
+    float64 left-fold replica, DCT hand anchors (constant vector ->
+    c0 = v*sqrt(N), c_{k>0} = 0; W orthonormal), witnesses replayed."""
+    from ..operators.mfcc import mfcc_stats
+
+    return mfcc_stats(_synth_clips(spark, 400, 8))
+
+
+@q("cmvn_stats")
+def cmvn_stats_q(spark, sf):
+    """Per-clip CMVN witness panel (operators/cmvn): mean-variance
+    normalization of the fbank frames — the normalization every ASR
+    front-end applies between features and training (Kaldi apply-cmvn).
+    Both statistics passes and the normalization are JVM Column algebra
+    over the one Arrow fbank stage (per-clip state = two 23-double
+    arrays). The witness panel audits the operator's own postcondition:
+    post-norm band means are 0 micro, un-floored band variances are
+    exactly 1000 milli, plus a normalized-matrix digest. Rows-only
+    (binary PCM decode basis); pytest: engine == python float64 fold
+    replica bit-for-bit, constant band floors to exactly 0."""
+    from ..operators.cmvn import cmvn_stats
+
+    return cmvn_stats(_synth_clips(spark, 400, 8))
+
+
 @q("pitch_screen")
 def pitch_screen_q(spark, sf):
     """Pitch / periodicity screen (operators/pitch): integer

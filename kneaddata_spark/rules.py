@@ -113,6 +113,10 @@ FBANK_HOP_MS = 10
 FBANK_FMIN_HZ = 20
 FBANK_LOG_FLOOR = 1e-10
 FBANK_PREEMPH_MILLI = 970   # y[i] = x[i] - 0.970*x[i-1]
+# per-clip CMVN: variance floor before the 1/std scale (a constant band —
+# e.g. silence pinned at log(FBANK_LOG_FLOOR) — has var 0; flooring makes
+# its normalized value 0 instead of a division blow-up)
+CMVN_VAR_FLOOR = 1e-8
 
 # --- transcript structural ------------------------------------------------
 MIN_TRANSCRIPT_CHARS = 3

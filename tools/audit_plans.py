@@ -132,6 +132,12 @@ AUDIT = [
     # r5: SpecAugment — the one Arrow fbank stage + JVM-only masking
     # (transform/zip_with/aggregate HOFs); zero shuffles
     ("specaugment", {"max_exchanges": 0, "arrow_only": True}),
+    # r5: MFCC — one Arrow fbank stage + JVM-only DCT (zip_with dot
+    # products against literal weight rows); zero shuffles
+    ("mfcc_stats", {"max_exchanges": 0, "arrow_only": True}),
+    # r5: per-clip CMVN — one Arrow fbank stage + JVM-only fold/normalize
+    # algebra; zero shuffles
+    ("cmvn_stats", {"max_exchanges": 0, "arrow_only": True}),
     # r4e: zone-map stats — one combinable agg; the two count_distincts
     # plan as one expand + two-phase agg (2 shuffles)
     ("zone_map_stats", {"max_exchanges": 2, "no_python": True}),
