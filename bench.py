@@ -132,6 +132,7 @@ HEADLINE = R3_SET + [
     "containment_pairs",
     "mfcc_stats",
     "cmvn_stats",
+    "mojibake_screen",
 ]
 
 

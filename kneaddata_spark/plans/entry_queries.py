@@ -2082,6 +2082,51 @@ def containment_pairs_q(spark, sf):
     return dedup.containment_pairs(d, "doc_id", "text", n=3, threshold=0.8)
 
 
+# Mojibake planting: re-encode artifacts injected into two doc classes
+# (doc_id % 7 == 0: a -> Ã¡; % 7 == 3: e -> â€™); the rest pass through
+# untouched so the screen must also prove the all-zero rows.
+def _docs_mojibake(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.replace(F.col("text"), F.lit("a"), F.lit("Ã¡")))
+        .when(F.col("doc_id") % 7 == 3, F.replace(F.col("text"), F.lit("e"), F.lit("â€™")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_MOJIBAKE_SRC_SQL = """
+    (SELECT doc_id,
+            CASE WHEN doc_id % 7 = 0 THEN replace(text, 'a', 'Ã¡')
+                 WHEN doc_id % 7 = 3 THEN replace(text, 'e', 'â€™')
+                 ELSE text END AS text
+     FROM documents) d
+"""
+
+
+def _mojibake_sql():
+    from ..operators.mojibake import mojibake_oracle_sql
+
+    return mojibake_oracle_sql("doc_id", "text", _MOJIBAKE_SRC_SQL)
+
+
+@q("mojibake_screen", _mojibake_sql())
+def mojibake_screen_q(spark, sf):
+    """Mojibake screen (operators/mojibake): detect + repair
+    UTF-8-as-latin1 encoding artifacts (Ã© -> é, â€™ -> ', Â+nbsp ->
+    space — ftfy's headline case, a standard LLM-corpus cleaning pass).
+    Pure JVM string algebra: an F.replace fold for the repair,
+    length-difference arithmetic for the counts — zero Python, zero
+    shuffles, whole-stage codegen. The oracle replica is GENERATED from
+    the same rules.MOJIBAKE_MAP (the simhash generated-SQL pattern), and
+    the planted artifact classes (two injection rules + untouched docs)
+    prove detection, repair md5, and the all-zero rows alike."""
+    from ..operators.mojibake import mojibake_screen
+
+    return mojibake_screen(_docs_mojibake(spark, sf), "doc_id", "text")
+
+
 @q("minhash_dedup_pairs", _JACCARD_SQL)
 def minhash_dedup_pairs_q(spark, sf):
     """MinHash+LSH near-dup screen, oracle-checked against the EXACT

@@ -167,6 +167,35 @@ SCRUB_PATTERNS = (
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
 
+# --- mojibake repair map (encoding-artifact screen) ------------------------
+# UTF-8 text mis-decoded as latin-1/cp1252 once and re-encoded — the most
+# common encoding corruption in web corpora (ftfy's headline case). Ordered
+# (artifact, repaired) LITERAL pairs applied as a plain replace chain on both
+# engines; every artifact here is the cp1252 rendering of one UTF-8-encoded
+# code point, the pairs are prefix-disjoint (no artifact is a substring of
+# another), and no repaired value contains an artifact, so application order
+# is immaterial and per-pattern counts are independent.
+MOJIBAKE_MAP = (
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã­", "í"),  # Ã­ -> í
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> – (en dash)
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+    ("Â°", "°"),  # Â° -> °
+    ("Â\u00a0", " "),  # Â + nbsp -> plain space (escape: invisible char)
+)
+
 # fake container magics used by the deterministic synthetic encoder/decoder
 # (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic

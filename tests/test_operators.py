@@ -4181,3 +4181,51 @@ def test_funnel_steps_hand_case(spark):
     got = {r["step_idx"]: (r["step"], r["n_users"]) for r in
            funnel_steps(df, ["view", "click", "purchase"]).collect()}
     assert got == {1: ("view", 3), 2: ("click", 2), 3: ("purchase", 1)}
+
+
+def test_mojibake_screen_detects_and_repairs(spark):
+    import hashlib
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.mojibake import mojibake_screen
+
+    rows = [
+        (1, "cafÃ© naÃ¯ve?"),                      # Ã© -> é (one artifact)
+        (2, "itâ€™s â€œfineâ€“ish Â» ok Â\xa0end"),  # 5 artifacts
+        (3, "plain ascii text"),                   # clean
+        (4, "Ã¡Ã¡Ã¡"),                             # repeated artifact
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in mojibake_screen(df, "doc_id", "text").collect()}
+
+    def repair(t):
+        for a, b in rules.MOJIBAKE_MAP:
+            t = t.replace(a, b)
+        return t
+
+    for doc_id, text in rows:
+        r = got[doc_id]
+        fixed = repair(text)
+        n = sum(text.count(a) for a, _ in rules.MOJIBAKE_MAP)
+        assert r["n_mojibake"] == n
+        assert r["len_raw"] == len(text) and r["len_fixed"] == len(fixed)
+        assert r["fixed_md5"] == hashlib.md5(fixed.encode()).hexdigest()
+        assert r["is_mojibake"] == (1 if n else 0)
+    assert got[1]["n_mojibake"] == 1          # Ã¯ is NOT in the map; only Ã©
+    assert got[2]["n_mojibake"] == 5          # â€™ â€œ â€“ Â» Â+nbsp
+    assert got[3]["n_mojibake"] == 0 and got[3]["len_raw"] == got[3]["len_fixed"]
+    assert got[4]["n_mojibake"] == 3
+
+    # idempotence: repaired text has no artifacts left
+    fixed_df = spark.createDataFrame(
+        [(i, repair(t)) for i, t in rows], ["doc_id", "text"]
+    )
+    again = {r["doc_id"]: r for r in mojibake_screen(fixed_df, "doc_id", "text").collect()}
+    assert all(r["n_mojibake"] == 0 for r in again.values())
+
+    # shuffle-free, python-free plan
+    plan = (
+        mojibake_screen(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan

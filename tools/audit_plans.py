@@ -138,6 +138,8 @@ AUDIT = [
     # r5: per-clip CMVN — one Arrow fbank stage + JVM-only fold/normalize
     # algebra; zero shuffles
     ("cmvn_stats", {"max_exchanges": 0, "arrow_only": True}),
+    # r5: mojibake screen — replace-fold string algebra, map-only
+    ("mojibake_screen", {"max_exchanges": 0, "no_python": True}),
     # r4e: zone-map stats — one combinable agg; the two count_distincts
     # plan as one expand + two-phase agg (2 shuffles)
     ("zone_map_stats", {"max_exchanges": 2, "no_python": True}),
