@@ -133,6 +133,7 @@ HEADLINE = R3_SET + [
     "mfcc_stats",
     "cmvn_stats",
     "mojibake_screen",
+    "bloom_decontaminate",
 ]
 
 

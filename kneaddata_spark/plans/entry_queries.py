@@ -936,6 +936,87 @@ def decontaminate_q(spark, sf):
     return clean.select("doc_id")
 
 
+def _bloom_sql() -> str:
+    """Oracle for bloom_decontaminate: rebuilds the SAME bit table and
+    probes it bit-for-bit (bit geometry generated by bloom.bit_sql from
+    the engine's own constants — no drift). LATERAL-unnest fingerprint
+    in the doc_fingerprint portable form."""
+    from ..operators.bloom import BLOOM_K, BLOOM_M_BITS, bit_sql
+
+    m = BLOOM_M_BITS
+    cbits = "\n      UNION ALL ".join(
+        f"SELECT {bit_sql('key', m, j)} AS bit FROM conkey" for j in range(BLOOM_K)
+    )
+    probe_bits = ",\n             ".join(
+        f"{bit_sql('key', m, j)} AS b{j}" for j in range(BLOOM_K)
+    )
+    joins = "\n      ".join(
+        f"LEFT JOIN words w{j} ON w{j}.word = (p.b{j} >> 5)" for j in range(BLOOM_K)
+    )
+    hit = " AND ".join(
+        f"(coalesce(w{j}.bits, 0) & (1::BIGINT << (p.b{j} % 32)::INT)) != 0"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+    u AS (
+      SELECT t.doc_id, g.i::BIGINT AS pos, t.toks[g.i] AS x
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) g
+    ),
+    fp AS (
+      SELECT doc_id,
+             (coalesce(sum(pos * ((length(x)::BIGINT * {KNUTH}
+                + ascii(x)::BIGINT * 1315423911
+                + ascii(right(x, 1))::BIGINT * 2246822519) % {M32}))::BIGINT,
+              0::BIGINT)) % {M32} AS key
+      FROM u GROUP BY doc_id
+    ),
+    conkey AS (SELECT key FROM fp WHERE doc_id % 17 = 0),
+    bits AS ({cbits}),
+    words AS (
+      SELECT (bit >> 5)::BIGINT AS word,
+             bit_or((1::BIGINT << (bit % 32)::INT))::BIGINT AS bits
+      FROM bits GROUP BY 1
+    ),
+    probe AS (SELECT doc_id, key,
+             {probe_bits}
+      FROM fp),
+    flags AS (
+      SELECT p.doc_id,
+        CAST(CASE WHEN {hit} THEN 1 ELSE 0 END AS INT) AS bloom_maybe
+      FROM probe p
+      {joins}
+    )
+    SELECT f.doc_id, f.bloom_maybe,
+      CAST(CASE WHEN f.bloom_maybe = 1 AND d.text IN
+             (SELECT text FROM documents WHERE doc_id % 17 = 0)
+           THEN 1 ELSE 0 END AS INT) AS confirmed
+    FROM flags f JOIN documents d ON d.doc_id = f.doc_id
+    """
+
+
+@q("bloom_decontaminate", _bloom_sql())
+def bloom_decontaminate_q(spark, sf):
+    """Bloom-filter decontamination (operators/bloom): the membership
+    screen that stays free at 100 TB — the contamination set (doc_id %
+    17 == 0 stands in for the eval suite) compresses to a <= m/32-row
+    bit-word table (built with ONE map-side-combinable bit_or agg, the
+    HLL-register mergeable shape), collapses to a one-row broadcast map,
+    and the corpus is probed MAP-SIDE with pure Column algebra (k
+    double-hashed mix32 bits, Kirsch-Mitzenmacher) — zero corpus
+    shuffles, no row-level join; only the bloom-positive sliver reaches
+    the exact broadcast verify. Output keeps the false-positive
+    accounting visible: (doc_id, bloom_maybe, confirmed). The oracle
+    rebuilds the identical bit table in SQL (bit geometry generated from
+    the engine's constants), proving no-false-negatives AND the exact
+    false-positive rows."""
+    from ..operators.bloom import bloom_decontaminate
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    contam = d.where("doc_id % 17 = 0")
+    return bloom_decontaminate(d, contam, "doc_id", "text")
+
+
 @q(
     "blocklist_filter",
     """

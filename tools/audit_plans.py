@@ -140,6 +140,10 @@ AUDIT = [
     ("cmvn_stats", {"max_exchanges": 0, "arrow_only": True}),
     # r5: mojibake screen — replace-fold string algebra, map-only
     ("mojibake_screen", {"max_exchanges": 0, "no_python": True}),
+    # r5: bloom decontamination — corpus probed map-side in ONE pass;
+    # the only shuffles are the tiny bit-table build (word agg), its
+    # one-row map collapse, and the exact-set distinct
+    ("bloom_decontaminate", {"max_exchanges": 3, "no_python": True}),
     # r4e: zone-map stats — one combinable agg; the two count_distincts
     # plan as one expand + two-phase agg (2 shuffles)
     ("zone_map_stats", {"max_exchanges": 2, "no_python": True}),
