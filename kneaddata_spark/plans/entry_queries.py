@@ -3609,6 +3609,25 @@ def pitch_screen_q(spark, sf):
     return pitch_screen(_synth_clips(spark, 400, 8))
 
 
+@q("declip_stats")
+def declip_stats_q(spark, sf):
+    """Declip repair (operators/declip): samples pinned at the rails
+    (|x| >= 32736, the exact integer form of rules.CLIP_SAMPLE_THRESH)
+    are rebuilt by integer linear interpolation between the nearest
+    unclipped anchors — the repair alternative to drop_clipping, the
+    audio analog of the reference's span-trim philosophy (trim cuts the
+    bad SPANS and keeps the read, run.py:372-450). Emits per-clip
+    accounting + CRC witnesses of raw and repaired PCM. Rows-only by
+    necessity (binary PCM decode); pytest replica-gates every scalar
+    against an independent per-sample python walk, plus hand-anchor,
+    stuck-at-rail-recovery (>100x MSE reduction), and all-clipped
+    pass-through cases. Plan: 1 ArrowEvalPython, 0 exchanges
+    (pytest-enforced)."""
+    from ..operators.declip import declip_stats
+
+    return declip_stats(_synth_clips(spark, 400, 8))
+
+
 @q(
     "zone_map_stats",
     """
