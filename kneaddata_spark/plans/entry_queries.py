@@ -3609,6 +3609,22 @@ def pitch_screen_q(spark, sf):
     return pitch_screen(_synth_clips(spark, 400, 8))
 
 
+@q("hum_screen")
+def hum_screen_q(spark, sf):
+    """Mains-hum + DC-offset screen (operators/hum): Q15 integer cos/sin
+    probes at rules.HUM_FREQS_HZ (50/60 Hz ground-loop hum) plus
+    floor-division DC bias — the electrical recording-chain defects no
+    other screen catches; calibrated so a full-scale pure tone at the
+    probe scores ~1000 permille. Rows-only by necessity (binary PCM
+    decode, the snr_screen basis); pytest replica-gates every scalar
+    against an independent per-sample python-int walk, plus calibration,
+    planted-hum detection/clean rejection, and DC/short/silent cases.
+    Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
+    from ..operators.hum import hum_screen
+
+    return hum_screen(_synth_clips(spark, 400, 8))
+
+
 @q("declip_stats")
 def declip_stats_q(spark, sf):
     """Declip repair (operators/declip): samples pinned at the rails

@@ -72,6 +72,18 @@ VAD_ENERGY_MIN = 328
 VAD_MIN_FRAMES = 3   # segments shorter than this are noise ticks, dropped
 VAD_MAX_GAP = 2      # silence gaps <= this many frames merge (hangover)
 
+# --- mains-hum + DC-offset screen (operators/hum.py) ------------------------
+# Electrical recording-chain defects: 50/60 Hz ground-loop hum and DC bias.
+# Q15 integer cos/sin probes (basis = round_half_even(cos * 32767)); the
+# hum fraction is calibrated so a full-scale pure tone AT the probe
+# frequency scores ~1000 permille: (a^2+b^2)*2000 // (sum(x^2)*n*32767^2),
+# python-int exact. DC is sum(x) // n in raw int16 units (floor division).
+# Exactly TWO probe frequencies by schema contract (hum50/hum60 columns).
+HUM_FREQS_HZ = (50, 60)
+HUM_MIN_CYCLES = 4       # need >= 4 cycles of the lowest probe to resolve
+HUM_MAX_PERMILLE = 250   # >= 25% of clip power at one mains probe -> drop
+DC_OFFSET_MAX = 164      # |dc| >= this (~0.5% of full scale) -> dc defect
+
 # --- SNR screen (operators/snr.py) -----------------------------------------
 # Frames classify speech/noise by the VAD rule above; the clip's SNR proxy
 # is the integer POWER ratio speech_meansq div max(noise_meansq, 1), where
