@@ -134,6 +134,8 @@ HEADLINE = R3_SET + [
     "cmvn_stats",
     "mojibake_screen",
     "bloom_decontaminate",
+    "declip_stats",
+    "hum_screen",
 ]
 
 
