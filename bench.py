@@ -136,6 +136,7 @@ HEADLINE = R3_SET + [
     "bloom_decontaminate",
     "declip_stats",
     "hum_screen",
+    "bandwidth_screen",
 ]
 
 

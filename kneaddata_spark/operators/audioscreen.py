@@ -1,15 +1,16 @@
-"""Fused audio screen: VAD + SNR + pitch verdicts from ONE decode.
+"""Fused audio screen: VAD + SNR + pitch + hum/DC verdicts from ONE decode.
 
 The screen-family analog of operators/audioprep (which fused the
-canonical-form chain): a corpus pass that wants all three audio-quality
-verdicts — voice activity, noise floor, periodicity — must not decode
-the corpus three times. Decode is the per-core Python ceiling
-(BASELINE.md roofline), and at 100 TB the bytes-column scan itself is
-the other ceiling; running the standalone operators back-to-back pays
-both three times. This stage runs the SAME kernels (operators/vad.
-segment_samples, operators/snr.snr_of, operators/pitch.pitch_of — one
-source of truth each, all replica-gated in their own tests) on one
-decoded buffer inside ONE ArrowEvalPython stage.
+canonical-form chain): a corpus pass that wants all four audio-quality
+verdicts — voice activity, noise floor, periodicity, electrical defects
+— must not decode the corpus four times. Decode is the per-core Python
+ceiling (BASELINE.md roofline), and at 100 TB the bytes-column scan
+itself is the other ceiling; running the standalone operators
+back-to-back pays both four times. This stage runs the SAME kernels
+(operators/vad.segment_samples, operators/snr.snr_of,
+operators/pitch.pitch_of, operators/hum.hum_of — one source of truth
+each, all replica-gated in their own tests) on one decoded buffer inside
+ONE ArrowEvalPython stage.
 
 Fusion contract (pytest-enforced): every output column is bit-identical
 to the corresponding standalone operator's column — fusing costs
@@ -33,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import rules
+from .hum import hum_of
 from .pitch import pitch_of
 from .snr import snr_of
 from .vad import segment_samples
@@ -46,6 +48,10 @@ _SCREEN_T = T.StructType(
         T.StructField("pitch_status", T.StringType()),
         T.StructField("f0_centi_hz", T.LongType()),
         T.StructField("periodicity_permille", T.LongType()),
+        T.StructField("hum_status", T.StringType()),
+        T.StructField("dc_offset", T.LongType()),
+        T.StructField("hum_permille", T.LongType()),
+        T.StructField("hum_hz", T.LongType()),
     ]
 )
 
@@ -68,6 +74,7 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
         segs = segment_samples(x, s)
         snr_st, _, _, _, _, snr_ratio = snr_of(x, s)
         p_st, _, f0, per = pitch_of(x, s)
+        h_st, _, dc, _, hum_p, hum_hz = hum_of(x, s)
         out.append(
             {
                 "n_segments": len(segs),
@@ -77,6 +84,10 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 "pitch_status": p_st,
                 "f0_centi_hz": f0,
                 "periodicity_permille": per,
+                "hum_status": h_st,
+                "dc_offset": dc,
+                "hum_permille": hum_p,
+                "hum_hz": hum_hz,
             }
         )
     return pa.array(
@@ -90,6 +101,10 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 ("pitch_status", pa.string()),
                 ("f0_centi_hz", pa.int64()),
                 ("periodicity_permille", pa.int64()),
+                ("hum_status", pa.string()),
+                ("dc_offset", pa.int64()),
+                ("hum_permille", pa.int64()),
+                ("hum_hz", pa.int64()),
             ]
         ),
     )
@@ -106,9 +121,12 @@ def screen_audio(
     sr_col: str = "sr_hz",
 ) -> DataFrame:
     """(clip_id, n_segments, speech_frames, snr_status, snr_ratio,
-    pitch_status, f0_centi_hz, periodicity_permille, snr_keep, voiced,
-    speechlike) — all three screens' verdicts from one decode; verdict
-    booleans are the standalone operators' JVM-side rules verbatim."""
+    pitch_status, f0_centi_hz, periodicity_permille, hum_status,
+    dc_offset, hum_permille, hum_hz, snr_keep, voiced, speechlike,
+    hum_detected, dc_detected, hum_keep) — all four screens' verdicts
+    from one decode; verdict booleans are the standalone operators'
+    JVM-side rules verbatim (snr.snr_screen, pitch.pitch_screen,
+    hum.hum_screen)."""
     e = clips.select(
         F.col(id_col).alias("clip_id"),
         _screen_udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("a"),
@@ -122,6 +140,11 @@ def screen_audio(
     in_band = F.col("a.f0_centi_hz").between(
         100 * rules.PITCH_F0_MIN_HZ, 100 * rules.PITCH_F0_MAX_HZ
     )
+    hum = F.coalesce(
+        F.col("a.hum_permille") >= rules.HUM_MAX_PERMILLE, F.lit(False)
+    )
+    dc = F.abs(F.col("a.dc_offset")) >= rules.DC_OFFSET_MAX
+    hum_keep = (F.col("a.hum_status") == "ok") & ~hum & ~dc
     return e.select(
         "clip_id",
         F.col("a.n_segments").alias("n_segments"),
@@ -131,7 +154,14 @@ def screen_audio(
         F.col("a.pitch_status").alias("pitch_status"),
         F.col("a.f0_centi_hz").alias("f0_centi_hz"),
         F.col("a.periodicity_permille").alias("periodicity_permille"),
+        F.col("a.hum_status").alias("hum_status"),
+        F.col("a.dc_offset").alias("dc_offset"),
+        F.col("a.hum_permille").alias("hum_permille"),
+        F.col("a.hum_hz").alias("hum_hz"),
         snr_keep.alias("snr_keep"),
         voiced.alias("voiced"),
         (voiced & in_band).alias("speechlike"),
+        hum.alias("hum_detected"),
+        dc.alias("dc_detected"),
+        hum_keep.alias("hum_keep"),
     )

@@ -3625,6 +3625,24 @@ def hum_screen_q(spark, sf):
     return hum_screen(_synth_clips(spark, 400, 8))
 
 
+@q("bandwidth_screen")
+def bandwidth_screen_q(spark, sf):
+    """Bandwidth screen (operators/bandwidth): 3-level integer halfband
+    filterbank (7-tap rules.BW_KERNEL, exact int64 convolution, //32
+    renorm) estimating each clip's effective Nyquist — catches content a
+    proper resampler upsampled from a lower rate (telephone 8 kHz in a
+    16 kHz corpus), the training-poison no energy/pitch/SNR screen sees.
+    Rows-only by necessity (binary PCM decode, the snr_screen basis);
+    pytest replica-gates every scalar against an independent per-sample
+    python-int convolution walk, plus calibration (full-band noise,
+    band-limited noise at two cutoffs, tone leakage bounds) and a planted
+    lowpassed corpus clip. Plan: 1 ArrowEvalPython, 0 exchanges
+    (pytest-enforced)."""
+    from ..operators.bandwidth import bandwidth_screen
+
+    return bandwidth_screen(_synth_clips(spark, 400, 8))
+
+
 @q("declip_stats")
 def declip_stats_q(spark, sf):
     """Declip repair (operators/declip): samples pinned at the rails
@@ -3781,11 +3799,11 @@ def corpus_card_q(spark, sf):
 @q("audio_screens")
 def audio_screens_q(spark, sf):
     """Fused audio screen (operators/audioscreen.screen_audio): VAD +
-    SNR + pitch verdicts from ONE decode — the decode-once fusion rule
-    (audioprep) extended to the screen family; every column pytest-proven
-    bit-identical to its standalone operator. Rows-only by necessity
-    (binary PCM decode basis). Plan: 1 ArrowEvalPython, 0 exchanges
-    (pytest-enforced)."""
+    SNR + pitch + mains-hum/DC verdicts from ONE decode — the decode-once
+    fusion rule (audioprep) extended to the screen family; every column
+    pytest-proven bit-identical to its standalone operator. Rows-only by
+    necessity (binary PCM decode basis). Plan: 1 ArrowEvalPython,
+    0 exchanges (pytest-enforced)."""
     from ..operators.audioscreen import screen_audio
 
     return screen_audio(_synth_clips(spark, 400, 8))

@@ -84,6 +84,21 @@ HUM_MIN_CYCLES = 4       # need >= 4 cycles of the lowest probe to resolve
 HUM_MAX_PERMILLE = 250   # >= 25% of clip power at one mains probe -> drop
 DC_OFFSET_MAX = 164      # |dc| >= this (~0.5% of full scale) -> dc defect
 
+# --- bandwidth screen (operators/bandwidth.py) ------------------------------
+# Effective-bandwidth estimation: a 3-level integer halfband filterbank
+# (7-tap kernel BW_KERNEL, exact int64 convolution over the valid region,
+# floor-div-32 renormalization between levels) splits the spectrum at
+# sr/4, sr/8, sr/16. oct{1,2,3}_permille = 1000*e_hi // (e_hi + e_lo) at
+# each level; the estimated effective Nyquist is the band ceiling of the
+# HIGHEST octave whose permille >= BW_ACTIVE_MIN_PERMILLE (sr/2, sr/4,
+# sr/8, else sr/16). narrowband = est_nyquist_hz * 2 < sr_hz — content
+# that a proper resampler upsampled from a lower rate (near-zero energy
+# above the original Nyquist), the classic training-poison an SNR/VAD
+# screen cannot see.
+BW_KERNEL = (-1, 0, 9, 16, 9, 0, -1)   # halfband; gain 32 at DC, 0 at Nyquist
+BW_MIN_SAMPLES = 64                    # below this the 3rd level has no valid region
+BW_ACTIVE_MIN_PERMILLE = 10            # >= 1% of the level's energy -> octave active
+
 # --- SNR screen (operators/snr.py) -----------------------------------------
 # Frames classify speech/noise by the VAD rule above; the clip's SNR proxy
 # is the integer POWER ratio speech_meansq div max(noise_meansq, 1), where

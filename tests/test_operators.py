@@ -2971,6 +2971,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     import re
 
     from kneaddata_spark.operators.audioscreen import screen_audio
+    from kneaddata_spark.operators.hum import hum_screen
     from kneaddata_spark.operators.pitch import pitch_screen
     from kneaddata_spark.operators.snr import snr_screen
     from kneaddata_spark.operators.vad import vad_segments
@@ -2981,6 +2982,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     fused = {r["clip_id"]: r.asDict() for r in screen_audio(clips).collect()}
     snr = {r["clip_id"]: r.asDict() for r in snr_screen(clips).collect()}
     pit = {r["clip_id"]: r.asDict() for r in pitch_screen(clips).collect()}
+    hum = {r["clip_id"]: r.asDict() for r in hum_screen(clips).collect()}
     segs = {}
     for r in vad_segments(clips).collect():
         a = segs.setdefault(r["clip_id"], [0, 0])
@@ -3001,6 +3003,14 @@ def test_screen_audio_fusion_equals_standalones(spark):
         ), cid
         n_seg, n_fr = segs.get(cid, [0, 0])
         assert (f["n_segments"], f["speech_frames"]) == (n_seg, n_fr), cid
+        h = hum[cid]
+        assert (
+            f["hum_status"], f["dc_offset"], f["hum_permille"], f["hum_hz"],
+            f["hum_detected"], f["dc_detected"], f["hum_keep"],
+        ) == (
+            h["status"], h["dc_offset"], h["hum_permille"], h["hum_hz"],
+            h["hum_detected"], h["dc_detected"], h["keep"],
+        ), cid
 
     p = plan_of(screen_audio(clips_spark_df(spark, 50, n_partitions=2)))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
