@@ -137,6 +137,7 @@ HEADLINE = R3_SET + [
     "declip_stats",
     "hum_screen",
     "bandwidth_screen",
+    "media_probe",
 ]
 
 

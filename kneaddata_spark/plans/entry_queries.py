@@ -3625,6 +3625,24 @@ def hum_screen_q(spark, sf):
     return hum_screen(_synth_clips(spark, 400, 8))
 
 
+@q("media_probe")
+def media_probe_q(spark, sf):
+    """Media probe (operators/mediaprobe): container-header metadata
+    audit with ZERO Python — binary substring + hex/conv Column algebra
+    parses RIFF/WAV, real-FLAC STREAMINFO, raw-PCM and fake-container
+    claims entirely JVM-side, cross-checking them against the table's
+    sr_hz/dur_ms metadata (sr_mismatch / dur_mismatch / keep verdicts).
+    The cheapest full-corpus audit: one WholeStageCodegen scan, no
+    Arrow, no shuffle — the gate that keeps mislabeled rows out of every
+    decode stage. Rows-only by necessity (binary header parse basis);
+    pytest replica-gates every column against an independent python
+    struct-parse walk plus hand-built corrupt containers. Plan: 0 Python
+    stages, 0 exchanges (pytest-enforced)."""
+    from ..operators.mediaprobe import media_probe
+
+    return media_probe(_synth_clips(spark, 400, 8))
+
+
 @q("bandwidth_screen")
 def bandwidth_screen_q(spark, sf):
     """Bandwidth screen (operators/bandwidth): 3-level integer halfband

@@ -84,6 +84,13 @@ HUM_MIN_CYCLES = 4       # need >= 4 cycles of the lowest probe to resolve
 HUM_MAX_PERMILLE = 250   # >= 25% of clip power at one mains probe -> drop
 DC_OFFSET_MAX = 164      # |dc| >= this (~0.5% of full scale) -> dc defect
 
+# --- media probe (operators/mediaprobe.py) ----------------------------------
+# Header-only metadata audit: probed duration (container-claimed samples /
+# effective sample rate) may differ from the table's dur_ms by at most
+# this before the row is flagged. Healthy synth rows round-trip within
+# 1 ms; the tolerance absorbs integer-division loss at any real sr.
+PROBE_DUR_TOL_MS = 50
+
 # --- bandwidth screen (operators/bandwidth.py) ------------------------------
 # Effective-bandwidth estimation: a 3-level integer halfband filterbank
 # (7-tap kernel BW_KERNEL, exact int64 convolution over the valid region,
