@@ -138,6 +138,7 @@ HEADLINE = R3_SET + [
     "hum_screen",
     "bandwidth_screen",
     "media_probe",
+    "distinctive_terms",
 ]
 
 

@@ -628,3 +628,83 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("score_ppm").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    min_count: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Contrastive per-group keywords: the top-k tokens each group uses
+    disproportionately vs the REST of the corpus — the corpus-diff half
+    of a corpus card (which source contributed the legalese, which one
+    the code comments). The Dunning log-likelihood ranking is replaced by
+    an INTEGER lift (the pmi_collocations ln-free rule):
+
+        in_permille   = 1000 * c(g,t)            div c(g)
+        rest_permille = 1000 * (c(t) - c(g,t))   div max(N - c(g), 1)
+        lift_permille = 1000 * in_permille       div max(rest_permille, 1)
+
+    kept when c(g,t) >= min_count AND in_permille > rest_permille; ranked
+    per group by (lift desc, count desc, token) — fully deterministic.
+
+    Plan shape: docs pay ONE explode + map-side-combined (group, token)
+    count; that frame is persist_tracked (vocab x groups rows — corpus-
+    independent-ish) and re-aggregated for group totals (broadcast:
+    #groups rows), token totals (vocab-keyed equi-join), and the corpus
+    total (broadcast 1-row frame, never a driver action). The only
+    window is keyed by group (no global windows rule). At 100 TB the
+    corpus is scanned once; everything downstream is vocabulary-sized.
+    """
+    from pyspark.sql import Window
+
+    from .caching import persist_tracked
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    st = persist_tracked(
+        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("grp", "token")
+        .agg(F.count("*").cast("long").alias("n_in"))
+    )
+    grp_tot = st.groupBy("grp").agg(F.sum("n_in").cast("long").alias("n_grp"))
+    tok_tot = st.groupBy("token").agg(F.sum("n_in").cast("long").alias("n_tok"))
+    n_total = st.agg(F.sum("n_in").cast("long").alias("n_total"))
+    scored = (
+        st.where(F.col("n_in") >= min_count)
+        .join(F.broadcast(grp_tot), "grp")
+        .join(tok_tot, "token")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "grp",
+            "token",
+            "n_in",
+            F.expr("(1000 * n_in) div n_grp").alias("in_permille"),
+            F.expr(
+                "(1000 * (n_tok - n_in)) div greatest(n_total - n_grp, 1)"
+            ).alias("rest_permille"),
+        )
+        .where(F.col("in_permille") > F.col("rest_permille"))
+        .withColumn(
+            "lift_permille",
+            F.expr("(1000 * in_permille) div greatest(rest_permille, 1)"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("lift_permille").desc(), F.col("n_in").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "token",
+            "n_in",
+            "in_permille",
+            "rest_permille",
+            "lift_permille",
+            "rk",
+        )
+    )

@@ -4139,6 +4139,51 @@ def pmi_collocations_q(spark, sf):
     return textstats.pmi_collocations(d, "text", min_count=3, k=50)
 
 
+@q(
+    "distinctive_terms",
+    """
+    WITH t AS (SELECT source, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+    st AS (
+      SELECT source, u.tok AS token, count(*)::BIGINT AS n_in
+      FROM t, LATERAL (SELECT unnest(toks) AS tok) u
+      WHERE u.tok <> '' GROUP BY source, u.tok
+    ),
+    g AS (SELECT source, sum(n_in)::BIGINT AS n_grp FROM st GROUP BY source),
+    tk AS (SELECT token, sum(n_in)::BIGINT AS n_tok FROM st GROUP BY token),
+    n AS (SELECT sum(n_in)::BIGINT AS n_total FROM st),
+    scored AS (
+      SELECT st.source, st.token, st.n_in,
+             ((1000 * st.n_in) // g.n_grp)::BIGINT AS in_permille,
+             ((1000 * (tk.n_tok - st.n_in)) // GREATEST(n.n_total - g.n_grp, 1))::BIGINT AS rest_permille
+      FROM st JOIN g USING(source) JOIN tk USING(token), n
+      WHERE st.n_in >= 5
+    ),
+    ranked AS (
+      SELECT source, token, n_in, in_permille, rest_permille,
+             ((1000 * in_permille) // GREATEST(rest_permille, 1))::BIGINT AS lift_permille,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((1000 * in_permille) // GREATEST(rest_permille, 1)) DESC,
+                        n_in DESC, token ASC
+             )::BIGINT AS rk
+      FROM scored WHERE in_permille > rest_permille
+    )
+    SELECT source, token, n_in, in_permille, rest_permille, lift_permille, rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def distinctive_terms_q(spark, sf):
+    """Contrastive per-source keywords (textstats.distinctive_terms):
+    top-10 tokens per source by integer lift (in-group permille vs
+    rest-of-corpus permille — the Dunning ranking without the ln, the
+    pmi_collocations rule), the corpus-diff half of a corpus card. One
+    corpus explode (persist_tracked vocab x groups partials), broadcast
+    group totals, vocab-keyed token-total join, broadcast 1-row corpus
+    total, one group-keyed window."""
+    d = _t(spark, sf, "documents")
+    return textstats.distinctive_terms(d, "text", "source", min_count=5, k=10)
+
+
 @q("incremental_distinct", None)  # oracle set right below (needs the helper)
 def incremental_distinct_q(spark, sf):
     """Incremental distinct counting via persisted HLL register state

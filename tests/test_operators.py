@@ -4239,3 +4239,72 @@ def test_mojibake_screen_detects_and_repairs(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+# ------------------------------------------------- distinctive terms ----
+
+
+def test_distinctive_terms_planted_and_replica(spark):
+    """A token concentrated in one group tops that group's list; values
+    match a python replica of the integer-lift formula; ties break
+    deterministically (lift desc, count desc, token asc)."""
+    import re
+    from collections import Counter
+
+    from kneaddata_spark.operators.textstats import distinctive_terms
+    from tools.audit_plans import plan_of
+
+    rows = []
+    for i in range(40):
+        common = "the quick brown fox jumps over the lazy dog"
+        rows.append((i, f"legalese hereinafter {common}" if i % 2 == 0 else common, "A" if i % 2 == 0 else "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(df, "text", "source", min_count=5, k=10).collect()
+
+    # python replica
+    per_g = Counter()
+    per_gt = Counter()
+    per_t = Counter()
+    for _, text, g in rows:
+        for tok in text.lower().strip().split(" "):
+            if tok:
+                per_gt[(g, tok)] += 1
+                per_g[g] += 1
+                per_t[tok] += 1
+    N = sum(per_g.values())
+    exp = {}
+    for (g, tok), c in per_gt.items():
+        if c < 5:
+            continue
+        inp = 1000 * c // per_g[g]
+        rest = 1000 * (per_t[tok] - c) // max(N - per_g[g], 1)
+        if inp > rest:
+            exp[(g, tok)] = (c, inp, rest, 1000 * inp // max(rest, 1))
+    ranked = {}
+    for g in set(x for x, _ in exp):
+        items = sorted(
+            ((v[3], v[0], t) for (gg, t), v in exp.items() if gg == g),
+            key=lambda x: (-x[0], -x[1], x[2]),
+        )[:10]
+        ranked[g] = [(t, i + 1) for i, (_, _, t) in enumerate(items)]
+
+    got = {}
+    for r in out:
+        assert (r["source"], r["token"]) in exp
+        c, inp, rest, lift = exp[(r["source"], r["token"])]
+        assert (r["n_in"], r["in_permille"], r["rest_permille"], r["lift_permille"]) == (
+            c, inp, rest, lift
+        )
+        got.setdefault(r["source"], []).append((r["token"], r["rk"]))
+    for g, items in ranked.items():
+        assert sorted(got.get(g, [])) == sorted(items), g
+
+    # planted group-A tokens dominate A's list
+    a_toks = [t for t, rk in got["A"] if rk <= 2]
+    assert set(a_toks) <= {"legalese", "hereinafter"}
+
+    # plan: no global (empty-key) window
+    p = plan_of(distinctive_terms(df, "text", "source"))
+    for line in p.splitlines():
+        if "Window" in line and "partitionBy" not in line:
+            assert not re.search(r"windowspecdefinition\(\s*(lift|token)", line)
