@@ -139,6 +139,7 @@ HEADLINE = R3_SET + [
     "bandwidth_screen",
     "media_probe",
     "distinctive_terms",
+    "cohort_retention",
 ]
 
 

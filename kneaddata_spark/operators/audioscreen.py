@@ -1,16 +1,17 @@
-"""Fused audio screen: VAD + SNR + pitch + hum/DC verdicts from ONE decode.
+"""Fused audio screen: VAD + SNR + pitch + hum/DC + bandwidth verdicts
+from ONE decode.
 
 The screen-family analog of operators/audioprep (which fused the
-canonical-form chain): a corpus pass that wants all four audio-quality
-verdicts — voice activity, noise floor, periodicity, electrical defects
-— must not decode the corpus four times. Decode is the per-core Python
-ceiling (BASELINE.md roofline), and at 100 TB the bytes-column scan
-itself is the other ceiling; running the standalone operators
-back-to-back pays both four times. This stage runs the SAME kernels
-(operators/vad.segment_samples, operators/snr.snr_of,
-operators/pitch.pitch_of, operators/hum.hum_of — one source of truth
-each, all replica-gated in their own tests) on one decoded buffer inside
-ONE ArrowEvalPython stage.
+canonical-form chain): a corpus pass that wants all five audio-quality
+verdicts — voice activity, noise floor, periodicity, electrical defects,
+effective bandwidth — must not decode the corpus five times. Decode is
+the per-core Python ceiling (BASELINE.md roofline), and at 100 TB the
+bytes-column scan itself is the other ceiling; running the standalone
+operators back-to-back pays both five times. This stage runs the SAME
+kernels (operators/vad.segment_samples, operators/snr.snr_of,
+operators/pitch.pitch_of, operators/hum.hum_of, operators/bandwidth.
+band_of — one source of truth each, all replica-gated in their own
+tests) on one decoded buffer inside ONE ArrowEvalPython stage.
 
 Fusion contract (pytest-enforced): every output column is bit-identical
 to the corresponding standalone operator's column — fusing costs
@@ -34,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import rules
+from .bandwidth import band_of
 from .hum import hum_of
 from .pitch import pitch_of
 from .snr import snr_of
@@ -52,6 +54,8 @@ _SCREEN_T = T.StructType(
         T.StructField("dc_offset", T.LongType()),
         T.StructField("hum_permille", T.LongType()),
         T.StructField("hum_hz", T.LongType()),
+        T.StructField("bw_status", T.StringType()),
+        T.StructField("est_nyquist_hz", T.LongType()),
     ]
 )
 
@@ -75,6 +79,7 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
         snr_st, _, _, _, _, snr_ratio = snr_of(x, s)
         p_st, _, f0, per = pitch_of(x, s)
         h_st, _, dc, _, hum_p, hum_hz = hum_of(x, s)
+        b_st, _, _, est = band_of(x, s)
         out.append(
             {
                 "n_segments": len(segs),
@@ -88,6 +93,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 "dc_offset": dc,
                 "hum_permille": hum_p,
                 "hum_hz": hum_hz,
+                "bw_status": b_st,
+                "est_nyquist_hz": est,
             }
         )
     return pa.array(
@@ -105,6 +112,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 ("dc_offset", pa.int64()),
                 ("hum_permille", pa.int64()),
                 ("hum_hz", pa.int64()),
+                ("bw_status", pa.string()),
+                ("est_nyquist_hz", pa.int64()),
             ]
         ),
     )
@@ -122,13 +131,15 @@ def screen_audio(
 ) -> DataFrame:
     """(clip_id, n_segments, speech_frames, snr_status, snr_ratio,
     pitch_status, f0_centi_hz, periodicity_permille, hum_status,
-    dc_offset, hum_permille, hum_hz, snr_keep, voiced, speechlike,
-    hum_detected, dc_detected, hum_keep) — all four screens' verdicts
-    from one decode; verdict booleans are the standalone operators'
-    JVM-side rules verbatim (snr.snr_screen, pitch.pitch_screen,
-    hum.hum_screen)."""
+    dc_offset, hum_permille, hum_hz, bw_status, est_nyquist_hz,
+    snr_keep, voiced, speechlike, hum_detected, dc_detected, hum_keep,
+    narrowband) — all five screens' verdicts from one decode; verdict
+    booleans are the standalone operators' JVM-side rules verbatim
+    (snr.snr_screen, pitch.pitch_screen, hum.hum_screen,
+    bandwidth.bandwidth_screen)."""
     e = clips.select(
         F.col(id_col).alias("clip_id"),
+        F.col(sr_col).alias("sr_hz"),
         _screen_udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("a"),
     ).where(F.col("a").isNotNull())
     snr_keep = (F.col("a.snr_status") == "clean") | (
@@ -145,6 +156,9 @@ def screen_audio(
     )
     dc = F.abs(F.col("a.dc_offset")) >= rules.DC_OFFSET_MAX
     hum_keep = (F.col("a.hum_status") == "ok") & ~hum & ~dc
+    narrow = F.coalesce(
+        2 * F.col("a.est_nyquist_hz") < F.col("sr_hz"), F.lit(False)
+    )
     return e.select(
         "clip_id",
         F.col("a.n_segments").alias("n_segments"),
@@ -158,10 +172,13 @@ def screen_audio(
         F.col("a.dc_offset").alias("dc_offset"),
         F.col("a.hum_permille").alias("hum_permille"),
         F.col("a.hum_hz").alias("hum_hz"),
+        F.col("a.bw_status").alias("bw_status"),
+        F.col("a.est_nyquist_hz").alias("est_nyquist_hz"),
         snr_keep.alias("snr_keep"),
         voiced.alias("voiced"),
         (voiced & in_band).alias("speechlike"),
         hum.alias("hum_detected"),
         dc.alias("dc_detected"),
         hum_keep.alias("hum_keep"),
+        narrow.alias("narrowband"),
     )

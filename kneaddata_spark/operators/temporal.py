@@ -168,3 +168,65 @@ def funnel_steps(
     return joined.groupBy("step_idx", "step").agg(
         F.sum("__n").cast("long").alias("n_users")
     ).select(F.col("step_idx").cast("long"), "step", "n_users")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    anchor: str = "2024-01-01",
+    week_days: int = 7,
+) -> DataFrame:
+    """Weekly cohort-retention grid: users cohorted by the week of their
+    FIRST event (weeks are first-day-anchored `week_days`-day buckets
+    counted from `anchor`), and each (cohort_week, offset_weeks) cell
+    counts how many of them were active that many weeks later —
+    retained_permille = 1000 * n_users div cohort_size, exact integer
+    arithmetic (offset 0 is by construction the full cohort).
+
+    Scale shape: the event stream pays ONE shuffle — a user-keyed window
+    carries min(day) to every row (no first-events self-join, the
+    asof_join rule), then (user, cohort, offset) dedup is map-side
+    combinable and everything after is cohort-grid-sized (weeks x weeks
+    rows). Cohort sizes come from the grid's own offset-0 cell via a
+    cohort-keyed window over the TINY grid — the corpus is scanned once,
+    no join-back. Day arithmetic is date-based (datediff from the
+    anchor) so the DuckDB oracle agrees regardless of session timezone;
+    days are non-negative by contract (events precede the anchor ->
+    pick an earlier anchor).
+    """
+    d = df.select(
+        F.col(user_col).alias("user_id"),
+        F.datediff(F.col(ts_col).cast("date"), F.lit(anchor).cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    w = Window.partitionBy("user_id")
+    a = (
+        d.withColumn("first_day", F.min("day").over(w))
+        .select(
+            "user_id",
+            F.expr(f"first_day div {week_days}").alias("cohort_week"),
+            F.expr(f"(day - first_day) div {week_days}").alias("offset_weeks"),
+        )
+        .distinct()
+    )
+    grid = a.groupBy("cohort_week", "offset_weeks").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+    wc = Window.partitionBy("cohort_week")
+    return (
+        grid.withColumn(
+            "cohort_size",
+            F.max(
+                F.when(F.col("offset_weeks") == 0, F.col("n_users"))
+            ).over(wc),
+        )
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "n_users",
+            "cohort_size",
+            F.expr("(n_users * 1000) div cohort_size").alias("retained_permille"),
+        )
+    )

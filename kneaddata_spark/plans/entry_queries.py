@@ -3817,11 +3817,11 @@ def corpus_card_q(spark, sf):
 @q("audio_screens")
 def audio_screens_q(spark, sf):
     """Fused audio screen (operators/audioscreen.screen_audio): VAD +
-    SNR + pitch + mains-hum/DC verdicts from ONE decode — the decode-once
-    fusion rule (audioprep) extended to the screen family; every column
-    pytest-proven bit-identical to its standalone operator. Rows-only by
-    necessity (binary PCM decode basis). Plan: 1 ArrowEvalPython,
-    0 exchanges (pytest-enforced)."""
+    SNR + pitch + mains-hum/DC + effective-bandwidth verdicts from ONE
+    decode — the decode-once fusion rule (audioprep) extended to the
+    screen family; every column pytest-proven bit-identical to its
+    standalone operator. Rows-only by necessity (binary PCM decode
+    basis). Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
     from ..operators.audioscreen import screen_audio
 
     return screen_audio(_synth_clips(spark, 400, 8))
@@ -4363,6 +4363,51 @@ def _hll_overlap_sql() -> str:
 
 
 ORACLES["hll_overlap"] = _hll_overlap_sql()
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH d AS (
+      SELECT user_id, date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, day,
+             (min(day) OVER (PARTITION BY user_id))::BIGINT AS first_day
+      FROM d
+    ),
+    a AS (
+      SELECT DISTINCT user_id, (first_day // 7)::BIGINT AS cohort_week,
+             ((day - first_day) // 7)::BIGINT AS offset_weeks
+      FROM f
+    ),
+    g AS (
+      SELECT cohort_week, offset_weeks, count(*)::BIGINT AS n_users
+      FROM a GROUP BY cohort_week, offset_weeks
+    ),
+    r AS (
+      SELECT cohort_week, offset_weeks, n_users,
+             (max(CASE WHEN offset_weeks = 0 THEN n_users END)
+                OVER (PARTITION BY cohort_week))::BIGINT AS cohort_size
+      FROM g
+    )
+    SELECT cohort_week, offset_weeks, n_users, cohort_size,
+           ((n_users * 1000) // cohort_size)::BIGINT AS retained_permille
+    FROM r
+    """,
+)
+def cohort_retention_q(spark, sf):
+    """Weekly cohort retention (temporal.cohort_retention): users
+    cohorted by first-event week, each (cohort, offset) cell counting
+    distinct users still active — retained_permille exact-integer. The
+    event stream pays ONE user-keyed shuffle (window min, no self-join);
+    cohort sizes come from the grid's own offset-0 cell via a keyed
+    window over the tiny grid. Day arithmetic is date-based so both
+    engines agree regardless of session timezone."""
+    from ..operators.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"))
 
 
 @q(

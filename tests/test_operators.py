@@ -2971,6 +2971,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     import re
 
     from kneaddata_spark.operators.audioscreen import screen_audio
+    from kneaddata_spark.operators.bandwidth import bandwidth_screen
     from kneaddata_spark.operators.hum import hum_screen
     from kneaddata_spark.operators.pitch import pitch_screen
     from kneaddata_spark.operators.snr import snr_screen
@@ -2983,6 +2984,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     snr = {r["clip_id"]: r.asDict() for r in snr_screen(clips).collect()}
     pit = {r["clip_id"]: r.asDict() for r in pitch_screen(clips).collect()}
     hum = {r["clip_id"]: r.asDict() for r in hum_screen(clips).collect()}
+    bw = {r["clip_id"]: r.asDict() for r in bandwidth_screen(clips).collect()}
     segs = {}
     for r in vad_segments(clips).collect():
         a = segs.setdefault(r["clip_id"], [0, 0])
@@ -3011,6 +3013,10 @@ def test_screen_audio_fusion_equals_standalones(spark):
             h["status"], h["dc_offset"], h["hum_permille"], h["hum_hz"],
             h["hum_detected"], h["dc_detected"], h["keep"],
         ), cid
+        w = bw[cid]
+        assert (
+            f["bw_status"], f["est_nyquist_hz"], f["narrowband"],
+        ) == (w["status"], w["est_nyquist_hz"], w["narrowband"]), cid
 
     p = plan_of(screen_audio(clips_spark_df(spark, 50, n_partitions=2)))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
@@ -4308,3 +4314,39 @@ def test_distinctive_terms_planted_and_replica(spark):
     for line in p.splitlines():
         if "Window" in line and "partitionBy" not in line:
             assert not re.search(r"windowspecdefinition\(\s*(lift|token)", line)
+
+
+# ------------------------------------------------- cohort retention ----
+
+
+def test_cohort_retention_hand_grid(spark):
+    """Hand-built event stream with a known retention grid; multiple
+    events in a week count once; second cohort independent."""
+    import datetime as dt
+
+    from kneaddata_spark.operators.temporal import cohort_retention
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # cohort week 0: u1 weeks {0,1,2}, u2 {0,2}, u3 {0}
+    for u, weeks in ((1, [0, 1, 2]), (2, [0, 2]), (3, [0])):
+        for wk in weeks:
+            rows.append((u, base + dt.timedelta(days=7 * wk)))
+            rows.append((u, base + dt.timedelta(days=7 * wk, hours=3)))  # dup in week
+    # cohort week 2: u4 {2,3}
+    for wk in (2, 3):
+        rows.append((4, base + dt.timedelta(days=14 + 7 * (wk - 2))))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort_week"], r["offset_weeks"]): (
+            r["n_users"], r["cohort_size"], r["retained_permille"]
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        (0, 0): (3, 3, 1000),
+        (0, 1): (1, 3, 333),
+        (0, 2): (2, 3, 666),
+        (2, 0): (1, 1, 1000),
+        (2, 1): (1, 1, 1000),
+    }
