@@ -140,6 +140,8 @@ HEADLINE = R3_SET + [
     "media_probe",
     "distinctive_terms",
     "cohort_retention",
+    "token_diversity",
+    "source_dup_stats",
 ]
 
 

@@ -708,3 +708,99 @@ def distinctive_terms(
             "rk",
         )
     )
+
+
+def token_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document lexical-diversity screen: type/token ratio, Simpson
+    repeat-rate, hapax share — the diversity axis of quality filtering
+    (template/boilerplate docs score near-zero TTR and high Simpson long
+    before repetition_screen's fixed n-gram rules fire). All integer:
+
+        ttr_permille   = 1000 * n_types div n_tokens
+        simpson_ppm    = 10^6 * sum(c_t * (c_t - 1)) div (n * (n - 1))
+                         (the unbiased repeat-rate; null when n < 2)
+        hapax_permille = 1000 * |{t : c_t = 1}| div n_types
+
+    Scale shape: ZERO shuffles — per-token counts are computed row-
+    locally with JVM higher-order functions (transform over the distinct
+    tokens, filter-count against the row's own array), so the operator is
+    embarrassingly parallel and lives entirely inside WholeStageCodegen's
+    Arrow-free JVM path. Row cost is O(types * tokens) — bounded by doc
+    length, the explode-free trade that wins until documents reach
+    pathological length (then the explode+reagg form of the ORACLE is the
+    fallback; both are implemented, the oracle proves them equal)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), " "), lambda x: x != ""
+    )
+    types = F.array_distinct(toks)
+    counts = F.transform(
+        types, lambda t: F.size(F.filter(toks, lambda x: x == t)).cast("long")
+    )
+    n = F.size(toks).cast("long")
+    n_types = F.size(types).cast("long")
+    s = F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, c: acc + c * (c - 1)
+    )
+    hapax = F.size(F.filter(counts, lambda c: c == 1)).cast("long")
+    base = df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_types.alias("n_types"),
+        s.alias("__s"),
+        hapax.alias("__hapax"),
+    )
+    return base.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0, F.expr("1000 * n_types div n_tokens")
+        ).alias("ttr_permille"),
+        F.when(
+            F.col("n_tokens") >= 2,
+            F.expr("1000000 * __s div (n_tokens * (n_tokens - 1))"),
+        ).alias("simpson_ppm"),
+        F.when(
+            F.col("n_types") > 0, F.expr("1000 * __hapax div n_types")
+        ).alias("hapax_permille"),
+    )
+
+
+def source_dup_stats(
+    df: DataFrame, text_col: str, group_col: str
+) -> DataFrame:
+    """Per-source duplication card: how much of each source is internal
+    copies, and how much of it also appears verbatim in OTHER sources —
+    the first two numbers a corpus curator asks for per provider.
+
+        dup_permille    = 1000 * (n_docs - n_texts) div n_docs
+        shared_permille = 1000 * n_shared_docs     div n_docs
+
+    Scale shape: docs pay one map-side-combined (source, md5) count;
+    everything after is text-hash-keyed over the distinct-hash frame —
+    per-hash source spans (bounded by #sources), one equi-join back, one
+    small re-agg. No doc text ever reshuffles (the dedup_exact rule)."""
+    h = F.md5(F.col(text_col))
+    d1 = (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .groupBy("grp", "h")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    spans = d1.groupBy("h").agg(
+        F.count("*").cast("long").alias("n_src")
+    )
+    per = d1.join(spans, "h").groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_texts"),
+        F.sum(F.when(F.col("n_src") > 1, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_shared_docs"),
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_texts",
+        F.expr("1000 * (n_docs - n_texts) div n_docs").alias("dup_permille"),
+        "n_shared_docs",
+        F.expr("1000 * n_shared_docs div n_docs").alias("shared_permille"),
+    )

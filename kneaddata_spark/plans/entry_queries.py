@@ -4366,6 +4366,72 @@ ORACLES["hll_overlap"] = _hll_overlap_sql()
 
 
 @q(
+    "token_diversity",
+    """
+    WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks FROM documents),
+    tok AS (
+      SELECT doc_id, u.tok FROM t, LATERAL (SELECT unnest(toks) AS tok) u
+      WHERE u.tok <> ''
+    ),
+    c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+             sum(c * (c - 1))::BIGINT AS s,
+             sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(a.n_types, 0)::BIGINT AS n_types,
+           CASE WHEN a.n_tokens > 0
+                THEN ((1000 * a.n_types) // a.n_tokens)::BIGINT END AS ttr_permille,
+           CASE WHEN a.n_tokens >= 2
+                THEN ((1000000 * a.s) // (a.n_tokens * (a.n_tokens - 1)))::BIGINT END AS simpson_ppm,
+           CASE WHEN a.n_types > 0
+                THEN ((1000 * a.hapax) // a.n_types)::BIGINT END AS hapax_permille
+    FROM documents d LEFT JOIN agg a USING(doc_id)
+    """,
+)
+def token_diversity_q(spark, sf):
+    """Lexical-diversity screen (textstats.token_diversity): per-doc
+    TTR / Simpson repeat-rate / hapax share in exact integer permilles —
+    the diversity axis of quality filtering. ZERO shuffles: per-token
+    counts computed row-locally with JVM higher-order functions; the
+    oracle proves the explode+reagg formulation equal."""
+    d = _t(spark, sf, "documents")
+    return textstats.token_diversity(d, "doc_id", "text")
+
+
+@q(
+    "source_dup_stats",
+    """
+    WITH d1 AS (
+      SELECT source, md5(text) AS h, count(*)::BIGINT AS n
+      FROM documents GROUP BY source, md5(text)
+    ),
+    sp AS (SELECT h, count(*)::BIGINT AS n_src FROM d1 GROUP BY h),
+    per AS (
+      SELECT d1.source, sum(d1.n)::BIGINT AS n_docs, count(*)::BIGINT AS n_texts,
+             sum(CASE WHEN sp.n_src > 1 THEN d1.n ELSE 0 END)::BIGINT AS n_shared_docs
+      FROM d1 JOIN sp USING(h) GROUP BY d1.source
+    )
+    SELECT source, n_docs, n_texts,
+           ((1000 * (n_docs - n_texts)) // n_docs)::BIGINT AS dup_permille,
+           n_shared_docs,
+           ((1000 * n_shared_docs) // n_docs)::BIGINT AS shared_permille
+    FROM per
+    """,
+)
+def source_dup_stats_q(spark, sf):
+    """Per-source duplication card (textstats.source_dup_stats):
+    internal-copy rate and cross-source verbatim overlap per provider —
+    one map-side-combined (source, md5) count, hash-keyed span join, no
+    document text ever reshuffles."""
+    d = _t(spark, sf, "documents")
+    return textstats.source_dup_stats(d, "text", "source")
+
+
+@q(
     "cohort_retention",
     """
     WITH d AS (

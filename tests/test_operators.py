@@ -4350,3 +4350,76 @@ def test_cohort_retention_hand_grid(spark):
         (2, 0): (1, 1, 1000),
         (2, 1): (1, 1, 1000),
     }
+
+
+# ------------------------------------------------- token diversity -----
+
+
+def test_token_diversity_replica_and_plan(spark):
+    """TTR / Simpson / hapax match a python replica of the integer
+    formulas; degenerate docs (empty, single-token) hit the null
+    contracts; plan is shuffle-free and python-free."""
+    from collections import Counter
+
+    from kneaddata_spark.operators.textstats import token_diversity
+
+    rows = [
+        (1, "a a a b b c"),
+        (2, "each token here is unique truly"),
+        (3, "x"),
+        (4, "   "),
+        (5, "The the THE"),
+        (6, "w w w w w w w w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in token_diversity(df, "doc_id", "text").collect()}
+
+    for doc_id, text in rows:
+        toks = [t for t in text.lower().strip().split(" ") if t]
+        c = Counter(toks)
+        n, nt = len(toks), len(c)
+        r = got[doc_id]
+        assert (r["n_tokens"], r["n_types"]) == (n, nt)
+        assert r["ttr_permille"] == (1000 * nt // n if n > 0 else None)
+        s = sum(v * (v - 1) for v in c.values())
+        assert r["simpson_ppm"] == (
+            10**6 * s // (n * (n - 1)) if n >= 2 else None
+        )
+        hap = sum(1 for v in c.values() if v == 1)
+        assert r["hapax_permille"] == (1000 * hap // nt if nt > 0 else None)
+
+    # all-unique doc: TTR 1000, Simpson 0, hapax 1000
+    assert (got[2]["ttr_permille"], got[2]["simpson_ppm"], got[2]["hapax_permille"]) == (
+        1000, 0, 1000
+    )
+    # single repeated token: Simpson 10^6, hapax 0
+    assert (got[6]["simpson_ppm"], got[6]["hapax_permille"]) == (10**6, 0)
+
+    plan = (
+        token_diversity(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_source_dup_stats_replica(spark):
+    """Per-source duplication card matches a hand-computed grid:
+    internal copies and cross-source shared text counted per provider."""
+    from kneaddata_spark.operators.textstats import source_dup_stats
+
+    rows = (
+        [(i, "shared body", "A") for i in range(3)]        # 3 copies, shared
+        + [(10, "a only", "A"), (11, "a only", "A")]       # internal dup, A-only
+        + [(20, "shared body", "B")]                        # B's copy of shared
+        + [(21, "b unique 1", "B"), (22, "b unique 2", "B")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_dup_stats(df, "text", "source").collect()}
+
+    a, b = got["A"], got["B"]
+    # A: 5 docs over 2 texts -> 600 permille dup; 3 shared docs -> 600
+    assert (a["n_docs"], a["n_texts"], a["dup_permille"]) == (5, 2, 600)
+    assert (a["n_shared_docs"], a["shared_permille"]) == (3, 600)
+    # B: 3 docs, 3 texts -> 0 dup; 1 shared doc -> 333
+    assert (b["n_docs"], b["n_texts"], b["dup_permille"]) == (3, 3, 0)
+    assert (b["n_shared_docs"], b["shared_permille"]) == (1, 333)
