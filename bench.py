@@ -142,6 +142,7 @@ HEADLINE = R3_SET + [
     "cohort_retention",
     "token_diversity",
     "source_dup_stats",
+    "reverb_screen",
 ]
 
 

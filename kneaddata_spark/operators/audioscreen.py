@@ -1,17 +1,18 @@
-"""Fused audio screen: VAD + SNR + pitch + hum/DC + bandwidth verdicts
-from ONE decode.
+"""Fused audio screen: VAD + SNR + pitch + hum/DC + bandwidth + reverb
+verdicts from ONE decode.
 
 The screen-family analog of operators/audioprep (which fused the
-canonical-form chain): a corpus pass that wants all five audio-quality
+canonical-form chain): a corpus pass that wants all six audio-quality
 verdicts — voice activity, noise floor, periodicity, electrical defects,
-effective bandwidth — must not decode the corpus five times. Decode is
-the per-core Python ceiling (BASELINE.md roofline), and at 100 TB the
-bytes-column scan itself is the other ceiling; running the standalone
-operators back-to-back pays both five times. This stage runs the SAME
-kernels (operators/vad.segment_samples, operators/snr.snr_of,
+effective bandwidth, decay tail — must not decode the corpus six times.
+Decode is the per-core Python ceiling (BASELINE.md roofline), and at
+100 TB the bytes-column scan itself is the other ceiling; running the
+standalone operators back-to-back pays both six times. This stage runs
+the SAME kernels (operators/vad.segment_samples, operators/snr.snr_of,
 operators/pitch.pitch_of, operators/hum.hum_of, operators/bandwidth.
-band_of — one source of truth each, all replica-gated in their own
-tests) on one decoded buffer inside ONE ArrowEvalPython stage.
+band_of, operators/reverb.reverb_of — one source of truth each, all
+replica-gated in their own tests) on one decoded buffer inside ONE
+ArrowEvalPython stage.
 
 Fusion contract (pytest-enforced): every output column is bit-identical
 to the corresponding standalone operator's column — fusing costs
@@ -38,6 +39,7 @@ from .. import rules
 from .bandwidth import band_of
 from .hum import hum_of
 from .pitch import pitch_of
+from .reverb import reverb_of
 from .snr import snr_of
 from .vad import segment_samples
 
@@ -56,6 +58,8 @@ _SCREEN_T = T.StructType(
         T.StructField("hum_hz", T.LongType()),
         T.StructField("bw_status", T.StringType()),
         T.StructField("est_nyquist_hz", T.LongType()),
+        T.StructField("rev_status", T.StringType()),
+        T.StructField("rt60_ms", T.LongType()),
     ]
 )
 
@@ -80,6 +84,7 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
         p_st, _, f0, per = pitch_of(x, s)
         h_st, _, dc, _, hum_p, hum_hz = hum_of(x, s)
         b_st, _, _, est = band_of(x, s)
+        r_st, _, _, _, _, rt60 = reverb_of(x, s)
         out.append(
             {
                 "n_segments": len(segs),
@@ -95,6 +100,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 "hum_hz": hum_hz,
                 "bw_status": b_st,
                 "est_nyquist_hz": est,
+                "rev_status": r_st,
+                "rt60_ms": rt60,
             }
         )
     return pa.array(
@@ -114,6 +121,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 ("hum_hz", pa.int64()),
                 ("bw_status", pa.string()),
                 ("est_nyquist_hz", pa.int64()),
+                ("rev_status", pa.string()),
+                ("rt60_ms", pa.int64()),
             ]
         ),
     )
@@ -132,11 +141,12 @@ def screen_audio(
     """(clip_id, n_segments, speech_frames, snr_status, snr_ratio,
     pitch_status, f0_centi_hz, periodicity_permille, hum_status,
     dc_offset, hum_permille, hum_hz, bw_status, est_nyquist_hz,
-    snr_keep, voiced, speechlike, hum_detected, dc_detected, hum_keep,
-    narrowband) — all five screens' verdicts from one decode; verdict
-    booleans are the standalone operators' JVM-side rules verbatim
-    (snr.snr_screen, pitch.pitch_screen, hum.hum_screen,
-    bandwidth.bandwidth_screen)."""
+    rev_status, rt60_ms, snr_keep, voiced, speechlike, hum_detected,
+    dc_detected, hum_keep, narrowband, reverb_detected, rev_keep) — all
+    six screens' verdicts from one decode; verdict booleans are the
+    standalone operators' JVM-side rules verbatim (snr.snr_screen,
+    pitch.pitch_screen, hum.hum_screen, bandwidth.bandwidth_screen,
+    reverb.reverb_screen)."""
     e = clips.select(
         F.col(id_col).alias("clip_id"),
         F.col(sr_col).alias("sr_hz"),
@@ -159,6 +169,9 @@ def screen_audio(
     narrow = F.coalesce(
         2 * F.col("a.est_nyquist_hz") < F.col("sr_hz"), F.lit(False)
     )
+    rev = (F.col("a.rev_status") == "ok") & (
+        F.col("a.rt60_ms") >= rules.REVERB_MAX_RT60_MS
+    )
     return e.select(
         "clip_id",
         F.col("a.n_segments").alias("n_segments"),
@@ -174,6 +187,8 @@ def screen_audio(
         F.col("a.hum_hz").alias("hum_hz"),
         F.col("a.bw_status").alias("bw_status"),
         F.col("a.est_nyquist_hz").alias("est_nyquist_hz"),
+        F.col("a.rev_status").alias("rev_status"),
+        F.col("a.rt60_ms").alias("rt60_ms"),
         snr_keep.alias("snr_keep"),
         voiced.alias("voiced"),
         (voiced & in_band).alias("speechlike"),
@@ -181,4 +196,6 @@ def screen_audio(
         dc.alias("dc_detected"),
         hum_keep.alias("hum_keep"),
         narrow.alias("narrowband"),
+        rev.alias("reverb_detected"),
+        (~rev).alias("rev_keep"),
     )

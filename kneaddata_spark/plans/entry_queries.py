@@ -3625,6 +3625,22 @@ def hum_screen_q(spark, sf):
     return hum_screen(_synth_clips(spark, 400, 8))
 
 
+@q("reverb_screen")
+def reverb_screen_q(spark, sf):
+    """Reverb / decay-tail screen (operators/reverb): blind RT60 proxy —
+    offset-anchored Schroeder backward integration over frame energies,
+    T20 -> T60 extrapolation, all integer-exact. The acoustic-QC axis no
+    other screen sees: far-field/echoey clips pass VAD/SNR/pitch/hum and
+    still smear word boundaries. Rows-only by necessity (binary PCM
+    decode, the snr_screen basis); pytest replica-gates every scalar
+    against an independent per-sample python-int walk, plus a planted
+    exponential reverb tail resolving to ~6.91*tau and dry/steady/silent
+    cases. Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
+    from ..operators.reverb import reverb_screen
+
+    return reverb_screen(_synth_clips(spark, 400, 8))
+
+
 @q("media_probe")
 def media_probe_q(spark, sf):
     """Media probe (operators/mediaprobe): container-header metadata

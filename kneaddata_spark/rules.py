@@ -106,6 +106,27 @@ BW_KERNEL = (-1, 0, 9, 16, 9, 0, -1)   # halfband; gain 32 at DC, 0 at Nyquist
 BW_MIN_SAMPLES = 64                    # below this the 3rd level has no valid region
 BW_ACTIVE_MIN_PERMILLE = 10            # >= 1% of the level's energy -> octave active
 
+# --- reverb / decay-tail screen (operators/reverb.py) -----------------------
+# Offset-anchored blind decay estimate: frame energies over
+# REVERB_FRAME_MS windows; the free-decay region starts at the LAST frame
+# whose energy clears peak // REVERB_ACTIVE_DIV (the end of strong
+# content — decay measured anywhere earlier is masked by ongoing signal).
+# Schroeder backward integration (EDC = suffix-sum of tail energies);
+# t20 = first tail frame where EDC <= EDC0 // REVERB_T20_DIV (-20 dB),
+# rt60_ms = 3 * t20 * REVERB_FRAME_MS (T20 -> T60 extrapolation; for an
+# exponential tail with time constant tau this lands on the physical
+# RT60 = 6.91*tau). Decays that never reach -20 dB inside the clip are
+# status='truncated' — masked by ongoing content or noise floor, NOT a
+# certified defect, so truncated rows keep (deviation from the hum/snr
+# unmeasurable-is-not-a-pass convention, documented: nearly every dry
+# clip with a noise floor is truncated, and a screen that drops the
+# whole corpus screens nothing; the status column lets a stricter
+# curator drop). Resolved rt60_ms >= REVERB_MAX_RT60_MS -> reverberant.
+REVERB_FRAME_MS = 20
+REVERB_ACTIVE_DIV = 100     # active frame: e >= max(peak // 100, 1) (-20 dB)
+REVERB_T20_DIV = 100        # EDC -20 dB point
+REVERB_MAX_RT60_MS = 500    # resolved decay at/above this -> drop
+
 # --- SNR screen (operators/snr.py) -----------------------------------------
 # Frames classify speech/noise by the VAD rule above; the clip's SNR proxy
 # is the integer POWER ratio speech_meansq div max(noise_meansq, 1), where

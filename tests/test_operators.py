@@ -2974,6 +2974,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     from kneaddata_spark.operators.bandwidth import bandwidth_screen
     from kneaddata_spark.operators.hum import hum_screen
     from kneaddata_spark.operators.pitch import pitch_screen
+    from kneaddata_spark.operators.reverb import reverb_screen
     from kneaddata_spark.operators.snr import snr_screen
     from kneaddata_spark.operators.vad import vad_segments
     from kneaddata_spark.synth import clips_spark_df
@@ -2985,6 +2986,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     pit = {r["clip_id"]: r.asDict() for r in pitch_screen(clips).collect()}
     hum = {r["clip_id"]: r.asDict() for r in hum_screen(clips).collect()}
     bw = {r["clip_id"]: r.asDict() for r in bandwidth_screen(clips).collect()}
+    rev = {r["clip_id"]: r.asDict() for r in reverb_screen(clips).collect()}
     segs = {}
     for r in vad_segments(clips).collect():
         a = segs.setdefault(r["clip_id"], [0, 0])
@@ -3017,6 +3019,10 @@ def test_screen_audio_fusion_equals_standalones(spark):
         assert (
             f["bw_status"], f["est_nyquist_hz"], f["narrowband"],
         ) == (w["status"], w["est_nyquist_hz"], w["narrowband"]), cid
+        v = rev[cid]
+        assert (
+            f["rev_status"], f["rt60_ms"], f["reverb_detected"], f["rev_keep"],
+        ) == (v["status"], v["rt60_ms"], v["reverb_detected"], v["keep"]), cid
 
     p = plan_of(screen_audio(clips_spark_df(spark, 50, n_partitions=2)))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
@@ -4423,3 +4429,123 @@ def test_source_dup_stats_replica(spark):
     # B: 3 docs, 3 texts -> 0 dup; 1 shared doc -> 333
     assert (b["n_docs"], b["n_texts"], b["dup_permille"]) == (3, 3, 0)
     assert (b["n_shared_docs"], b["shared_permille"]) == (1, 333)
+
+
+# ------------------------------------------------- reverb screen -------
+
+
+def _reverb_replica(x, sr):
+    """Per-sample python-int walk of the rules.py decay-tail spec."""
+    from kneaddata_spark import rules
+
+    fl = sr * rules.REVERB_FRAME_MS // 1000
+    if fl <= 0 or len(x) < fl:
+        return ("short", 0, None, None, None, None)
+    n_f = len(x) // fl
+    e = []
+    for j in range(n_f):
+        s = 0
+        for k in range(j * fl, (j + 1) * fl):
+            s += int(x[k]) * int(x[k])
+        e.append(s)
+    peak = max(e)
+    if peak == 0:
+        return ("silent", n_f, None, None, None, None)
+    ta = max(peak // rules.REVERB_ACTIVE_DIV, 1)
+    last = max(j for j in range(n_f) if e[j] >= ta)
+    tail = e[last:]
+    th = tail and sum(tail) // rules.REVERB_T20_DIV
+    t20 = None
+    for k in range(len(tail)):
+        if sum(tail[k:]) <= th:
+            t20 = k
+            break
+    if t20 is None:
+        return ("truncated", n_f, last, len(tail), None, None)
+    return ("ok", n_f, last, len(tail), t20, 3 * t20 * rules.REVERB_FRAME_MS)
+
+
+def test_reverb_kernel_planted_tail_and_edges():
+    """Planted exponential tail resolves to ~6.91*tau (the physical
+    RT60); dry/steady/silent/short hit their statuses; every case is
+    bit-equal to the per-sample python replica."""
+    import numpy as np
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.reverb import reverb_of
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+
+    # burst 0.3 s at amplitude 8000, then exponential tail tau = 0.1 s:
+    # physical RT60 = 6.91 * tau = 691 ms; T20 extrapolation should land
+    # within one frame's granularity on each side.
+    tau = 0.1
+    n_b, n_t = int(0.3 * sr), int(1.2 * sr)
+    burst = rng.uniform(-1, 1, n_b) * 8000
+    t = np.arange(n_t) / sr
+    tail = rng.uniform(-1, 1, n_t) * 8000 * np.exp(-t / tau)
+    x = np.round(np.concatenate([burst, tail])).astype(np.int16)
+    st, n_f, last, tf, t20, rt = reverb_of(x, sr)
+    assert st == "ok" and 550 <= rt <= 850, (st, rt)
+    assert rt >= rules.REVERB_MAX_RT60_MS  # this clip is reverberant
+
+    # dry: same burst, digital-silence tail -> decay resolves immediately
+    dry = np.concatenate([burst, np.zeros(n_t)]).round().astype(np.int16)
+    st_d, _, _, _, t20_d, rt_d = reverb_of(dry, sr)
+    assert st_d == "ok" and rt_d < rules.REVERB_MAX_RT60_MS and t20_d <= 2
+
+    # steady tone to the last sample: decay unobservable -> truncated
+    tone = np.round(
+        12000 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr)
+    ).astype(np.int16)
+    assert reverb_of(tone, sr)[0] == "truncated"
+
+    assert reverb_of(np.zeros(sr, dtype=np.int16), sr)[0] == "silent"
+    fl = sr * rules.REVERB_FRAME_MS // 1000
+    assert reverb_of(tone[: fl - 1], sr)[0] == "short"
+
+    for sig in [x, dry, tone, np.zeros(sr, dtype=np.int16), tone[: fl - 1]]:
+        assert reverb_of(sig, sr) == _reverb_replica(sig, sr)
+
+
+def test_reverb_screen_matches_replica_and_plan(spark):
+    import re
+
+    import numpy as np
+
+    from kneaddata_spark import oracle, rules
+    from kneaddata_spark.operators.reverb import reverb_screen
+    from kneaddata_spark.synth import clips_spark_df, gen_clip
+    from tools.audit_plans import plan_of
+
+    n = 120
+    got = {
+        r["clip_id"]: r.asDict()
+        for r in reverb_screen(clips_spark_df(spark, n, n_partitions=4)).collect()
+    }
+    n_checked = 0
+    statuses = set()
+    for i in range(n):
+        c = gen_clip(i)
+        f = oracle.decode_pcm(c["bytes"], c["codec"])
+        if f is None or len(f) == 0 or c["sr_hz"] <= 0:
+            assert c["clip_id"] not in got
+            continue
+        x = (f.astype(np.float64) * 32768.0).astype(np.int64)
+        st, n_f, last, tf, t20, rt = _reverb_replica(x, c["sr_hz"])
+        r = got[c["clip_id"]]
+        assert (
+            r["status"], r["n_frames"], r["last_active_frame"],
+            r["tail_frames"], r["t20_frames"], r["rt60_ms"],
+        ) == (st, n_f, last, tf, t20, rt), c["clip_id"]
+        det = st == "ok" and rt >= rules.REVERB_MAX_RT60_MS
+        assert (r["reverb_detected"], r["keep"]) == (det, not det)
+        statuses.add(st)
+        n_checked += 1
+    assert n_checked > 60 and "ok" in statuses
+
+    p = plan_of(reverb_screen(clips_spark_df(spark, 50, n_partitions=2)))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+    assert "BatchEvalPython" not in p
+    assert not re.findall(r"\(\d+\) Exchange\b", p)
