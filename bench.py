@@ -143,6 +143,7 @@ HEADLINE = R3_SET + [
     "token_diversity",
     "source_dup_stats",
     "reverb_screen",
+    "dynrange_screen",
 ]
 
 

@@ -1,17 +1,18 @@
-"""Fused audio screen: VAD + SNR + pitch + hum/DC + bandwidth + reverb
-verdicts from ONE decode.
+"""Fused audio screen: VAD + SNR + pitch + hum/DC + bandwidth + reverb +
+dynamic-range verdicts from ONE decode.
 
 The screen-family analog of operators/audioprep (which fused the
-canonical-form chain): a corpus pass that wants all six audio-quality
+canonical-form chain): a corpus pass that wants all seven audio-quality
 verdicts — voice activity, noise floor, periodicity, electrical defects,
-effective bandwidth, decay tail — must not decode the corpus six times.
+effective bandwidth, decay tail, loudness range — must not decode the
+corpus seven times.
 Decode is the per-core Python ceiling (BASELINE.md roofline), and at
 100 TB the bytes-column scan itself is the other ceiling; running the
-standalone operators back-to-back pays both six times. This stage runs
+standalone operators back-to-back pays both seven times. This stage runs
 the SAME kernels (operators/vad.segment_samples, operators/snr.snr_of,
 operators/pitch.pitch_of, operators/hum.hum_of, operators/bandwidth.
-band_of, operators/reverb.reverb_of — one source of truth each, all
-replica-gated in their own tests) on one decoded buffer inside ONE
+band_of, operators/reverb.reverb_of, operators/dynrange.dr_of — one
+source of truth each, all replica-gated in their own tests) on one decoded buffer inside ONE
 ArrowEvalPython stage.
 
 Fusion contract (pytest-enforced): every output column is bit-identical
@@ -37,6 +38,7 @@ from pyspark.sql import types as T
 
 from .. import rules
 from .bandwidth import band_of
+from .dynrange import dr_of
 from .hum import hum_of
 from .pitch import pitch_of
 from .reverb import reverb_of
@@ -60,6 +62,8 @@ _SCREEN_T = T.StructType(
         T.StructField("est_nyquist_hz", T.LongType()),
         T.StructField("rev_status", T.StringType()),
         T.StructField("rt60_ms", T.LongType()),
+        T.StructField("dr_status", T.StringType()),
+        T.StructField("dr_ratio_permille", T.LongType()),
     ]
 )
 
@@ -85,6 +89,7 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
         h_st, _, dc, _, hum_p, hum_hz = hum_of(x, s)
         b_st, _, _, est = band_of(x, s)
         r_st, _, _, _, _, rt60 = reverb_of(x, s)
+        d_st, _, _, _, _, dr = dr_of(x, s)
         out.append(
             {
                 "n_segments": len(segs),
@@ -102,6 +107,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 "est_nyquist_hz": est,
                 "rev_status": r_st,
                 "rt60_ms": rt60,
+                "dr_status": d_st,
+                "dr_ratio_permille": dr,
             }
         )
     return pa.array(
@@ -123,6 +130,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 ("est_nyquist_hz", pa.int64()),
                 ("rev_status", pa.string()),
                 ("rt60_ms", pa.int64()),
+                ("dr_status", pa.string()),
+                ("dr_ratio_permille", pa.int64()),
             ]
         ),
     )
@@ -141,12 +150,13 @@ def screen_audio(
     """(clip_id, n_segments, speech_frames, snr_status, snr_ratio,
     pitch_status, f0_centi_hz, periodicity_permille, hum_status,
     dc_offset, hum_permille, hum_hz, bw_status, est_nyquist_hz,
-    rev_status, rt60_ms, snr_keep, voiced, speechlike, hum_detected,
-    dc_detected, hum_keep, narrowband, reverb_detected, rev_keep) — all
-    six screens' verdicts from one decode; verdict booleans are the
-    standalone operators' JVM-side rules verbatim (snr.snr_screen,
+    rev_status, rt60_ms, dr_status, dr_ratio_permille, snr_keep,
+    voiced, speechlike, hum_detected, dc_detected, hum_keep, narrowband,
+    reverb_detected, rev_keep, compressed, dr_keep) — all seven screens'
+    verdicts from one decode; verdict booleans are the standalone
+    operators' JVM-side rules verbatim (snr.snr_screen,
     pitch.pitch_screen, hum.hum_screen, bandwidth.bandwidth_screen,
-    reverb.reverb_screen)."""
+    reverb.reverb_screen, dynrange.dynrange_screen)."""
     e = clips.select(
         F.col(id_col).alias("clip_id"),
         F.col(sr_col).alias("sr_hz"),
@@ -172,6 +182,9 @@ def screen_audio(
     rev = (F.col("a.rev_status") == "ok") & (
         F.col("a.rt60_ms") >= rules.REVERB_MAX_RT60_MS
     )
+    comp = (F.col("a.dr_status") == "ok") & (
+        F.col("a.dr_ratio_permille") >= rules.DR_COMPRESSED_MIN_PERMILLE
+    )
     return e.select(
         "clip_id",
         F.col("a.n_segments").alias("n_segments"),
@@ -189,6 +202,8 @@ def screen_audio(
         F.col("a.est_nyquist_hz").alias("est_nyquist_hz"),
         F.col("a.rev_status").alias("rev_status"),
         F.col("a.rt60_ms").alias("rt60_ms"),
+        F.col("a.dr_status").alias("dr_status"),
+        F.col("a.dr_ratio_permille").alias("dr_ratio_permille"),
         snr_keep.alias("snr_keep"),
         voiced.alias("voiced"),
         (voiced & in_band).alias("speechlike"),
@@ -198,4 +213,6 @@ def screen_audio(
         narrow.alias("narrowband"),
         rev.alias("reverb_detected"),
         (~rev).alias("rev_keep"),
+        comp.alias("compressed"),
+        (~comp).alias("dr_keep"),
     )

@@ -3641,6 +3641,22 @@ def reverb_screen_q(spark, sf):
     return reverb_screen(_synth_clips(spark, 400, 8))
 
 
+@q("dynrange_screen")
+def dynrange_screen_q(spark, sf):
+    """Dynamic-range / overcompression screen (operators/dynrange):
+    EBU-R128-LRA-style loudness-range proxy — gated frame-energy p10/p95
+    percentile ratio, integer-exact. Brick-walled/limiter-crushed audio
+    passes every other screen and still carries a flattened envelope;
+    this is the loudness-range axis. Rows-only by necessity (binary PCM
+    decode, the snr_screen basis); pytest replica-gates every scalar
+    against an independent per-sample python-int walk, plus planted
+    compressed vs naturally-dynamic fixtures and gate/short/silent
+    cases. Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
+    from ..operators.dynrange import dynrange_screen
+
+    return dynrange_screen(_synth_clips(spark, 400, 8))
+
+
 @q("media_probe")
 def media_probe_q(spark, sf):
     """Media probe (operators/mediaprobe): container-header metadata

@@ -127,6 +127,23 @@ REVERB_ACTIVE_DIV = 100     # active frame: e >= max(peak // 100, 1) (-20 dB)
 REVERB_T20_DIV = 100        # EDC -20 dB point
 REVERB_MAX_RT60_MS = 500    # resolved decay at/above this -> drop
 
+# --- dynamic-range / overcompression screen (operators/dynrange.py) ---------
+# EBU-R128-LRA-style loudness-range proxy, integer-exact: frame energies
+# over DR_FRAME_MS windows, gated to ACTIVE frames (e >= max(peak //
+# DR_GATE_DIV, 1), ~-30 dB of peak — silence must not fake dynamics, the
+# R128 absolute-gate idea); sort active energies ascending and take
+# p10/p95 at floor index (n_active - 1) * p // 100. dr_ratio_permille =
+# p10 * 1000 // p95: ~1000 = brick-walled (p10 within a whisker of p95),
+# ~0 = naturally dynamic. compressed when the ratio clears
+# DR_COMPRESSED_MIN_PERMILLE (500 = p10 within 3 dB of p95) over at
+# least DR_MIN_FRAMES active frames. Limiter-crushed broadcast/ad audio
+# passes VAD/SNR/pitch/hum/bandwidth/reverb and is still low-value for
+# acoustic training; this is the loudness-range axis.
+DR_FRAME_MS = 20
+DR_GATE_DIV = 1000             # active frame: e >= max(peak // 1000, 1)
+DR_MIN_FRAMES = 10             # need >= 10 active frames to resolve a range
+DR_COMPRESSED_MIN_PERMILLE = 500   # p10 >= half of p95 (-3 dB) -> compressed
+
 # --- SNR screen (operators/snr.py) -----------------------------------------
 # Frames classify speech/noise by the VAD rule above; the clip's SNR proxy
 # is the integer POWER ratio speech_meansq div max(noise_meansq, 1), where

@@ -2973,6 +2973,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     from kneaddata_spark.operators.audioscreen import screen_audio
     from kneaddata_spark.operators.bandwidth import bandwidth_screen
     from kneaddata_spark.operators.hum import hum_screen
+    from kneaddata_spark.operators.dynrange import dynrange_screen
     from kneaddata_spark.operators.pitch import pitch_screen
     from kneaddata_spark.operators.reverb import reverb_screen
     from kneaddata_spark.operators.snr import snr_screen
@@ -2987,6 +2988,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     hum = {r["clip_id"]: r.asDict() for r in hum_screen(clips).collect()}
     bw = {r["clip_id"]: r.asDict() for r in bandwidth_screen(clips).collect()}
     rev = {r["clip_id"]: r.asDict() for r in reverb_screen(clips).collect()}
+    dr = {r["clip_id"]: r.asDict() for r in dynrange_screen(clips).collect()}
     segs = {}
     for r in vad_segments(clips).collect():
         a = segs.setdefault(r["clip_id"], [0, 0])
@@ -3023,6 +3025,10 @@ def test_screen_audio_fusion_equals_standalones(spark):
         assert (
             f["rev_status"], f["rt60_ms"], f["reverb_detected"], f["rev_keep"],
         ) == (v["status"], v["rt60_ms"], v["reverb_detected"], v["keep"]), cid
+        d = dr[cid]
+        assert (
+            f["dr_status"], f["dr_ratio_permille"], f["compressed"], f["dr_keep"],
+        ) == (d["status"], d["dr_ratio_permille"], d["compressed"], d["keep"]), cid
 
     p = plan_of(screen_audio(clips_spark_df(spark, 50, n_partitions=2)))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
@@ -4546,6 +4552,122 @@ def test_reverb_screen_matches_replica_and_plan(spark):
     assert n_checked > 60 and "ok" in statuses
 
     p = plan_of(reverb_screen(clips_spark_df(spark, 50, n_partitions=2)))
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
+    assert "BatchEvalPython" not in p
+    assert not re.findall(r"\(\d+\) Exchange\b", p)
+
+
+# ------------------------------------------------- dynamic range -------
+
+
+def _dr_replica(x, sr):
+    """Per-sample python-int walk of the rules.py loudness-range spec."""
+    from kneaddata_spark import rules
+
+    fl = sr * rules.DR_FRAME_MS // 1000
+    if fl <= 0 or len(x) < fl:
+        return ("short", 0, 0, None, None, None)
+    n_f = len(x) // fl
+    e = []
+    for j in range(n_f):
+        s = 0
+        for k in range(j * fl, (j + 1) * fl):
+            s += int(x[k]) * int(x[k])
+        e.append(s)
+    peak = max(e)
+    if peak == 0:
+        return ("silent", n_f, 0, None, None, None)
+    act = sorted(v for v in e if v >= max(peak // rules.DR_GATE_DIV, 1))
+    n_a = len(act)
+    if n_a < rules.DR_MIN_FRAMES:
+        return ("short", n_f, n_a, None, None, None)
+    p10 = act[(n_a - 1) * 10 // 100]
+    p95 = act[(n_a - 1) * 95 // 100]
+    return ("ok", n_f, n_a, p10, p95, p10 * 1000 // p95)
+
+
+def test_dynrange_kernel_planted_and_edges():
+    """Brick-walled constant-envelope audio scores ~1000 permille and is
+    flagged compressed; naturally dynamic (amplitude-modulated) audio
+    scores low; leading silence cannot fake dynamics (the gate); every
+    case is bit-equal to the per-sample python replica."""
+    import numpy as np
+
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.dynrange import dr_of
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    n = 2 * sr
+
+    # brick-walled: constant-envelope noise
+    flat = np.round(rng.uniform(-1, 1, n) * 12000).astype(np.int16)
+    st, n_f, n_a, p10, p95, ratio = dr_of(flat, sr)
+    assert st == "ok" and ratio >= rules.DR_COMPRESSED_MIN_PERMILLE
+
+    # naturally dynamic: 2 Hz amplitude modulation sweeps the envelope
+    # through >20 dB -> p10 far below p95
+    t = np.arange(n) / sr
+    env = 0.05 + 0.95 * (0.5 + 0.5 * np.sin(2 * np.pi * 2 * t)) ** 2
+    dyn = np.round(rng.uniform(-1, 1, n) * 12000 * env).astype(np.int16)
+    st_d, _, _, _, _, ratio_d = dr_of(dyn, sr)
+    assert st_d == "ok" and ratio_d < rules.DR_COMPRESSED_MIN_PERMILLE
+
+    # leading silence + compressed body: the gate drops silent frames,
+    # verdict stays compressed
+    padded = np.concatenate([np.zeros(sr, dtype=np.int16), flat])
+    st_p, _, n_a_p, _, _, ratio_p = dr_of(padded, sr)
+    assert st_p == "ok" and ratio_p >= rules.DR_COMPRESSED_MIN_PERMILLE
+    assert n_a_p < len(padded) // (sr * rules.DR_FRAME_MS // 1000)
+
+    assert dr_of(np.zeros(sr, dtype=np.int16), sr)[0] == "silent"
+    fl = sr * rules.DR_FRAME_MS // 1000
+    assert dr_of(flat[: fl - 1], sr)[0] == "short"
+    # fewer active frames than DR_MIN_FRAMES -> short
+    tiny = flat[: fl * (rules.DR_MIN_FRAMES - 1)]
+    assert dr_of(tiny, sr)[0] == "short"
+
+    for sig in [flat, dyn, padded, np.zeros(sr, dtype=np.int16), tiny]:
+        assert dr_of(sig, sr) == _dr_replica(sig, sr)
+
+
+def test_dynrange_screen_matches_replica_and_plan(spark):
+    import re
+
+    import numpy as np
+
+    from kneaddata_spark import oracle, rules
+    from kneaddata_spark.operators.dynrange import dynrange_screen
+    from kneaddata_spark.synth import clips_spark_df, gen_clip
+    from tools.audit_plans import plan_of
+
+    n = 120
+    got = {
+        r["clip_id"]: r.asDict()
+        for r in dynrange_screen(clips_spark_df(spark, n, n_partitions=4)).collect()
+    }
+    n_checked = 0
+    statuses = set()
+    for i in range(n):
+        c = gen_clip(i)
+        f = oracle.decode_pcm(c["bytes"], c["codec"])
+        if f is None or len(f) == 0 or c["sr_hz"] <= 0:
+            assert c["clip_id"] not in got
+            continue
+        x = (f.astype(np.float64) * 32768.0).astype(np.int64)
+        st, n_f, n_a, p10, p95, ratio = _dr_replica(x, c["sr_hz"])
+        r = got[c["clip_id"]]
+        assert (
+            r["status"], r["n_frames"], r["n_active"],
+            r["p10_energy"], r["p95_energy"], r["dr_ratio_permille"],
+        ) == (st, n_f, n_a, p10, p95, ratio), c["clip_id"]
+        comp = st == "ok" and ratio >= rules.DR_COMPRESSED_MIN_PERMILLE
+        assert (r["compressed"], r["keep"]) == (comp, not comp)
+        statuses.add(st)
+        n_checked += 1
+    assert n_checked > 60 and "ok" in statuses
+
+    p = plan_of(dynrange_screen(clips_spark_df(spark, 50, n_partitions=2)))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
     assert "BatchEvalPython" not in p
     assert not re.findall(r"\(\d+\) Exchange\b", p)
