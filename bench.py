@@ -144,6 +144,8 @@ HEADLINE = R3_SET + [
     "source_dup_stats",
     "reverb_screen",
     "dynrange_screen",
+    "source_concentration",
+    "embedding_health",
 ]
 
 

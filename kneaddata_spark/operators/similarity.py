@@ -683,3 +683,56 @@ def ann_pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "nbr_id", "rank", "cos")
     )
+
+
+def embedding_health(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-column audit card: per dimensionality, how many vectors
+    exist, how many are all-zero (failed encoder batches emit zeros and
+    silently poison every cosine downstream — a zero vector is "similar"
+    to nothing and clusters with everything at distance 1), and how many
+    are exact duplicates (re-encoded copies that bias ANN training
+    negatives). The first sanity pass before any index build.
+
+    Zero test is float-safe because it is only an equality with zero:
+    a vector is zero iff no element is nonzero (NaN elements make a
+    vector non-zero in both engines; empty vectors count as zero).
+
+    Scale shape: one groupBy on (dim, vector) — the shuffle carries the
+    vector once, the exact-dedup cost; at 100 TB you'd group on a
+    128-bit content hash computed JVM-side and verify residually, but
+    value-grouping is the formulation a cross-engine oracle can check
+    bit-for-bit. Output is one row per distinct dimensionality (a
+    healthy table has exactly one)."""
+    b = df.where(F.col(vec_col).isNotNull()).select(
+        F.size(F.col(vec_col)).cast("long").alias("dim"),
+        F.col(vec_col).alias("v"),
+        (~F.exists(F.col(vec_col), lambda x: x != F.lit(0.0))).alias(
+            "is_zero"
+        ),
+    )
+    g = b.groupBy("dim", "v", "is_zero").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    return (
+        g.groupBy("dim")
+        .agg(
+            F.sum("n").cast("long").alias("n_vecs"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("is_zero"), F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_zero"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_vecs"),
+        )
+        .select(
+            "dim",
+            "n_vecs",
+            "n_distinct",
+            "n_zero",
+            "n_dup_vecs",
+            F.expr("1000 * n_dup_vecs div n_vecs").alias("dup_permille"),
+        )
+    )

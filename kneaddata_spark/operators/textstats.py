@@ -804,3 +804,46 @@ def source_dup_stats(
         "n_shared_docs",
         F.expr("1000 * n_shared_docs div n_docs").alias("shared_permille"),
     )
+
+
+def source_concentration(
+    df: DataFrame, group_col: str, source_col: str
+) -> DataFrame:
+    """Per-group provider-concentration card: the Herfindahl index over
+    source shares plus the dominant provider — the diversification
+    number next to source_dup_stats on a curator's dashboard (a corpus
+    where one provider is 900 permille of a language is one takedown
+    away from losing that language).
+
+        hhi_ppm            = 10^6 * sum(n_i^2) div N^2   (10^6 = monoculture,
+                             10^6/k = k equal sources)
+        top_share_permille = 1000 * max(n_i) div N
+
+    Ties on the top source break to the lexicographically smallest
+    source (min over (-n, source) tuples — no window at all).
+
+    Scale shape: one map-side-combinable (group, source) count, then one
+    group-keyed re-agg over the bounded per-group source list; sum(n^2)
+    stays in int64 for any group under ~3e9 docs (beyond that, compute
+    shares first — noted, not needed at this corpus's group sizes)."""
+    c = df.groupBy(group_col, source_col).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    t = c.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("__ss"),
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("negn"), F.col(source_col).alias("src")
+            )
+        ).alias("__top"),
+    )
+    return t.select(
+        group_col,
+        "n_docs",
+        "n_sources",
+        F.expr("1000000 * __ss div (n_docs * n_docs)").alias("hhi_ppm"),
+        F.col("__top.src").alias("top_source"),
+        F.expr("1000 * (-__top.negn) div n_docs").alias("top_share_permille"),
+    )

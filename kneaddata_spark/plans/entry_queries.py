@@ -4464,6 +4464,79 @@ def source_dup_stats_q(spark, sf):
 
 
 @q(
+    "source_concentration",
+    """
+    WITH c AS (
+      SELECT lang, source, count(*)::BIGINT AS n
+      FROM documents GROUP BY lang, source
+    ),
+    t AS (
+      SELECT lang, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_sources,
+             sum(n * n)::BIGINT AS ss
+      FROM c GROUP BY lang
+    ),
+    r AS (
+      SELECT lang, source, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rk
+      FROM c
+    )
+    SELECT t.lang, t.n_docs, t.n_sources,
+           ((1000000 * t.ss) // (t.n_docs * t.n_docs))::BIGINT AS hhi_ppm,
+           r.source AS top_source,
+           ((1000 * r.n) // t.n_docs)::BIGINT AS top_share_permille
+    FROM t JOIN r ON t.lang = r.lang AND r.rk = 1
+    """,
+)
+def source_concentration_q(spark, sf):
+    """Provider-concentration card (textstats.source_concentration):
+    per-lang Herfindahl index over source shares + dominant provider —
+    the diversification number next to source_dup_stats. Two
+    map-side-combinable aggs, zero windows (top source is a min over
+    (-n, source) tuples)."""
+    d = _t(spark, sf, "documents")
+    return textstats.source_concentration(d, "lang", "source")
+
+
+@q(
+    "embedding_health",
+    """
+    WITH b AS (
+      SELECT vec_id, len(embedding)::BIGINT AS dim, embedding AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    mx AS (
+      SELECT b.vec_id, max(abs(u.x)) AS m
+      FROM b, LATERAL (SELECT unnest(b.v) AS x) u GROUP BY b.vec_id
+    ),
+    z AS (
+      SELECT b.dim, b.v, (coalesce(mx.m, 0) = 0) AS is_zero
+      FROM b LEFT JOIN mx USING (vec_id)
+    ),
+    g AS (
+      SELECT dim, v, is_zero, count(*)::BIGINT AS n
+      FROM z GROUP BY dim, v, is_zero
+    )
+    SELECT dim, sum(n)::BIGINT AS n_vecs, count(*)::BIGINT AS n_distinct,
+           sum(CASE WHEN is_zero THEN n ELSE 0 END)::BIGINT AS n_zero,
+           sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_vecs,
+           ((1000 * sum(CASE WHEN n > 1 THEN n ELSE 0 END)) // sum(n))::BIGINT
+             AS dup_permille
+    FROM g GROUP BY dim
+    """,
+)
+def embedding_health_q(spark, sf):
+    """Embedding-column audit (similarity.embedding_health): per-dim
+    vector counts, all-zero vectors (failed encoder batches — poison for
+    every cosine downstream), exact-duplicate share. The sanity pass
+    before any ANN index build; zero test is float-safe (equality with
+    zero only), dup grouping is value-exact in both engines."""
+    from ..operators.similarity import embedding_health
+
+    e = _t(spark, sf, "embeddings")
+    return embedding_health(e)
+
+
+@q(
     "cohort_retention",
     """
     WITH d AS (

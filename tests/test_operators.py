@@ -4671,3 +4671,63 @@ def test_dynrange_screen_matches_replica_and_plan(spark):
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
     assert "BatchEvalPython" not in p
     assert not re.findall(r"\(\d+\) Exchange\b", p)
+
+
+# ------------------------------------------- source concentration ------
+
+
+def test_source_concentration_hand_grid(spark):
+    """HHI and top-source match hand-computed values; monoculture scores
+    10^6 ppm; ties break to the lexicographically smallest source."""
+    from kneaddata_spark.operators.textstats import source_concentration
+
+    rows = (
+        [(i, "en", "web") for i in range(6)]        # en: web 6
+        + [(10, "en", "books"), (11, "en", "books")]  # en: books 2
+        + [(12, "en", "wiki"), (13, "en", "wiki")]    # en: wiki 2 (tie w/ books)
+        + [(20, "fr", "web"), (21, "fr", "web")]      # fr: monoculture
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    got = {r["lang"]: r.asDict() for r in source_concentration(df, "lang", "source").collect()}
+
+    en = got["en"]
+    # en: N=10, shares 6/2/2 -> hhi = (36+4+4)*1e6 // 100 = 440000
+    assert (en["n_docs"], en["n_sources"], en["hhi_ppm"]) == (10, 3, 440000)
+    assert (en["top_source"], en["top_share_permille"]) == ("web", 600)
+    fr = got["fr"]
+    assert (fr["hhi_ppm"], fr["top_source"], fr["top_share_permille"]) == (
+        10**6, "web", 1000
+    )
+
+    # tie on top: two sources at 2 -> drop web, books wins over wiki
+    df2 = spark.createDataFrame(rows[6:10], "doc_id long, lang string, source string")
+    t = source_concentration(df2, "lang", "source").collect()[0]
+    assert (t["top_source"], t["top_share_permille"], t["hhi_ppm"]) == (
+        "books", 500, 500000
+    )
+
+
+def test_embedding_health_hand_grid(spark):
+    """Zero vectors, exact duplicates and mixed dims are counted right;
+    NaN elements never count as zero."""
+    from kneaddata_spark.operators.similarity import embedding_health
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [1.0, 2.0]),        # dup of 1
+        (3, [0.0, 0.0]),        # zero
+        (4, [0.0, 0.0]),        # zero AND dup of 3
+        (5, [3.0, 4.0]),
+        (6, [float("nan"), 0.0]),  # NaN -> not zero
+        (7, [1.0, 2.0, 3.0]),   # different dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r.asDict() for r in embedding_health(df).collect()}
+
+    d2 = got[2]
+    assert (d2["n_vecs"], d2["n_distinct"], d2["n_zero"]) == (6, 4, 2)
+    assert (d2["n_dup_vecs"], d2["dup_permille"]) == (4, 666)
+    d3 = got[3]
+    assert (d3["n_vecs"], d3["n_distinct"], d3["n_zero"], d3["n_dup_vecs"]) == (
+        1, 1, 0, 0
+    )
