@@ -1,1 +1,2 @@
 from .qc_stream import CLIP_DDL, stream_qc  # noqa: F401
+from .screen_stream import stream_screen  # noqa: F401

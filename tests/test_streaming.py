@@ -332,3 +332,32 @@ def test_stream_quantiles_equal_batch_sketch(spark, tmp_path):
     want = {key(r): (r["bucket"], r["lo"], r["hi"], r["n_le"], r["n_total"])
             for r in quantile_sketch(df, "v", ["grp"]).collect()}
     assert got == want and len(got) == 6
+
+
+def test_stream_screen_matches_batch_and_idempotent(spark, clips_path, tmp_path):
+    """The fused seven-verdict screen is stateless per clip, so the SAME
+    plan under readStream must emit exactly the batch verdict rows
+    (stream==batch, the qc_stream contract extended to the screen
+    family), and re-triggering on the same checkpoint appends nothing."""
+    from kneaddata_spark.operators.audioscreen import screen_audio
+    from kneaddata_spark.streaming import stream_screen
+
+    src = str(tmp_path / "scr_in")
+    spark.read.parquet(clips_path).repartition(3).write.mode("overwrite").parquet(src)
+    batch = {r["clip_id"]: r.asDict() for r in screen_audio(spark.read.parquet(src)).collect()}
+
+    out, ckpt = str(tmp_path / "scr_out"), str(tmp_path / "scr_ckpt")
+    q = stream_screen(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got = {r["clip_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(batch) > 50
+    # verdict columns from every screen family made it through the sink
+    some = next(iter(got.values()))
+    for col in ("snr_keep", "speechlike", "hum_keep", "narrowband",
+                "rev_keep", "dr_keep", "rt60_ms", "dr_ratio_permille"):
+        assert col in some
+
+    n_before = spark.read.parquet(out).count()
+    q2 = stream_screen(spark, src, out, ckpt)  # same checkpoint: no new files
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
