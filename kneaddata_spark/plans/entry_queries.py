@@ -4651,6 +4651,114 @@ def webdataset_manifest_q(spark, sf):
     return shard_manifest(d, "doc_id", "text", samples_per_shard=64)
 
 
+# --- Gopher/MassiveText + C4 quality gates ----------------------------------
+
+# Planted dirty variants exercising the rules the single-line word-soup
+# corpus can't fire naturally (the _docs_with_dups pattern): every 7th doc
+# re-appears bullet-ified (+300000), symbol-stuffed (+400000), or
+# ellipsis-ended (+500000).
+_DOCS_DIRTY_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           '- ' || replace(text, ' ', chr(10) || '- ') AS text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 400000 AS doc_id, text || ' ###############' AS text
+    FROM documents WHERE doc_id % 7 = 1
+    UNION ALL
+    SELECT doc_id + 500000 AS doc_id, text || '...' AS text
+    FROM documents WHERE doc_id % 7 = 2
+"""
+
+
+def _docs_with_dirt(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bullet = d.where("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("- "), F.regexp_replace("text", " ", "\n- ")).alias("text"),
+    )
+    syms = d.where("doc_id % 7 = 1").select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat("text", F.lit(" ###############")).alias("text"),
+    )
+    ell = d.where("doc_id % 7 = 2").select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit("...")).alias("text"),
+    )
+    return d.unionByName(bullet).unionByName(syms).unionByName(ell)
+
+
+@q(
+    "gopher_rules",
+    f"""
+    WITH basis AS ({_DOCS_DIRTY_SQL}),
+    t AS (
+      SELECT doc_id, text,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM basis
+    ),
+    w AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_words,
+             sum(length(tok))::BIGINT AS word_chars,
+             sum(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 END)::BIGINT
+               AS n_alpha_words,
+             count(DISTINCT CASE WHEN lower(tok) IN
+               ('the','be','to','of','and','that','have','with')
+               THEN lower(tok) END)::BIGINT AS n_stop
+      FROM t, LATERAL (SELECT unnest(toks) AS tok) u GROUP BY doc_id
+    ),
+    l AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN substring(ltrim(line), 1, 2) IN ('- ', '* ')
+                 THEN 1 ELSE 0 END)::BIGINT AS n_bullet_lines,
+             sum(CASE WHEN right(line, 3) = '...' THEN 1 ELSE 0 END)::BIGINT
+               AS n_ellipsis_lines
+      FROM t, LATERAL (SELECT unnest(lines) AS line) v GROUP BY doc_id
+    ),
+    s AS (
+      SELECT doc_id,
+             ((length(text) - length(replace(text, '#', '')))::BIGINT
+              + ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT)
+               AS n_sym
+      FROM t
+    ),
+    m AS (
+      SELECT w.doc_id, w.n_words, w.word_chars, w.n_alpha_words, w.n_stop,
+             s.n_sym, l.n_lines, l.n_bullet_lines, l.n_ellipsis_lines,
+             CASE WHEN w.n_words >= 20 AND w.n_words <= 100000 THEN 1 ELSE 0 END::BIGINT AS wc_ok,
+             CASE WHEN w.word_chars >= 3 * w.n_words
+                   AND w.word_chars <= 10 * w.n_words THEN 1 ELSE 0 END::BIGINT AS mwl_ok,
+             CASE WHEN 10 * s.n_sym <= w.n_words THEN 1 ELSE 0 END::BIGINT AS sym_ok,
+             CASE WHEN 100 * w.n_alpha_words >= 80 * w.n_words THEN 1 ELSE 0 END::BIGINT AS alpha_ok,
+             CASE WHEN w.n_stop >= 2 THEN 1 ELSE 0 END::BIGINT AS stop_ok,
+             CASE WHEN 100 * l.n_bullet_lines <= 90 * l.n_lines THEN 1 ELSE 0 END::BIGINT AS bullet_ok,
+             CASE WHEN 100 * l.n_ellipsis_lines <= 30 * l.n_lines THEN 1 ELSE 0 END::BIGINT AS ellipsis_ok
+      FROM w JOIN s USING (doc_id) JOIN l USING (doc_id)
+    )
+    SELECT doc_id, n_words, word_chars, n_alpha_words, n_stop, n_sym,
+           n_lines, n_bullet_lines, n_ellipsis_lines,
+           wc_ok, mwl_ok, sym_ok, alpha_ok, stop_ok, bullet_ok, ellipsis_ok,
+           (wc_ok * mwl_ok * sym_ok * alpha_ok * stop_ok * bullet_ok
+            * ellipsis_ok)::BIGINT AS keep
+    FROM m
+    """,
+)
+def gopher_rules_q(spark, sf):
+    """Gopher/MassiveText quality gate (textstats.gopher_rules, Rae et al.
+    2021 A1.1): integer counters + seven per-rule flags + keep over the
+    documents corpus with planted bullet-/symbol-/ellipsis-dirty variants
+    (the rules the natural single-line word-soup can't fire). min_words
+    pinned to 20 (Gopher's 50 would drop most of this short-doc synthetic
+    corpus — threshold is a parameter, the default stays Gopher's)."""
+    return textstats.gopher_rules(
+        _docs_with_dirt(spark, sf), "doc_id", "text", min_words=20
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -268,6 +268,23 @@ MOJIBAKE_MAP = (
     ("Â\u00a0", " "),  # Â + nbsp -> plain space (escape: invisible char)
 )
 
+# --- Gopher/MassiveText document-quality rules (Rae et al. 2021, A1.1) ----
+# All thresholds are integers so the keep verdicts are exact-integer
+# comparisons on both engines (the repetition_screen lesson): mean word
+# length in [3, 10] is evaluated as 3*n_words <= word_chars <= 10*n_words,
+# the 0.1 symbol ratio as 10*n_sym <= n_words, the 80% alpha-word rule as
+# 100*n_alpha >= 80*n_words, the 90%/30% line rules likewise.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_SYMBOL_MAX_PER_10_WORDS = 1  # '#' + '...' count <= 0.1 * words
+GOPHER_MIN_ALPHA_WORD_PCT = 80
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_BULLET_LINE_PCT = 90
+GOPHER_MAX_ELLIPSIS_LINE_PCT = 30
+
 # fake container magics used by the deterministic synthetic encoder/decoder
 # (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic

@@ -935,6 +935,43 @@ def test_incremental_dedup_bucketed_seen_side_no_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {flat_table}")
 
 
+def test_gopher_rules_hand_enumerable(spark):
+    """Gopher A1.1 gate on hand-built docs: each rule fired in isolation
+    on a doc that passes every OTHER rule; flags and counters are exact
+    integers."""
+    from kneaddata_spark.operators.textstats import gopher_rules
+
+    good = ("the quick brown fox jumps over that lazy dog and keeps "
+            "running with steady pace be sure to watch of it")  # 21 words
+    rows = [
+        (1, good),
+        (2, "the of and"),                       # wc_ok=0 (3 < 20 words)
+        (3, good + " ########"),                 # 8 '#' > 0.1*22 -> sym_ok=0
+        (4, good.replace(" ", "\n- ")),          # 21 lines, 20 bullets -> bullet_ok=0
+        (5, "\n".join([good, "a...", "b...", "c..."])),  # 3/4 ellipsis lines
+        (6, good + " 123 456 789 012 345 678"),  # 6 digit words of 27 -> alpha_ok=0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(df, "doc_id", "text",
+                                                min_words=20).collect()}
+    g = got[1]
+    assert g["keep"] == 1 and g["n_words"] == 21 and g["n_stop"] >= 2
+    assert got[2]["wc_ok"] == 0 and got[2]["stop_ok"] == 1 and got[2]["keep"] == 0
+    assert got[3]["sym_ok"] == 0 and got[3]["n_sym"] == 8 and got[3]["wc_ok"] == 1
+    b = got[4]
+    assert b["n_lines"] == 21 and b["n_bullet_lines"] == 20 and b["bullet_ok"] == 0
+    e = got[5]
+    assert e["n_ellipsis_lines"] == 3 and e["n_lines"] == 4 and e["ellipsis_ok"] == 0
+    assert e["n_sym"] == 3  # the three '...' count toward the symbol rule too
+    a = got[6]
+    assert a["n_words"] == 27 and a["n_alpha_words"] == 21 and a["alpha_ok"] == 0
+    # mean-word-length flag: single-char words pull the mean under 3
+    short = spark.createDataFrame(
+        [(7, " ".join(["a"] * 25) + " the of")], ["doc_id", "text"])
+    s = gopher_rules(short, "doc_id", "text", min_words=20).collect()[0]
+    assert s["mwl_ok"] == 0 and s["wc_ok"] == 1 and s["keep"] == 0
+
+
 def test_repetition_screen_hand_enumerable(spark):
     """Gopher repetition rules on hand-built docs: a bigram-looped doc
     drops, diverse text keeps; overlapping occurrences can push the
