@@ -855,6 +855,7 @@ def gopher_rules(
     text_col: str,
     min_words: int | None = None,
     max_words: int | None = None,
+    min_stopwords: int | None = None,
 ) -> DataFrame:
     """Gopher/MassiveText document-quality gate (Rae et al. 2021, A1.1) —
     the rule family that, alongside repetition_screen, decided what
@@ -880,6 +881,9 @@ def gopher_rules(
 
     lo_w = rules.GOPHER_MIN_WORDS if min_words is None else min_words
     hi_w = rules.GOPHER_MAX_WORDS if max_words is None else max_words
+    min_stop = (
+        rules.GOPHER_MIN_STOPWORDS if min_stopwords is None else min_stopwords
+    )
     t = F.col(text_col)
     toks = F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " ")
     lines = F.split(t, "\n")
@@ -935,7 +939,7 @@ def gopher_rules(
         flag(
             100 * F.col("n_alpha_words") >= rules.GOPHER_MIN_ALPHA_WORD_PCT * w
         ).alias("alpha_ok"),
-        flag(F.col("n_stop") >= rules.GOPHER_MIN_STOPWORDS).alias("stop_ok"),
+        flag(F.col("n_stop") >= min_stop).alias("stop_ok"),
         flag(
             100 * F.col("n_bullet_lines")
             <= rules.GOPHER_MAX_BULLET_LINE_PCT * F.col("n_lines")
@@ -955,3 +959,54 @@ def gopher_rules(
         * F.col("ellipsis_ok")
     )
     return flags.select("*", keep.cast("long").alias("keep"))
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_words: int = 3,
+    min_kept_lines: int = 5,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2019, §2.2): keep only
+    lines that end in a terminal punctuation mark ('.', '!', '?', '"'),
+    have >= min_line_words words, and don't mention 'javascript'; drop
+    whole pages that retain < min_kept_lines lines, contain 'lorem ipsum',
+    or contain '{'. Reference analog: the trim stages cut bad SPANS and
+    the empty-read gate then drops hollow reads (run.py trim + MINLEN) —
+    here the span is a line and the hollow-page rule is C4's.
+
+    Emits (id, n_lines, n_kept, has_lorem, has_brace, page_keep,
+    clean_text): the kept lines re-joined in original order, plus integer
+    accounting a curator can aggregate into retention cards. page_keep is
+    an integer flag — downstream filters on it; emitting dropped pages
+    with their reason beats silently deleting them.
+
+    Scale shape: per-row Column algebra only (split / filter / array_join
+    higher-order functions) — zero Python, zero shuffles, one codegen
+    stage. Line verdicts are string/integer comparisons, engine-portable
+    by construction."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _ok(l):
+        rt = F.rtrim(l)
+        punct = F.substring(rt, -1, 1).isin(".", "!", "?", '"')
+        words = F.size(F.split(F.regexp_replace(F.trim(l), r"\s+", " "), " "))
+        return punct & (words >= min_line_words) & ~F.lower(l).contains("javascript")
+
+    kept = F.filter(lines, _ok)
+    has_lorem = F.lower(t).like("%lorem ipsum%")
+    has_brace = t.like("%{%")
+    n_kept = F.size(kept).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        F.when(has_lorem, 1).otherwise(0).cast("long").alias("has_lorem"),
+        F.when(has_brace, 1).otherwise(0).cast("long").alias("has_brace"),
+        F.when(
+            (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace, 1
+        ).otherwise(0).cast("long").alias("page_keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

@@ -4734,7 +4734,7 @@ def _docs_with_dirt(spark, sf_dir) -> DataFrame:
                    AND w.word_chars <= 10 * w.n_words THEN 1 ELSE 0 END::BIGINT AS mwl_ok,
              CASE WHEN 10 * s.n_sym <= w.n_words THEN 1 ELSE 0 END::BIGINT AS sym_ok,
              CASE WHEN 100 * w.n_alpha_words >= 80 * w.n_words THEN 1 ELSE 0 END::BIGINT AS alpha_ok,
-             CASE WHEN w.n_stop >= 2 THEN 1 ELSE 0 END::BIGINT AS stop_ok,
+             CASE WHEN w.n_stop >= 1 THEN 1 ELSE 0 END::BIGINT AS stop_ok,
              CASE WHEN 100 * l.n_bullet_lines <= 90 * l.n_lines THEN 1 ELSE 0 END::BIGINT AS bullet_ok,
              CASE WHEN 100 * l.n_ellipsis_lines <= 30 * l.n_lines THEN 1 ELSE 0 END::BIGINT AS ellipsis_ok
       FROM w JOIN s USING (doc_id) JOIN l USING (doc_id)
@@ -4752,11 +4752,114 @@ def gopher_rules_q(spark, sf):
     2021 A1.1): integer counters + seven per-rule flags + keep over the
     documents corpus with planted bullet-/symbol-/ellipsis-dirty variants
     (the rules the natural single-line word-soup can't fire). min_words
-    pinned to 20 (Gopher's 50 would drop most of this short-doc synthetic
-    corpus — threshold is a parameter, the default stays Gopher's)."""
+    pinned to 20 and min_stopwords to 1 (the synthetic vocab carries only
+    'the' of Gopher's 8 stopwords, and docs run 9-110 words — thresholds
+    are parameters, defaults stay Gopher's published values)."""
     return textstats.gopher_rules(
-        _docs_with_dirt(spark, sf), "doc_id", "text", min_words=20
+        _docs_with_dirt(spark, sf), "doc_id", "text", min_words=20,
+        min_stopwords=1,
     )
+
+
+# The documents corpus is single-line word soup — line-level rules need a
+# multi-line page basis. Built per-row on both engines: 4-token chunks in
+# order, '.' appended when (doc_id + chunk_idx) % 4 < 3 (so ~25% of lines
+# lack terminal punctuation), then planted javascript / lorem-ipsum /
+# brace lines on deterministic doc_id strata.
+_DOCS_PAGES_SQL = """
+    SELECT doc_id, text FROM (
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      lx AS (
+        SELECT doc_id, g.i AS pidx,
+               array_to_string(toks[g.i * 4 + 1 : g.i * 4 + 4], ' ')
+               || CASE WHEN (doc_id + g.i) % 4 < 3 THEN '.' ELSE '' END AS line
+        FROM t, LATERAL (
+          SELECT unnest(generate_series(0, greatest((len(toks) - 1) // 4, 0))) AS i
+        ) g
+      ),
+      pages AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pidx) AS text
+        FROM lx GROUP BY doc_id
+      )
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 11 = 0
+                THEN chr(10) || 'embedded javascript snippet here.' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0
+                THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+             || CASE WHEN doc_id % 19 = 3
+                THEN chr(10) || 'config { x }' ELSE '' END AS text
+      FROM pages
+    )
+"""
+
+
+def _docs_as_pages(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.expr(
+        "array_join(transform(sequence(0, greatest((size(toks) - 1) div 4, 0)), "
+        "i -> concat(array_join(slice(toks, i * 4 + 1, 4), ' '), "
+        "CASE WHEN (doc_id + i) % 4 < 3 THEN '.' ELSE '' END)), '\n')"
+    )
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .select(
+            "doc_id",
+            F.concat(
+                page,
+                F.when(F.col("doc_id") % 11 == 0,
+                       "\nembedded javascript snippet here.").otherwise(""),
+                F.when(F.col("doc_id") % 17 == 0,
+                       "\nlorem ipsum dolor sit amet.").otherwise(""),
+                F.when(F.col("doc_id") % 19 == 3,
+                       "\nconfig { x }").otherwise(""),
+            ).alias("text"),
+        )
+    )
+
+
+@q(
+    "c4_line_filter",
+    f"""
+    WITH basis AS ({_DOCS_PAGES_SQL}),
+    t2 AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM basis),
+    lx AS (
+      SELECT doc_id, g.i AS ord, ls[g.i] AS line
+      FROM t2, LATERAL (SELECT unnest(generate_series(1, len(ls))) AS i) g
+    ),
+    v AS (
+      SELECT doc_id, ord, line,
+             CASE WHEN right(rtrim(line), 1) IN ('.', '!', '?', '"')
+                   AND len(string_split(regexp_replace(trim(line), '\\s+', ' ', 'g'), ' ')) >= 3
+                   AND NOT lower(line) LIKE '%javascript%'
+             THEN 1 ELSE 0 END AS ok
+      FROM lx
+    ),
+    k AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_lines,
+             sum(ok)::BIGINT AS n_kept,
+             coalesce(string_agg(CASE WHEN ok = 1 THEN line END,
+                                 chr(10) ORDER BY ord), '') AS clean_text
+      FROM v GROUP BY doc_id
+    )
+    SELECT k.doc_id, k.n_lines, k.n_kept,
+           CASE WHEN lower(b.text) LIKE '%lorem ipsum%' THEN 1 ELSE 0 END::BIGINT AS has_lorem,
+           CASE WHEN b.text LIKE '%{{%' THEN 1 ELSE 0 END::BIGINT AS has_brace,
+           CASE WHEN k.n_kept >= 5
+                 AND NOT lower(b.text) LIKE '%lorem ipsum%'
+                 AND NOT b.text LIKE '%{{%'
+           THEN 1 ELSE 0 END::BIGINT AS page_keep,
+           k.clean_text
+    FROM k JOIN basis b USING (doc_id)
+    """,
+)
+def c4_line_filter_q(spark, sf):
+    """C4 line-level cleaning (textstats.c4_line_filter, Raffel et al.
+    2019 §2.2) over a multi-line page basis with planted javascript /
+    lorem-ipsum / brace lines: per-page line accounting, page verdict,
+    and the cleaned text with bad lines excised in original order."""
+    return textstats.c4_line_filter(_docs_as_pages(spark, sf), "doc_id", "text")
 
 
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the

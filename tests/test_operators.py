@@ -972,6 +972,40 @@ def test_gopher_rules_hand_enumerable(spark):
     assert s["mwl_ok"] == 0 and s["wc_ok"] == 1 and s["keep"] == 0
 
 
+def test_c4_line_filter_hand_enumerable(spark):
+    """C4 §2.2 rules on a hand-built page: terminal-punct / min-words /
+    javascript line rules, lorem-ipsum and brace page rules, kept lines
+    re-joined in original order."""
+    from kneaddata_spark.operators.textstats import c4_line_filter
+
+    page = "\n".join([
+        "this line ends properly.",        # kept
+        "no terminal punctuation here",    # dropped: no . ! ? "
+        "short.",                          # dropped: < 3 words
+        "does it keep questions?",         # kept
+        "inline javascript is banned.",    # dropped: javascript
+        'a quoted line ends well."',       # kept
+    ])
+    rows = [
+        (1, page),
+        (2, page + "\nlorem ipsum dolor sit."),   # page dropped: lorem
+        (3, page + "\nvar cfg = { a }."),          # page dropped: brace
+        (4, "one good line here."),                # page dropped: n_kept < 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           c4_line_filter(df, "doc_id", "text", min_kept_lines=2).collect()}
+    g = got[1]
+    assert (g["n_lines"], g["n_kept"], g["page_keep"]) == (6, 3, 1)
+    assert g["clean_text"].split("\n") == [
+        "this line ends properly.", "does it keep questions?",
+        'a quoted line ends well."']
+    assert got[2]["has_lorem"] == 1 and got[2]["page_keep"] == 0
+    assert got[2]["n_kept"] == 4  # the lorem line itself passes line rules
+    assert got[3]["has_brace"] == 1 and got[3]["page_keep"] == 0
+    assert got[4]["n_kept"] == 1 and got[4]["page_keep"] == 0
+
+
 def test_repetition_screen_hand_enumerable(spark):
     """Gopher repetition rules on hand-built docs: a bigram-looped doc
     drops, diverse text keeps; overlapping occurrences can push the
