@@ -30,6 +30,7 @@ from ..operators import (
     textstats,
 )
 from ..operators.sampling import KNUTH, M32
+from .. import rules as _rules
 
 # ----------------------------------------------------------- helpers ----
 
@@ -4860,6 +4861,92 @@ def c4_line_filter_q(spark, sf):
     lorem-ipsum / brace lines: per-page line accounting, page verdict,
     and the cleaned text with bad lines excised in original order."""
     return textstats.c4_line_filter(_docs_as_pages(spark, sf), "doc_id", "text")
+
+
+# Speaking-rate basis: documents as transcripts with a deterministic
+# synthetic duration (integer Knuth-mix of doc_id into [350, 4000) ms, the
+# clip-duration envelope), plus planted missing-transcript and
+# truncated-transcript strata so every rate_status appears.
+_RATE_BASIS_SQL = """
+    SELECT doc_id, text AS transcript,
+           (350 + (doc_id * 2654435761) % 3650)::BIGINT AS dur_ms
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 600000 AS doc_id, '' AS transcript,
+           (1000 + doc_id % 500)::BIGINT AS dur_ms
+    FROM documents WHERE doc_id % 13 = 0
+    UNION ALL
+    SELECT doc_id + 700000 AS doc_id, substring(text, 1, 4) AS transcript,
+           (3000 + doc_id % 1000)::BIGINT AS dur_ms
+    FROM documents WHERE doc_id % 13 = 1
+"""
+
+
+def _rate_basis(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    nat = d.select(
+        "doc_id",
+        F.col("text").alias("transcript"),
+        (350 + (F.col("doc_id") * 2654435761) % 3650).cast("long").alias("dur_ms"),
+    )
+    missing = d.where("doc_id % 13 = 0").select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.lit("").alias("transcript"),
+        (1000 + F.col("doc_id") % 500).cast("long").alias("dur_ms"),
+    )
+    trunc = d.where("doc_id % 13 = 1").select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.substring("text", 1, 4).alias("transcript"),
+        (3000 + F.col("doc_id") % 1000).cast("long").alias("dur_ms"),
+    )
+    return nat.unionByName(missing).unionByName(trunc)
+
+
+@q(
+    "speaking_rate",
+    f"""
+    WITH basis AS ({_RATE_BASIS_SQL}),
+    m AS (
+      SELECT doc_id, dur_ms,
+             length(trim(transcript))::BIGINT AS n_chars,
+             CASE WHEN length(trim(transcript)) = 0 THEN 0
+                  ELSE len(string_split(
+                         regexp_replace(trim(transcript), '\\s+', ' ', 'g'), ' '))
+             END::BIGINT AS n_words
+      FROM basis
+    ),
+    r AS (
+      SELECT doc_id, n_chars, n_words,
+             CASE WHEN n_chars > 0 AND dur_ms > 0
+                  THEN ((n_chars * 100000) // dur_ms)::BIGINT END AS cps_centi,
+             CASE WHEN n_chars > 0 AND dur_ms > 0
+                  THEN ((n_words * 60000) // dur_ms)::BIGINT END AS wpm,
+             dur_ms
+      FROM m
+    )
+    SELECT doc_id, n_chars, n_words, cps_centi, wpm,
+           CASE WHEN n_chars = 0 THEN 'missing'
+                WHEN dur_ms <= 0 THEN 'bad_duration'
+                WHEN cps_centi < {_rules.RATE_MIN_CPS_CENTI} THEN 'too_slow'
+                WHEN cps_centi > {_rules.RATE_MAX_CPS_CENTI} THEN 'too_fast'
+                ELSE 'ok' END AS rate_status,
+           CASE WHEN n_chars > 0 AND dur_ms > 0
+                 AND cps_centi >= {_rules.RATE_MIN_CPS_CENTI}
+                 AND cps_centi <= {_rules.RATE_MAX_CPS_CENTI}
+           THEN 1 ELSE 0 END::BIGINT AS keep
+    FROM r
+    """,
+)
+def speaking_rate_q(spark, sf):
+    """Speaking-rate screen (rate.speaking_rate): chars-per-second and
+    words-per-minute of each transcript against its clip duration, with
+    {missing, too_slow, too_fast, ok} verdicts — the audio-text alignment
+    sanity gate, oracle-checked over a deterministic-duration documents
+    basis with planted missing/truncated strata. The same operator runs
+    unchanged on the real clips table (pytest)."""
+    from ..operators.rate import speaking_rate
+
+    return speaking_rate(_rate_basis(spark, sf), "doc_id", "transcript", "dur_ms")
 
 
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the

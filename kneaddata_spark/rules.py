@@ -285,6 +285,15 @@ GOPHER_MIN_STOPWORDS = 2
 GOPHER_MAX_BULLET_LINE_PCT = 90
 GOPHER_MAX_ELLIPSIS_LINE_PCT = 30
 
+# --- speaking-rate screen (audio-text alignment sanity) --------------------
+# chars-per-second bounds in centi-cps (integer: chars * 100000 div dur_ms).
+# Outside [2, 35] chars/s the transcript plausibly doesn't belong to the
+# audio (truncated/duplicated transcript, wrong clip, or concatenation
+# artifacts) — the cheap alignment screen ASR pipelines run before paying
+# for forced alignment.
+RATE_MIN_CPS_CENTI = 200
+RATE_MAX_CPS_CENTI = 3_500
+
 # fake container magics used by the deterministic synthetic encoder/decoder
 # (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic

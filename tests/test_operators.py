@@ -1006,6 +1006,55 @@ def test_c4_line_filter_hand_enumerable(spark):
     assert got[4]["n_kept"] == 1 and got[4]["page_keep"] == 0
 
 
+def test_speaking_rate_screen(spark, clips_path):
+    """Hand-enumerable rate verdicts, then the real clips table against a
+    pure-python integer replica (the operator is transcript+dur only — no
+    decode — so the replica is exact)."""
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.rate import speaking_rate
+
+    rows = [
+        (1, "twenty chars of text", 2000),   # 20 ch / 2 s = 1000 centi: ok
+        (2, "", 1000),                        # missing
+        (3, "   ", 1000),                     # whitespace == missing
+        (4, "abcd", 4000),                    # 100 centi < 200: too_slow
+        (5, "x" * 400, 1000),                 # 40000 centi > 3500: too_fast
+        (6, "text", 0),                       # bad_duration
+    ]
+    df = spark.createDataFrame(rows, ["clip_id", "transcript", "dur_ms"])
+    got = {r["clip_id"]: r for r in speaking_rate(df).collect()}
+    assert got[1]["rate_status"] == "ok" and got[1]["cps_centi"] == 1000
+    assert got[1]["wpm"] == 120 and got[1]["keep"] == 1  # 4 words / 2 s
+    assert got[2]["rate_status"] == "missing" and got[2]["cps_centi"] is None
+    assert got[3]["rate_status"] == "missing" and got[3]["n_words"] == 0
+    assert got[4]["rate_status"] == "too_slow" and got[4]["keep"] == 0
+    assert got[5]["rate_status"] == "too_fast"
+    assert got[6]["rate_status"] == "bad_duration" and got[6]["wpm"] is None
+
+    import re
+
+    clips = spark.read.parquet(clips_path).select("clip_id", "transcript", "dur_ms")
+    eng = {r["clip_id"]: r for r in speaking_rate(clips).collect()}
+    for row in clips.collect():
+        t = (row["transcript"] or "").strip()
+        n_chars, dur = len(t), row["dur_ms"]
+        n_words = len(re.sub(r"\s+", " ", t).split(" ")) if n_chars else 0
+        cps = (n_chars * 100000) // dur if n_chars and dur > 0 else None
+        if n_chars == 0:
+            st = "missing"
+        elif dur <= 0:
+            st = "bad_duration"
+        elif cps < rules.RATE_MIN_CPS_CENTI:
+            st = "too_slow"
+        elif cps > rules.RATE_MAX_CPS_CENTI:
+            st = "too_fast"
+        else:
+            st = "ok"
+        g = eng[row["clip_id"]]
+        assert (g["n_chars"], g["n_words"], g["cps_centi"], g["rate_status"]) == (
+            n_chars, n_words, cps, st), row["clip_id"]
+
+
 def test_repetition_screen_hand_enumerable(spark):
     """Gopher repetition rules on hand-built docs: a bigram-looped doc
     drops, diverse text keeps; overlapping occurrences can push the
