@@ -736,3 +736,64 @@ def embedding_health(
             F.expr("1000 * n_dup_vecs div n_vecs").alias("dup_permille"),
         )
     )
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    per_cluster: int = 16,
+) -> DataFrame:
+    """Diversity-preserving subset selection: cap every region of
+    embedding space at `per_cluster` representatives. The curation move
+    behind cluster-balanced data selection (and SemDedup's 'spread over
+    clusters' framing): a duplicate-heavy or boilerplate-heavy region of
+    the space contributes at most per_cluster examples no matter how many
+    raw documents landed there, so the sampled corpus covers the SPACE
+    rather than the crawl-frequency distribution.
+
+    Clusters are the same deterministic integer sign-partitions as
+    semantic_dedup (int_planes; exact floor-quantized projections, so
+    the DuckDB oracle reproduces assignment bit-for-bit). Within a
+    cluster, representatives are chosen by a deterministic Fibonacci-hash
+    rank of the id (NOT lowest-id-first — that would bias the sample
+    toward whichever provider was ingested first), ties broken by id.
+    Emits (id, cluster, pick_rank, sampled) for EVERY input row — the
+    sampled flag filters, the kept/cut accounting aggregates.
+
+    Plan shape: cluster assignment is per-row JVM Column algebra (zero
+    Python); the only shuffle is the keyed window over `cluster`
+    (bounded per-group by cluster occupancy — n_planes dials it exactly
+    like semantic_dedup's verify fence). Payload columns are projected
+    away before the shuffle; only (id, cluster) moves."""
+    from ..operators.sampling import KNUTH, M32
+    from pyspark.sql import Window
+
+    planes = int_planes(dim, n_planes)
+    xq = F.expr(
+        "transform(vec, x -> cast(floor(cast(x as double) * 1048576) as bigint))"
+    )
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("__xq", xq)
+    cluster = F.lit(0).cast("long")
+    for p, row in enumerate(planes):
+        arr = "array(" + ",".join(f"{c}L" for c in row) + ")"
+        proj = F.expr(
+            f"aggregate(zip_with(__xq, {arr}, (a, c) -> a * c), 0L, (s, v) -> s + v)"
+        )
+        cluster = cluster + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    ids = base.select("id", cluster.alias("cluster")).withColumn(
+        "__h", (F.col("id").cast("long") * F.lit(KNUTH)) % F.lit(M32)
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("__h").asc(), F.col("id").asc())
+    return ids.select(
+        "id", "cluster", F.row_number().over(w).cast("long").alias("pick_rank")
+    ).select(
+        F.col("id").alias(id_col),
+        "cluster",
+        "pick_rank",
+        F.when(F.col("pick_rank") <= per_cluster, 1).otherwise(0).cast("long").alias("sampled"),
+    )

@@ -1055,6 +1055,39 @@ def test_speaking_rate_screen(spark, clips_path):
             n_chars, n_words, cps, st), row["clip_id"]
 
 
+def test_cluster_balanced_sample(spark):
+    """Per-cluster cap honored exactly (sampled = min(cap, occupancy)),
+    pick ranks a 1..n permutation per cluster matching the python
+    Fibonacci-hash rank, and a planted duplicate-heavy region contributes
+    the cap, not its raw count."""
+    from kneaddata_spark.operators.sampling import KNUTH, M32
+    from kneaddata_spark.operators.similarity import cluster_balanced_sample
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cluster_balanced_sample(emb, per_cluster=4).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == emb.count()
+    for rows in by_cluster.values():
+        n = len(rows)
+        assert sorted(r["pick_rank"] for r in rows) == list(range(1, n + 1))
+        assert sum(r["sampled"] for r in rows) == min(4, n)
+        want = sorted(rows, key=lambda r: ((r["vec_id"] * KNUTH) % M32, r["vec_id"]))
+        for rank, r in enumerate(want, 1):
+            assert r["pick_rank"] == rank
+    # duplicate-heavy region: 40 copies of one vector -> still 4 sampled
+    one = emb.limit(1).collect()[0]["embedding"]
+    import pyspark.sql.types as T
+    skew = spark.createDataFrame(
+        [(10_000 + i, one) for i in range(40)],
+        T.StructType([T.StructField("vec_id", T.LongType()),
+                      T.StructField("embedding", T.ArrayType(T.FloatType()))]))
+    sk = cluster_balanced_sample(skew, per_cluster=4).collect()
+    assert len({r["cluster"] for r in sk}) == 1
+    assert sum(r["sampled"] for r in sk) == 4
+
+
 def test_repetition_screen_hand_enumerable(spark):
     """Gopher repetition rules on hand-built docs: a bigram-looped doc
     drops, diverse text keeps; overlapping occurrences can push the
