@@ -146,6 +146,7 @@ def screen_audio(
     bytes_col: str = "bytes",
     codec_col: str = "codec",
     sr_col: str = "sr_hz",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(clip_id, n_segments, speech_frames, snr_status, snr_ratio,
     pitch_status, f0_centi_hz, periodicity_permille, hum_status,
@@ -156,10 +157,14 @@ def screen_audio(
     verdicts from one decode; verdict booleans are the standalone
     operators' JVM-side rules verbatim (snr.snr_screen,
     pitch.pitch_screen, hum.hum_screen, bandwidth.bandwidth_screen,
-    reverb.reverb_screen, dynrange.dynrange_screen)."""
+    reverb.reverb_screen, dynrange.dynrange_screen). `passthrough` names
+    extra clip columns to carry through unchanged (zero cost — they ride
+    the same projection), so compositions like rate.speech_rate read
+    transcript next to the verdicts without a join or second decode."""
     e = clips.select(
         F.col(id_col).alias("clip_id"),
         F.col(sr_col).alias("sr_hz"),
+        *[F.col(c) for c in passthrough],
         _screen_udf(F.col(bytes_col), F.col(codec_col), F.col(sr_col)).alias("a"),
     ).where(F.col("a").isNotNull())
     snr_keep = (F.col("a.snr_status") == "clean") | (
@@ -187,6 +192,7 @@ def screen_audio(
     )
     return e.select(
         "clip_id",
+        *passthrough,
         F.col("a.n_segments").alias("n_segments"),
         F.col("a.speech_frames").alias("speech_frames"),
         F.col("a.snr_status").alias("snr_status"),

@@ -77,3 +77,67 @@ def speaking_rate(
         .cast("long")
         .alias("keep"),
     )
+
+
+def speech_rate(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    bytes_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    text_col: str = "transcript",
+) -> DataFrame:
+    """Speaking rate against SPEECH time, not clip time: chars-per-second
+    over the VAD-detected speech span (speech_frames × VAD_FRAME_MS) —
+    the refinement of speaking_rate that doesn't punish clips with long
+    leading/trailing silence. Composed over the decode-once fused screen
+    (audioscreen.screen_audio with transcript passthrough): same ONE
+    ArrowEvalPython stage, zero shuffles, no second decode, no join.
+
+    Verdicts: missing (no transcript), no_speech (transcript but zero
+    VAD speech), too_slow / too_fast / ok on the rules.RATE_* bounds
+    applied to speech-time cps."""
+    from .audioscreen import screen_audio
+
+    s = screen_audio(
+        clips, id_col, bytes_col, codec_col, sr_col, passthrough=(text_col,)
+    )
+    t = F.trim(F.col(text_col))
+    n_chars = F.coalesce(F.length(t), F.lit(0)).cast("long")
+    speech_ms = (F.col("speech_frames") * rules.VAD_FRAME_MS).cast("long")
+    base = s.select(
+        F.col("clip_id").alias(id_col) if id_col != "clip_id" else F.col("clip_id"),
+        n_chars.alias("n_chars"),
+        F.col("n_segments"),
+        speech_ms.alias("speech_ms"),
+        F.when((n_chars > 0) & (speech_ms > 0), n_chars * 100000)
+        .cast("long")
+        .alias("__c"),
+    ).select(
+        id_col,
+        "n_chars",
+        "n_segments",
+        "speech_ms",
+        F.expr("__c div speech_ms").alias("cps_speech_centi"),
+    )
+    status = (
+        F.when(F.col("n_chars") == 0, "missing")
+        .when(F.col("speech_ms") <= 0, "no_speech")
+        .when(F.col("cps_speech_centi") < rules.RATE_MIN_CPS_CENTI, "too_slow")
+        .when(F.col("cps_speech_centi") > rules.RATE_MAX_CPS_CENTI, "too_fast")
+        .otherwise("ok")
+    )
+    return base.select(
+        id_col,
+        "n_chars",
+        "n_segments",
+        "speech_ms",
+        "cps_speech_centi",
+        status.alias("rate_status"),
+    ).select(
+        "*",
+        F.when(F.col("rate_status") == "ok", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )

@@ -5002,6 +5002,19 @@ def cluster_balanced_sample_q(spark, sf):
     )
 
 
+@q("speech_rate")
+def speech_rate_q(spark, sf):
+    """Speech-time speaking rate (rate.speech_rate): chars per VAD speech
+    second over the decode-once fused screen with transcript passthrough
+    — the alignment screen that doesn't punish leading/trailing silence.
+    Rows-only by necessity (binary PCM decode basis, like every clip
+    query); the rate arithmetic is replica-tested in pytest and the
+    dur-based variant (`speaking_rate`) carries the DuckDB oracle."""
+    from ..operators.rate import speech_rate
+
+    return speech_rate(_synth_clips(spark, 400, 8))
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -1088,6 +1088,47 @@ def test_cluster_balanced_sample(spark):
     assert sum(r["sampled"] for r in sk) == 4
 
 
+def test_speech_rate_composition(spark, clips_path):
+    """speech_rate == rate arithmetic over screen_audio's replica-gated
+    speech_frames (python recompute per clip), all statuses reachable,
+    and the composed plan keeps the decode-once contract: exactly ONE
+    ArrowEvalPython, zero Exchange."""
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.audioscreen import screen_audio
+    from kneaddata_spark.operators.rate import speech_rate
+
+    clips = spark.read.parquet(clips_path)
+    base = {r["clip_id"]: r for r in
+            screen_audio(clips, passthrough=("transcript",))
+            .select("clip_id", "transcript", "speech_frames").collect()}
+    got = {r["clip_id"]: r for r in speech_rate(clips).collect()}
+    assert set(got) == set(base)
+    statuses = set()
+    for cid, b in base.items():
+        n_chars = len((b["transcript"] or "").strip())
+        speech_ms = b["speech_frames"] * rules.VAD_FRAME_MS
+        cps = (n_chars * 100000) // speech_ms if n_chars and speech_ms > 0 else None
+        if n_chars == 0:
+            st = "missing"
+        elif speech_ms <= 0:
+            st = "no_speech"
+        elif cps < rules.RATE_MIN_CPS_CENTI:
+            st = "too_slow"
+        elif cps > rules.RATE_MAX_CPS_CENTI:
+            st = "too_fast"
+        else:
+            st = "ok"
+        g = got[cid]
+        assert (g["n_chars"], g["speech_ms"], g["cps_speech_centi"],
+                g["rate_status"], g["keep"]) == (
+            n_chars, speech_ms, cps, st, int(st == "ok")), cid
+        statuses.add(st)
+    assert {"ok", "missing"} <= statuses
+    plan = speech_rate(clips)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_repetition_screen_hand_enumerable(spark):
     """Gopher repetition rules on hand-built docs: a bigram-looped doc
     drops, diverse text keeps; overlapping occurrences can push the
