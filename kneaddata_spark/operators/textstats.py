@@ -1010,3 +1010,40 @@ def c4_line_filter(
         ).otherwise(0).cast("long").alias("page_keep"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def transcript_cer(
+    df: DataFrame,
+    id_col: str,
+    ref_col: str,
+    hyp_col: str,
+) -> DataFrame:
+    """Character error rate between two transcript columns — the ASR-eval
+    primitive (and the transcript-drift monitor between pipeline
+    versions): Levenshtein distance over CCNet-normalized text
+    (functions/text.normalize_col — case/punctuation/spacing variants
+    score 0, exactly as WER tooling normalizes before scoring), reported
+    as exact-integer cer_permille = 1000 * dist div ref_chars.
+
+    Levenshtein is a JVM built-in on both engines (unit-cost
+    insert/delete/substitute), so the distances agree exactly and the
+    whole operator is one codegen stage — zero Python, zero shuffles.
+    O(len^2) per row: fine for transcript-length strings; chunk or band
+    documents first if scoring book-length pairs."""
+    from ..functions.text import normalize_col
+
+    rn = normalize_col(F.col(ref_col))
+    hn = normalize_col(F.col(hyp_col))
+    base = df.select(
+        F.col(id_col),
+        F.length(rn).cast("long").alias("n_ref_chars"),
+        F.length(hn).cast("long").alias("n_hyp_chars"),
+        F.levenshtein(rn, hn).cast("long").alias("dist"),
+    )
+    return base.select(
+        "*",
+        F.when(F.col("n_ref_chars") > 0, F.expr("(dist * 1000) div n_ref_chars"))
+        .cast("long")
+        .alias("cer_permille"),
+        F.when(F.col("dist") == 0, 1).otherwise(0).cast("long").alias("exact"),
+    )

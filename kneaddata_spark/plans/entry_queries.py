@@ -5015,6 +5015,52 @@ def speech_rate_q(spark, sf):
     return speech_rate(_synth_clips(spark, 400, 8))
 
 
+@q(
+    "transcript_cer",
+    r"""
+    WITH pairs AS (
+      SELECT doc_id, text AS ref,
+             CASE doc_id % 3
+               WHEN 0 THEN replace(text, 'a', '')
+               WHEN 1 THEN upper(text)
+               ELSE text || ' extra tail words' END AS hyp
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(ref),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS rn,
+             trim(regexp_replace(regexp_replace(lower(hyp),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS hn
+      FROM pairs
+    )
+    SELECT doc_id,
+           length(rn)::BIGINT AS n_ref_chars,
+           length(hn)::BIGINT AS n_hyp_chars,
+           levenshtein(rn, hn)::BIGINT AS dist,
+           CASE WHEN length(rn) > 0
+                THEN ((levenshtein(rn, hn) * 1000) // length(rn))::BIGINT
+           END AS cer_permille,
+           CASE WHEN levenshtein(rn, hn) = 0 THEN 1 ELSE 0 END::BIGINT AS exact
+    FROM n
+    """,
+)
+def transcript_cer_q(spark, sf):
+    """Character error rate (textstats.transcript_cer) between documents
+    and deterministic mutations: 'a'-deletions (real char errors),
+    uppercasing (CER 0 — normalization-invariant, asserting the
+    normalize-before-score contract), and tail insertions. Levenshtein is
+    native on both engines, so distances agree exactly."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    hyp = (
+        F.when(F.col("doc_id") % 3 == 0, F.regexp_replace("text", "a", ""))
+        .when(F.col("doc_id") % 3 == 1, F.upper("text"))
+        .otherwise(F.concat("text", F.lit(" extra tail words")))
+    )
+    pairs = d.select("doc_id", F.col("text").alias("ref"), hyp.alias("hyp"))
+    return textstats.transcript_cer(pairs, "doc_id", "ref", "hyp")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -1129,6 +1129,30 @@ def test_speech_rate_composition(spark, clips_path):
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
+def test_transcript_cer_hand_enumerable(spark):
+    """CER on hand pairs: classic kitten/sitting distance, case and
+    punctuation invariance under the normalize-before-score contract,
+    empty-ref null, integer permille."""
+    from kneaddata_spark.operators.textstats import transcript_cer
+
+    rows = [
+        (1, "kitten", "sitting"),               # dist 3, cer 500
+        (2, "Hello, World!", "hello world"),    # normalization: exact
+        (3, "one two three", "one two"),        # 6 deletions incl. space
+        (4, "", "something"),                    # empty ref: cer null
+        (5, "same", "same"),                     # exact
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ref", "hyp"])
+    got = {r["doc_id"]: r for r in
+           transcript_cer(df, "doc_id", "ref", "hyp").collect()}
+    assert got[1]["dist"] == 3 and got[1]["cer_permille"] == 500
+    assert got[2]["dist"] == 0 and got[2]["exact"] == 1
+    assert got[3]["dist"] == 6 and got[3]["n_ref_chars"] == 13
+    assert got[4]["n_ref_chars"] == 0 and got[4]["cer_permille"] is None
+    assert got[4]["exact"] == 0 and got[4]["dist"] == 9
+    assert got[5]["exact"] == 1 and got[5]["cer_permille"] == 0
+
+
 def test_repetition_screen_hand_enumerable(spark):
     """Gopher repetition rules on hand-built docs: a bigram-looped doc
     drops, diverse text keeps; overlapping occurrences can push the
