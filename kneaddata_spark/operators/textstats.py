@@ -1047,3 +1047,71 @@ def transcript_cer(
         .alias("cer_permille"),
         F.when(F.col("dist") == 0, 1).otherwise(0).cast("long").alias("exact"),
     )
+
+
+def transcript_wer(
+    df: DataFrame,
+    id_col: str,
+    ref_col: str,
+    hyp_col: str,
+    max_vocab: int = 94,
+) -> DataFrame:
+    """Word error rate — THE ASR metric: word-level Levenshtein distance
+    over CCNet-normalized transcripts, exact on both engines via the
+    classic vocab-to-char reduction: the pair's distinct words (first-
+    occurrence order, ref side first) map to single ASCII characters
+    (chr(33)..chr(126)) and the native character levenshtein over the
+    mapped strings IS the word-level distance. ASCII-only mapping
+    matters: DuckDB's levenshtein counts BYTES, Spark's counts CHARS —
+    they agree exactly on single-byte code points, so the fence is
+    max_vocab = 94 distinct words per PAIR (generous for utterance
+    transcripts; wer_status='vocab_overflow' reports the rows beyond it
+    rather than mis-scoring them — at document scale run a Pandas-UDF DP
+    instead).
+
+    Emits (id, n_ref_words, n_hyp_words, n_vocab, dist, wer_permille,
+    wer_status in {ok, empty_ref, vocab_overflow}); integer permille.
+    Per-row higher-order functions only — zero Python, zero shuffles."""
+    from ..functions.text import normalize_col
+
+    rn = normalize_col(F.col(ref_col))
+    hn = normalize_col(F.col(hyp_col))
+    toks = lambda c: F.when(F.length(c) > 0, F.split(c, " ")).otherwise(  # noqa: E731
+        F.expr("CAST(array() AS array<string>)")
+    )
+    b = df.select(
+        F.col(id_col), toks(rn).alias("__rt"), toks(hn).alias("__ht")
+    ).withColumn("__v", F.array_distinct(F.concat(F.col("__rt"), F.col("__ht"))))
+    mapped = b.select(
+        id_col,
+        F.size("__rt").cast("long").alias("n_ref_words"),
+        F.size("__ht").cast("long").alias("n_hyp_words"),
+        F.size("__v").cast("long").alias("n_vocab"),
+        F.expr(
+            "array_join(transform(__rt, t -> char(32 + array_position(__v, t))), '')"
+        ).alias("__rm"),
+        F.expr(
+            "array_join(transform(__ht, t -> char(32 + array_position(__v, t))), '')"
+        ).alias("__hm"),
+    )
+    dist = F.when(
+        F.col("n_vocab") <= max_vocab, F.levenshtein(F.col("__rm"), F.col("__hm"))
+    ).cast("long")
+    scored = mapped.select(
+        id_col, "n_ref_words", "n_hyp_words", "n_vocab", dist.alias("dist")
+    )
+    status = (
+        F.when(F.col("n_vocab") > max_vocab, "vocab_overflow")
+        .when(F.col("n_ref_words") == 0, "empty_ref")
+        .otherwise("ok")
+    )
+    return scored.select(
+        "*",
+        F.when(
+            (F.col("n_ref_words") > 0) & F.col("dist").isNotNull(),
+            F.expr("(dist * 1000) div n_ref_words"),
+        )
+        .cast("long")
+        .alias("wer_permille"),
+        status.alias("wer_status"),
+    )

@@ -5061,6 +5061,97 @@ def transcript_cer_q(spark, sf):
     return textstats.transcript_cer(pairs, "doc_id", "ref", "hyp")
 
 
+@q(
+    "transcript_wer",
+    r"""
+    WITH pairs AS (
+      SELECT doc_id, text AS ref,
+             CASE doc_id % 4
+               WHEN 0 THEN array_to_string(
+                 (string_split(text, ' '))[2:len(string_split(text, ' '))], ' ')
+               WHEN 1 THEN text
+               WHEN 2 THEN replace(text, 'data', 'info')
+               ELSE text || ' zz yy xx' END AS hyp
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(ref),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS rn,
+             trim(regexp_replace(regexp_replace(lower(hyp),
+                 '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS hn
+      FROM pairs
+    ),
+    tok AS (
+      SELECT doc_id, 'r' AS side, g.i::BIGINT AS pos, ts[g.i] AS tok
+      FROM (SELECT doc_id, string_split(rn, ' ') AS ts FROM n WHERE length(rn) > 0) t,
+           LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+      UNION ALL
+      SELECT doc_id, 'h', g.i::BIGINT, ts[g.i]
+      FROM (SELECT doc_id, string_split(hn, ' ') AS ts FROM n WHERE length(hn) > 0) t,
+           LATERAL (SELECT unnest(generate_series(1, len(ts))) AS i) g
+    ),
+    seq AS (
+      SELECT doc_id, side, tok,
+             CASE WHEN side = 'r' THEN pos ELSE 1000000 + pos END AS gpos
+      FROM tok
+    ),
+    fo AS (SELECT doc_id, tok, min(gpos) AS fp FROM seq GROUP BY doc_id, tok),
+    vx AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY fp)::BIGINT AS idx
+      FROM fo
+    ),
+    mapped AS (
+      SELECT s.doc_id,
+             coalesce(string_agg(CASE WHEN s.side = 'r'
+                 THEN chr((32 + v.idx)::INT) END, '' ORDER BY s.gpos), '') AS rmap,
+             coalesce(string_agg(CASE WHEN s.side = 'h'
+                 THEN chr((32 + v.idx)::INT) END, '' ORDER BY s.gpos), '') AS hmap,
+             max(v.idx)::BIGINT AS n_vocab,
+             sum(CASE WHEN s.side = 'r' THEN 1 ELSE 0 END)::BIGINT AS nr,
+             sum(CASE WHEN s.side = 'h' THEN 1 ELSE 0 END)::BIGINT AS nh
+      FROM seq s JOIN vx v USING (doc_id, tok) GROUP BY s.doc_id
+    ),
+    r AS (
+      SELECT n.doc_id,
+             coalesce(m.nr, 0) AS n_ref_words,
+             coalesce(m.nh, 0) AS n_hyp_words,
+             coalesce(m.n_vocab, 0) AS n_vocab,
+             CASE WHEN coalesce(m.n_vocab, 0) <= 94
+                  THEN levenshtein(coalesce(m.rmap, ''), coalesce(m.hmap, ''))::BIGINT
+             END AS dist
+      FROM n LEFT JOIN mapped m USING (doc_id)
+    )
+    SELECT doc_id, n_ref_words, n_hyp_words, n_vocab, dist,
+           CASE WHEN n_ref_words > 0 AND dist IS NOT NULL
+                THEN ((dist * 1000) // n_ref_words)::BIGINT END AS wer_permille,
+           CASE WHEN n_vocab > 94 THEN 'vocab_overflow'
+                WHEN n_ref_words = 0 THEN 'empty_ref'
+                ELSE 'ok' END AS wer_status
+    FROM r
+    """,
+)
+def transcript_wer_q(spark, sf):
+    """Word error rate (textstats.transcript_wer) between documents and
+    deterministic word-level mutations: first-word deletion, identity
+    (WER 0), data->info substitution, three-word tail insertion. The
+    vocab-to-ASCII-char reduction makes the native levenshtein a
+    word-level distance on both engines."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    hyp = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.array_join(F.expr("slice(split(text, ' '), 2, size(split(text, ' ')) - 1)"), " "),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.col("text"))
+        .when(F.col("doc_id") % 4 == 2, F.regexp_replace("text", "data", "info"))
+        .otherwise(F.concat("text", F.lit(" zz yy xx")))
+    )
+    pairs = d.select("doc_id", F.col("text").alias("ref"), hyp.alias("hyp"))
+    return textstats.transcript_wer(pairs, "doc_id", "ref", "hyp")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

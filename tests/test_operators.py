@@ -1153,6 +1153,37 @@ def test_transcript_cer_hand_enumerable(spark):
     assert got[5]["exact"] == 1 and got[5]["cer_permille"] == 0
 
 
+def test_transcript_wer_hand_enumerable(spark):
+    """Word-level WER via the vocab-to-char reduction: substitutions /
+    deletions / insertions count ONE each regardless of word length;
+    case/punct invariance; empty-ref and vocab-overflow fences."""
+    from kneaddata_spark.operators.textstats import transcript_wer
+
+    rows = [
+        (1, "the quick brown fox", "the quick brown fox"),     # 0
+        (2, "the quick brown fox", "the slow brown fox"),      # 1 sub
+        (3, "the quick brown fox", "quick brown fox"),         # 1 del
+        (4, "the quick brown fox", "the very quick brown fox"),  # 1 ins
+        (5, "Transcription, PUNCTUATED!", "transcription punctuated"),  # 0
+        (6, "", "anything here"),                               # empty_ref
+        (7, "supercalifragilistic word", "tiny word"),          # 1 sub (len-free)
+        (8, " ".join(f"w{i}" for i in range(60)),
+            " ".join(f"v{i}" for i in range(60))),              # 120 vocab > 94
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ref", "hyp"])
+    got = {r["doc_id"]: r for r in
+           transcript_wer(df, "doc_id", "ref", "hyp").collect()}
+    assert got[1]["dist"] == 0 and got[1]["wer_permille"] == 0
+    assert got[2]["dist"] == 1 and got[2]["wer_permille"] == 250
+    assert got[3]["dist"] == 1 and got[3]["n_ref_words"] == 4
+    assert got[4]["dist"] == 1 and got[4]["n_hyp_words"] == 5
+    assert got[5]["dist"] == 0 and got[5]["wer_status"] == "ok"
+    assert got[6]["wer_status"] == "empty_ref" and got[6]["wer_permille"] is None
+    assert got[6]["dist"] == 2  # levenshtein('', hyp-map) = 2 word inserts
+    assert got[7]["dist"] == 1 and got[7]["wer_permille"] == 500
+    assert got[8]["wer_status"] == "vocab_overflow" and got[8]["dist"] is None
+
+
 def test_repetition_screen_hand_enumerable(spark):
     """Gopher repetition rules on hand-built docs: a bigram-looped doc
     drops, diverse text keeps; overlapping occurrences can push the
