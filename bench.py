@@ -146,6 +146,13 @@ HEADLINE = R3_SET + [
     "dynrange_screen",
     "source_concentration",
     "embedding_health",
+    "gopher_rules",
+    "c4_line_filter",
+    "speaking_rate",
+    "cluster_balanced_sample",
+    "speech_rate",
+    "transcript_cer",
+    "transcript_wer",
 ]
 
 
