@@ -201,3 +201,77 @@ def write_shards(
         "shard", "pos"
     )
     return co_located.mapInPandas(_writer, schema=_RECEIPT_SCHEMA)
+
+
+_SAMPLE_SCHEMA = (
+    "key string, payload binary, meta string, shard long, shard_path string"
+)
+
+
+def read_shards(
+    spark,
+    shard_dir: str,
+    payload_ext: str = "txt",
+) -> DataFrame:
+    """WebDataset tar shard SOURCE — the read half of write_shards, so a
+    corpus can round-trip engine -> training shards -> engine (resuming
+    curation from the materialized artifact, auditing what a trainer
+    actually consumed, or re-screening an externally produced WDS set).
+
+    `binaryFile` hands each tar to exactly one task (the WebDataset
+    loader shape: a shard IS the sequential-read unit); ONE fenced Arrow
+    stage streams members out of the in-memory tar with `tarfile`,
+    pairing `{key}.{payload_ext}` with `{key}.json` by basename and
+    emitting (key, payload, meta, shard, shard_path) rows. Payload bytes
+    cross Python->JVM here by necessity — this is a SOURCE, the symmetric
+    fenced exception to bytes-never-crosses that write_shards holds on
+    the sink side. No shuffle; parallelism = number of shards.
+
+    Member-pairing contract (write_shards layout): the payload member
+    precedes its json; a payload without json (or vice versa) raises —
+    a torn shard should fail loudly, not half-load."""
+    import re
+
+    files = spark.read.format("binaryFile").load(f"{shard_dir}/shard-*.tar")
+
+    def _reader(it):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in it:
+            out = {"key": [], "payload": [], "meta": [], "shard": [], "shard_path": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                m = re.search(r"shard-(\d+)\.tar$", path)
+                shard = int(m.group(1)) if m else -1
+                tf = tarfile.open(fileobj=io.BytesIO(bytes(content)), mode="r")
+                pending: dict[str, bytes] = {}
+                for info in tf:
+                    if not info.isfile():
+                        continue
+                    name = info.name
+                    blob = tf.extractfile(info).read()
+                    if name.endswith(".json"):
+                        key = name[: -len(".json")]
+                        if key not in pending:
+                            raise ValueError(
+                                f"{path}: json member {name} without payload"
+                            )
+                        out["key"].append(key)
+                        out["payload"].append(pending.pop(key))
+                        out["meta"].append(blob.decode("utf-8"))
+                        out["shard"].append(shard)
+                        out["shard_path"].append(path)
+                    elif name.endswith(f".{payload_ext}"):
+                        key = name[: -(len(payload_ext) + 1)]
+                        pending[key] = blob
+                    else:
+                        raise ValueError(f"{path}: unexpected member {name}")
+                if pending:
+                    raise ValueError(
+                        f"{path}: payload members without json: {sorted(pending)[:3]}"
+                    )
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(_reader, schema=_SAMPLE_SCHEMA)

@@ -220,3 +220,44 @@ def test_stream_shards_equal_batch_and_idempotent(spark, tmp_path):
         for p in glob.glob(os.path.join(out, "batch_id=*", "*.tar"))
     }
     assert hashes_after == hashes_before
+
+
+def test_read_shards_roundtrip(spark, tmp_path):
+    """engine -> write_shards -> read_shards == the original corpus:
+    byte-exact payloads, keys, shard assignment, canonical meta; torn
+    shards fail loudly."""
+    import json
+
+    from kneaddata_spark.sources.webdataset import (
+        read_shards,
+        shard_plan,
+        write_shards,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"text body {i} é", f"lang{i % 3}") for i in range(57)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "shards")
+    write_shards(shard_plan(d, "doc_id", 20), out, "doc_id", "text",
+                 meta_cols=("lang",)).collect()
+    back = read_shards(spark, out).collect()
+    assert len(back) == 57
+    want = {str(r["doc_id"]): r for r in d.collect()}
+    for r in back:
+        w = want[r["key"]]
+        assert bytes(r["payload"]).decode("utf-8") == w["text"]
+        meta = json.loads(r["meta"])
+        assert meta["lang"] == w["lang"] and meta["doc_id"] == w["doc_id"]
+        assert r["shard"] == w["doc_id"] // 20  # contiguous key-order chunks
+    # torn shard: truncate one tar mid-member -> loud failure
+    import glob
+    import os
+
+    victim = sorted(glob.glob(os.path.join(out, "*.tar")))[0]
+    blob = open(victim, "rb").read()
+    open(victim, "wb").write(blob[: len(blob) // 2])
+    import pytest
+
+    with pytest.raises(Exception):
+        read_shards(spark, out).collect()
