@@ -153,6 +153,8 @@ HEADLINE = R3_SET + [
     "speech_rate",
     "transcript_cer",
     "transcript_wer",
+    "semantic_decontaminate",
+    "boilerplate_screen",
 ]
 
 

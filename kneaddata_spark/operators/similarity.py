@@ -797,3 +797,44 @@ def cluster_balanced_sample(
         "pick_rank",
         F.when(F.col("pick_rank") <= per_cluster, 1).otherwise(0).cast("long").alias("sampled"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag every corpus vector whose
+    embedding cosine against ANY benchmark vector reaches `threshold` —
+    the embedding-space analog of dedup.decontaminate_against, catching
+    the paraphrased/reformatted eval leakage that n-gram screens miss
+    (reference analog: contaminant removal before downstream use,
+    run.py:372-450 tag-and-remove semantics at corpus granularity).
+
+    Shape at 100 TB: the benchmark side is small by construction (an eval
+    suite, ~1e4-1e6 rows) -> broadcast nested-loop; the corpus makes ONE
+    codegen'd JVM pass (dot + divide per pair, norms computed once per
+    row, same float-op order as the oracle) and never shuffles; only the
+    FLAGGED hits (<< corpus by construction) reach the per-id top-1
+    window. Returns (id_col, bench_id, cos) for contaminated corpus rows:
+    bench_id = best-matching benchmark row (max cos, min-id tiebreak),
+    cos full-precision — callers round ONCE at the edge (module header)."""
+    v = _with_norm(corpus, id_col, vec_col, "__cid", "c_vec", "c_n")
+    b = _with_norm(benchmark, id_col, vec_col, "bench_id", "b_vec", "b_n")
+    scored = (
+        v.crossJoin(F.broadcast(b))
+        .select(
+            "__cid",
+            "bench_id",
+            (_dot("c_vec", "b_vec") / (F.col("c_n") * F.col("b_n"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    w = Window.partitionBy("__cid").orderBy(F.col("cos").desc(), F.col("bench_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(F.col("__cid").alias(id_col), "bench_id", "cos")
+    )

@@ -1115,3 +1115,49 @@ def transcript_wer(
         .alias("wer_permille"),
         status.alias("wer_status"),
     )
+
+
+def boilerplate_screen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    n_words: int = 3,
+    min_permille: int = 150,
+) -> DataFrame:
+    """Per-source template detection (the CCNet/RefinedWeb "most common
+    line in the shard" rule at source granularity): a document's opening
+    n-word prefix that opens >= min_permille/1000 of its SOURCE's docs is
+    boilerplate (subscribe banners, cookie walls, forum headers), and
+    every doc carrying it is flagged. Differs from c4_line_filter (fixed
+    global per-line rules): the template is LEARNED per source from the
+    corpus itself. Reference analog: overrepresented-sequence harvest ->
+    targeted trim (SURVEY F5 two-phase shape), applied to doc openings.
+
+    Shape at 100 TB: two map-side-combinable aggs (docs-per-source,
+    prefix document-frequency) and a broadcast join-back of the HOT
+    prefix list (above-threshold templates are few by definition — the
+    same two-phase df-guard shape as dedup's shingle hot-list); document
+    text itself never shuffles. Integer permille (df*1000 div n_docs)
+    for cross-engine equality."""
+    pat = "^(" + r"\S+" + (r" \S+" * (n_words - 1)) + ")"
+    base = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.regexp_extract(F.col(text_col), pat, 1).alias("prefix"),
+    )
+    n_docs = base.groupBy("source").agg(F.count("*").alias("n_docs"))
+    dfreq = (
+        base.where(F.col("prefix") != "")
+        .groupBy("source", "prefix")
+        .agg(F.count("*").alias("df"))
+    )
+    hot = (
+        dfreq.join(F.broadcast(n_docs), "source")
+        .withColumn("df_permille", F.expr("(df * 1000) div n_docs").cast("long"))
+        .where(F.col("df_permille") >= min_permille)
+        .select("source", "prefix", "df_permille")
+    )
+    return base.join(F.broadcast(hot), ["source", "prefix"]).select(
+        F.col(id_col), "source", "prefix", "df_permille"
+    )

@@ -5152,6 +5152,94 @@ def transcript_wer_q(spark, sf):
     return textstats.transcript_wer(pairs, "doc_id", "ref", "hyp")
 
 
+@q(
+    "semantic_decontaminate",
+    f"""
+    WITH a AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id + 100000 AS bench_id, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE vec_id < 25),
+    scored AS (
+      SELECT a.vec_id, b.bench_id, {_COS_SQL} AS cos
+      FROM a, b
+    )
+    SELECT vec_id, bench_id, round(cos, 4) AS cos FROM (
+      SELECT vec_id, bench_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, bench_id ASC) AS rn
+      FROM scored WHERE cos >= 0.99)
+    WHERE rn = 1
+    """,
+)
+def semantic_decontaminate_q(spark, sf):
+    """Embedding-space benchmark decontamination
+    (similarity.semantic_decontaminate): the eval suite is a planted
+    25-row slice of the corpus re-id'd +100000 (the standard planting
+    pattern, hash/codebook-independent: an identical vector matches at
+    cos ~= 1.0 whatever the engine), so exactly the 25 leaked sources are
+    flagged with their benchmark match. Broadcast nested-loop over the
+    benchmark; corpus never shuffles; only hits reach the top-1 window."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    bench = e.where("vec_id < 25").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    out = similarity.semantic_decontaminate(e, bench, threshold=0.99)
+    return out.select("vec_id", "bench_id", F.round("cos", 4).alias("cos"))
+
+
+@q(
+    "boilerplate_screen",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 5 = 0
+                  THEN 'subscribe to ' || source || ' newsletter today ' || text
+                  ELSE text END AS text
+      FROM documents),
+    p AS (SELECT doc_id, source,
+                 regexp_extract(text, '^(\\S+ \\S+ \\S+)', 1) AS prefix
+          FROM d),
+    n AS (SELECT source, count(*)::BIGINT AS n_docs FROM p GROUP BY 1),
+    c AS (SELECT source, prefix, count(*)::BIGINT AS df
+          FROM p WHERE prefix <> '' GROUP BY 1, 2),
+    hot AS (SELECT c.source, c.prefix,
+                   ((c.df * 1000) // n.n_docs)::BIGINT AS df_permille
+            FROM c JOIN n ON c.source = n.source
+            WHERE ((c.df * 1000) // n.n_docs) >= 150)
+    SELECT p.doc_id, p.source, p.prefix, hot.df_permille
+    FROM p JOIN hot ON p.source = hot.source AND p.prefix = hot.prefix
+    """,
+)
+def boilerplate_screen_q(spark, sf):
+    """Per-source template detection (textstats.boilerplate_screen): a
+    per-source banner ('subscribe to <source> newsletter today') is
+    planted on every doc_id%5==0 doc — 200 permille of each source,
+    comfortably above the 150 threshold, while natural 3-word prefix
+    collisions stay far below it at every sf (max 2 docs/source
+    measured). Flags exactly the planted docs with the learned template
+    and its integer df_permille; both engines gate on (df*1000 div
+    n_docs) so the comparison is exact."""
+    d = _t(spark, sf, "documents").select("doc_id", "source", "text")
+    planted = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("subscribe to "),
+                F.col("source"),
+                F.lit(" newsletter today "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = textstats.boilerplate_screen(
+        planted, "doc_id", "text", "source", n_words=3, min_permille=150
+    )
+    return out.select("doc_id", "source", "prefix", "df_permille")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

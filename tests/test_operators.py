@@ -4980,3 +4980,91 @@ def test_embedding_health_hand_grid(spark):
     assert (d3["n_vecs"], d3["n_distinct"], d3["n_zero"], d3["n_dup_vecs"]) == (
         1, 1, 0, 0
     )
+
+
+def test_semantic_decontaminate_replica_and_plan(spark):
+    """similarity.semantic_decontaminate vs a numpy brute-force replica on
+    perturbed vectors: planted exact copies flag at cos~1.0, a scaled copy
+    flags too (cosine is scale-invariant), near-misses below threshold do
+    not, and the best-match tiebreak is (max cos, min bench_id). The plan
+    must broadcast the benchmark side (no corpus-side shuffle)."""
+    import numpy as np
+
+    from kneaddata_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    V = rng.randn(60, 16).astype(np.float32)
+    corpus = [(i, [float(x) for x in V[i]]) for i in range(60)]
+    # bench: exact copy of 3, scaled copy of 4, noisy copy of 5, random
+    bench_vecs = {
+        900: V[3],
+        901: (V[4] * 2.5),
+        902: V[5] + rng.randn(16).astype(np.float32) * 2.0,
+        903: rng.randn(16).astype(np.float32),
+    }
+    bench = [(k, [float(x) for x in v]) for k, v in bench_vecs.items()]
+    schema = "vec_id long, embedding array<float>"
+    got = {
+        (r["vec_id"], r["bench_id"])
+        for r in similarity.semantic_decontaminate(
+            spark.createDataFrame(corpus, schema),
+            spark.createDataFrame(bench, schema),
+            threshold=0.99,
+        ).collect()
+    }
+    # numpy replica: same double math
+    want = set()
+    for i in range(60):
+        best = None
+        for k in sorted(bench_vecs):
+            a = V[i].astype(np.float64)
+            b = bench_vecs[k].astype(np.float64)
+            cos = float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+            if cos >= 0.99 and (best is None or cos > best[1]):
+                best = (k, cos)
+        if best:
+            want.add((i, best[0]))
+    assert got == want == {(3, 900), (4, 901)}
+    plan = (
+        similarity.semantic_decontaminate(
+            spark.createDataFrame(corpus, schema),
+            spark.createDataFrame(bench, schema),
+            threshold=0.99,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_boilerplate_screen_hand_grid(spark):
+    """textstats.boilerplate_screen on a hand grid: a template opening 2/5
+    of srcA's docs (400 permille) flags those docs; the same prefix in
+    srcB at 1/5 (200 permille) stays under a 300 threshold; short docs
+    (<n_words) never match; hot-list joins are broadcast."""
+    from kneaddata_spark.operators import textstats
+
+    rows = [
+        (0, "srcA", "click here now body zero"),
+        (1, "srcA", "click here now body one"),
+        (2, "srcA", "organic text body two"),
+        (3, "srcA", "another organic doc three"),
+        (4, "srcA", "fifth doc entirely distinct"),
+        (10, "srcB", "click here now body ten"),
+        (11, "srcB", "srcB organic body eleven"),
+        (12, "srcB", "srcB second organic twelve"),
+        (13, "srcB", "srcB third organic thirteen"),
+        (14, "srcB", "tiny"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = textstats.boilerplate_screen(
+        d, "doc_id", "text", "source", n_words=3, min_permille=300
+    )
+    got = {(r["doc_id"], r["prefix"], r["df_permille"]) for r in out.collect()}
+    assert got == {
+        (0, "click here now", 400),
+        (1, "click here now", 400),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
