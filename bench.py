@@ -155,6 +155,8 @@ HEADLINE = R3_SET + [
     "transcript_wer",
     "semantic_decontaminate",
     "boilerplate_screen",
+    "embedding_drift",
+    "embedding_pca",
 ]
 
 

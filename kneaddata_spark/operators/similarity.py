@@ -838,3 +838,156 @@ def semantic_decontaminate(
         .where("__rn = 1")
         .select(F.col("__cid").alias(id_col), "bench_id", "cos")
     )
+
+
+# Offset added per quantized element so every div dividend is positive:
+# Spark `div` truncates toward zero while DuckDB `//` floors — they agree
+# only on non-negative operands, and per-dim sums of centered embeddings
+# are routinely negative. (raw + n*OFF) div n == floor(raw/n) + OFF
+# exactly, so subtracting OFF back yields TRUE floor semantics on both
+# engines. OFF > quant * max|x| for any sane embedding scale.
+_DRIFT_OFF = 1 << 23
+
+
+def embedding_drift(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1 << 20,
+    min_delta_micro: int = 10_000,
+) -> DataFrame:
+    """Per-dimension embedding mean shift between two corpus snapshots —
+    the monitor that catches a silent encoder-version bump or an upstream
+    filter changing corpus COMPOSITION (the length_drift idea lifted to
+    embedding space). All arithmetic is exact integer after one
+    floor(x*2^20) quantization (the int_planes bridge), so both engines
+    and the oracle agree bit-for-bit: mean_*_q is the floor per-dim mean
+    in 2^-20 units, delta_micro = |mean_a - mean_b| in micro embedding
+    units, drifted = delta_micro >= min_delta_micro.
+
+    Shape at 100 TB: posexplode multiplies rows by dim, but the per-dim
+    agg is map-side combinable — each task reduces to <= dim rows before
+    a dim-key shuffle (64 keys); nothing else moves. int64 headroom:
+    |sum| <= n * (quant*max|x| + OFF) — switch the sum to decimal(38,0)
+    past ~1e11 rows per snapshot."""
+    def moments(df: DataFrame, n_name: str, m_name: str) -> DataFrame:
+        q = F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) "
+            f"as bigint) + {_DRIFT_OFF}L)"
+        )
+        return (
+            df.select(F.posexplode(q).alias("dim", "xq"))
+            .groupBy("dim")
+            .agg(F.count("*").alias(n_name), F.sum("xq").alias("__s"))
+            .select(
+                "dim",
+                n_name,
+                (F.expr(f"__s div {n_name}") - F.lit(_DRIFT_OFF)).alias(m_name),
+            )
+        )
+
+    a = moments(snap_a, "n_a", "mean_a_q")
+    b = moments(snap_b, "n_b", "mean_b_q")
+    j = a.join(b, "dim")
+    delta = F.expr(f"abs(mean_a_q - mean_b_q) * 1000000L div {quant}").cast("long")
+    return j.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_a",
+        "n_b",
+        "mean_a_q",
+        "mean_b_q",
+        delta.alias("delta_micro"),
+        F.when(delta >= min_delta_micro, 1).otherwise(0).cast("long").alias("drifted"),
+    )
+
+
+def embedding_pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    quant: int = 1 << 20,
+):
+    """Distributed PCA fit over an embedding column — the canonical
+    one-pass pattern for corpus-scale spectral fits: (1) each Arrow batch
+    reduces to ONE int64 partial-moment row (upper-tri Gram + column sums
+    + count, a single BLAS syrk over floor(x*2^20)-quantized values, so
+    partials are EXACT integers and merge in any order), (2) the <= 
+    d(d+1)/2 + d + 1 partial cells aggregate as decimal(38,0) (no global
+    int64 overflow at any corpus size), (3) the dxd covariance solve runs
+    in the driver (the bounded-model exemption — model size is dim-bound,
+    never corpus-bound; same class as the langid/ANN fits). Returns
+    (components (k, d) float64 rows, eigvals desc, mean (d,), n,
+    total_var = trace of the covariance, for explained-variance ratios).
+
+    Sign convention: each component's largest-|entry| element is made
+    positive (eigenvector sign is otherwise arbitrary).
+
+    Per-batch int64 headroom: rows_per_batch * (quant*max|x|)^2 must stay
+    under 2^63 — with |x| <= 8 and the session's 1024-row columnar
+    batches that is ~7e16, 100x of slack; asserted per batch."""
+    import pandas as pd
+
+    def _gram(it):
+        for pdf in it:
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            Q = np.floor(X * quant).astype(np.int64)
+            mx = int(np.abs(Q).max(initial=0))
+            assert Q.shape[0] * mx * mx < (1 << 62), "gram partial overflow"
+            iu = np.triu_indices(Q.shape[1])
+            vals = np.concatenate(
+                [(Q.T @ Q)[iu], Q.sum(axis=0), [Q.shape[0]]]
+            )
+            yield pd.DataFrame({"idx": np.arange(vals.size), "val": vals})
+
+    parts = df.select(vec_col).mapInPandas(_gram, schema="idx long, val long")
+    cells = (
+        parts.groupBy("idx")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    acc = {int(r["idx"]): int(r["s"]) for r in cells}
+    n_cells = len(acc)
+    # infer dim from cell count: d(d+1)/2 + d + 1 == n_cells
+    d = int((np.sqrt(8 * n_cells + 1) - 3) / 2)
+    assert d * (d + 1) // 2 + d + 1 == n_cells, n_cells
+    iu = np.triu_indices(d)
+    G = np.zeros((d, d), dtype=np.float64)
+    G[iu] = [acc[i] for i in range(len(iu[0]))]
+    G = G + np.triu(G, 1).T
+    S = np.asarray([acc[len(iu[0]) + j] for j in range(d)], dtype=np.float64)
+    n = acc[n_cells - 1]
+    mean_q = S / n
+    cov = (G / n - np.outer(mean_q, mean_q)) / (float(quant) ** 2)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    eigvals, comps = w[order], V[:, order].T
+    for i in range(comps.shape[0]):  # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, eigvals, mean_q / float(quant), int(n), float(w.sum())
+
+
+def pca_project(
+    df: DataFrame,
+    components: "np.ndarray",
+    mean: "np.ndarray",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Distributed projection onto fitted components — all-JVM Column
+    algebra (the mfcc literal-weight-row pattern): each projection is a
+    zip_with dot of the centered vector against a plan-time literal
+    component row, left-folded in array order so a python in-order float64
+    replica is bit-identical. Zero Python, zero shuffles, applies to any
+    frame with the vec column."""
+    mean_arr = "array(" + ",".join(f"cast({m!r} as double)" for m in mean) + ")"
+    centered = f"zip_with({vec_col}, {mean_arr}, (x, m) -> cast(x as double) - m)"
+    projs = []
+    for i, row in enumerate(components):
+        carr = "array(" + ",".join(f"cast({c!r} as double)" for c in row) + ")"
+        projs.append(
+            f"aggregate(zip_with({centered}, {carr}, (x, c) -> x * c), "
+            f"0D, (s, v) -> s + v)"
+        )
+    return df.withColumn(out_col, F.expr("array(" + ",".join(projs) + ")"))

@@ -5240,6 +5240,99 @@ def boilerplate_screen_q(spark, sf):
     return out.select("doc_id", "source", "prefix", "df_permille")
 
 
+@q(
+    "embedding_drift",
+    """
+    WITH a AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 5 <> 0),
+    ea AS (SELECT i - 1 AS dim,
+                  (floor(v[i] * 1048576)::BIGINT + 8388608) AS xq
+           FROM a, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)),
+    eb AS (SELECT i - 1 AS dim,
+                  (floor(v[i] * 1048576)::BIGINT + 8388608) AS xq
+           FROM b, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)),
+    ma AS (SELECT dim, count(*)::BIGINT AS n_a,
+                  (sum(xq)::BIGINT // count(*))::BIGINT - 8388608 AS mean_a_q
+           FROM ea GROUP BY 1),
+    mb AS (SELECT dim, count(*)::BIGINT AS n_b,
+                  (sum(xq)::BIGINT // count(*))::BIGINT - 8388608 AS mean_b_q
+           FROM eb GROUP BY 1)
+    SELECT ma.dim::BIGINT AS dim, n_a, n_b, mean_a_q, mean_b_q,
+           (abs(mean_a_q - mean_b_q) * 1000000 // 1048576)::BIGINT AS delta_micro,
+           (CASE WHEN (abs(mean_a_q - mean_b_q) * 1000000 // 1048576) >= 10000
+                 THEN 1 ELSE 0 END)::BIGINT AS drifted
+    FROM ma JOIN mb ON ma.dim = mb.dim
+    """,
+)
+def embedding_drift_q(spark, sf):
+    """Embedding-space snapshot drift (similarity.embedding_drift):
+    snapshot B drops vec_id % 5 == 0 — an upstream filter change shifting
+    corpus COMPOSITION — and the monitor reports each dimension's exact
+    quantized mean shift. All-integer after floor(x*2^20): both engines
+    floor-divide on offset-positive sums (Spark div truncates, DuckDB //
+    floors; the +2^23 offset makes them agree), so the 64-row report is
+    bit-for-bit. One combinable dim-key agg per snapshot; nothing else
+    shuffles."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return similarity.embedding_drift(
+        e, e.where("vec_id % 5 <> 0"), min_delta_micro=10_000
+    )
+
+
+@q("embedding_pca")
+def embedding_pca_q(spark, sf):
+    """Distributed PCA over the embeddings table
+    (similarity.embedding_pca_fit + pca_project) — rows-only by necessity
+    (a dxd eigendecomposition is not SQL). The fit is ONE Arrow pass
+    reducing each batch to a single exact-integer moment row (BLAS syrk
+    over floor-quantized values) + a <= 2145-cell decimal agg + a bounded
+    driver-side eigh; the PROJECTION of the full corpus back onto the
+    components is all-JVM zip_with folds against plan-time literal rows.
+    Output: per component, the eigenvalue (micro), cumulative explained
+    variance (permille), and a corpus-side projection witness
+    (sum of floor(|proj|*1000)) that ties the distributed projection to
+    the fitted basis. pytest gates bit-exactness vs an in-order float64
+    replica."""
+    e = _t(spark, sf, "embeddings").select("embedding")
+    comps, eigvals, mean, n, total_var = similarity.embedding_pca_fit(e, k=8)
+    proj = similarity.pca_project(e, comps, mean)
+    wit = (
+        proj.select(F.posexplode("proj").alias("comp", "p"))
+        .groupBy("comp")
+        .agg(
+            F.sum(F.expr("cast(floor(abs(p) * 1000) as bigint)")).alias(
+                "abs_proj_milli_sum"
+            )
+        )
+    )
+    import math
+
+    cum = 0.0
+    meta = []
+    for i, ev in enumerate(eigvals):
+        cum += float(ev)
+        meta.append(
+            (
+                i,
+                int(math.floor(float(ev) * 1_000_000)),
+                int(math.floor(cum / total_var * 1000)),
+            )
+        )
+    m = spark.createDataFrame(
+        meta, "comp int, eigval_micro long, cum_var_permille long"
+    )
+    return (
+        wit.join(F.broadcast(m), "comp")
+        .select(
+            F.col("comp").cast("long").alias("comp"),
+            "eigval_micro",
+            "cum_var_permille",
+            "abs_proj_milli_sum",
+            F.lit(n).cast("long").alias("n_rows"),
+        )
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -5068,3 +5068,96 @@ def test_boilerplate_screen_hand_grid(spark):
     }
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_embedding_drift_negative_means_floor_semantics(spark):
+    """embedding_drift on a hand grid with NEGATIVE per-dim means: the
+    +2^23 offset must yield true floor division (Spark div truncates
+    toward zero — without the offset, dim sums of -3/2 would disagree
+    with the DuckDB oracle's floor), and delta_micro/drifted must equal
+    an exact python integer replica."""
+    import math
+
+    from kneaddata_spark.operators import similarity
+
+    A = [[-1.5, 0.25], [-0.25, 0.75], [-1.0, 0.5]]
+    B = [[-1.5, 0.25], [-0.25, 0.75]]
+    da = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(A)], "vec_id long, embedding array<float>"
+    )
+    db = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(B)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["dim"]: (r["n_a"], r["n_b"], r["mean_a_q"], r["mean_b_q"],
+                   r["delta_micro"], r["drifted"])
+        for r in similarity.embedding_drift(da, db, quant=1 << 20,
+                                            min_delta_micro=50_000).collect()
+    }
+    Q, OFF = 1 << 20, 1 << 23
+    want = {}
+    for dim in range(2):
+        sa = [math.floor(float(str(v[dim])) * Q) for v in A]  # float32 round-trip
+        sb = [math.floor(float(str(v[dim])) * Q) for v in B]
+        ma = (sum(x + OFF for x in sa)) // len(sa) - OFF
+        mb = (sum(x + OFF for x in sb)) // len(sb) - OFF
+        delta = abs(ma - mb) * 1_000_000 // Q
+        want[dim] = (len(sa), len(sb), ma, mb, delta, 1 if delta >= 50_000 else 0)
+    assert got == want
+    # dim 0: means -11/12 vs -7/8 -> floor matters (negative values)
+    assert got[0][2] < 0 and got[0][3] < 0
+
+
+def test_embedding_pca_replica_and_planted_axis(spark):
+    """embedding_pca_fit vs a full numpy replica over the SAME quantized
+    moments (exact-integer Gram -> identical covariance -> same eigh),
+    on data with a planted principal axis; pca_project must be
+    bit-identical to an in-order python float64 fold using the engine's
+    own components."""
+    import numpy as np
+
+    from kneaddata_spark.operators import similarity
+
+    rng = np.random.RandomState(11)
+    u = np.array([3.0, 1.0, -2.0, 0.5, 0.0, 1.5]) / np.sqrt(16.5)
+    X = (rng.randn(200, 1) * 2.0) @ u[None, :] + rng.randn(200, 6) * 0.05
+    X = X.astype(np.float32)
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    comps, eigvals, mean, n, total_var = similarity.embedding_pca_fit(
+        d, k=2, quant=1 << 20
+    )
+    # numpy replica: exact python-int moments over the same quantization
+    Q = np.floor(X.astype(np.float64) * (1 << 20)).astype(object)
+    G = np.zeros((6, 6), dtype=object)
+    for r in Q:
+        G += np.outer(r, r)
+    S = Q.sum(axis=0)
+    Gf = G.astype(np.float64) / 200
+    mq = S.astype(np.float64) / 200
+    cov = (Gf - np.outer(mq, mq)) / float(1 << 20) ** 2
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    rcomps = V[:, order].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(rcomps[i])))
+        if rcomps[i, j] < 0:
+            rcomps[i] = -rcomps[i]
+    assert n == 200
+    assert np.allclose(comps, rcomps) and np.allclose(eigvals, w[order][:2])
+    assert abs(total_var - w.sum()) < 1e-12
+    assert abs(float(np.dot(comps[0], u))) > 0.999  # planted axis recovered
+    assert eigvals[0] > 50 * eigvals[1]
+    # projection: engine == in-order float64 fold with the engine's basis
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in similarity.pca_project(d, comps, mean).collect()
+    }
+    for i in range(200):
+        for c in range(2):
+            s = 0.0
+            for a, mn, cc in zip(X[i], mean, comps[c]):
+                s = s + (float(a) - mn) * cc
+            assert got[i][c] == s, (i, c)
