@@ -157,6 +157,9 @@ HEADLINE = R3_SET + [
     "boilerplate_screen",
     "embedding_drift",
     "embedding_pca",
+    "readability_score",
+    "image_dup_pairs",
+    "video_dup_pairs",
 ]
 
 

@@ -517,3 +517,64 @@ def sample_frames(
         frame_sample_stage(every_n_bytes, every_n_frames=every_n_frames),
         schema=FRAME_SAMPLE_SCHEMA,
     )
+
+
+def encode_bmp(px: "np.ndarray") -> bytes:
+    """REAL BMP encoder (the write path decode_bmp inverts): uncompressed
+    24-bit BI_RGB, BITMAPINFOHEADER, bottom-up rows padded to 4 bytes.
+    Round-trips decode_bmp(encode_bmp(px)) == px exactly."""
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    raw = body.tobytes()
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raw), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
+    return header + dib + raw
+
+
+def encode_png(px: "np.ndarray") -> bytes:
+    """REAL PNG encoder (the write path decode_png inverts): 8-bit color
+    type 2 (RGB), filter 0 scanlines, one zlib IDAT, CRC'd chunks.
+    Round-trips decode_png(encode_png(px)) == px exactly."""
+    h, w = px.shape[:2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(cid + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_avi(frames: "list[np.ndarray]") -> bytes:
+    """REAL AVI encoder (the write path decode_avi_frames inverts):
+    RIFF('AVI ') -> LIST(hdrl){ LIST(strl){ strh(vids), strf(BITMAP-
+    INFOHEADER, 24bpp, biCompression=0) } } -> LIST(movi){ one '00db'
+    per frame, BMP row layout (4-byte-padded, bottom-up BGR) }.
+    Round-trips decode_avi_frames(encode_avi(frames)) == frames exactly."""
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strh = b"vids" + b"\x00" * 52  # fccType + zeroed timing fields
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    for f in frames:
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        movi_body += chunk(b"00db", body.tobytes())
+    payload = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload

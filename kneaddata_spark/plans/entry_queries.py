@@ -5333,6 +5333,191 @@ def embedding_pca_q(spark, sf):
     )
 
 
+@q(
+    "readability_score",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 3
+               WHEN 0 THEN text || '. Quick demo! Done?'
+               WHEN 1 THEN text
+               ELSE 'Aa bb. ' || text END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             (CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT
+               AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+               AS n_syllables
+      FROM d)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             (206835 - (1015 * n_words) // n_sentences
+                     - (84600 * n_syllables) // n_words)::BIGINT END AS fre_milli,
+           CASE WHEN n_words > 0 THEN
+             ((390 * n_words) // n_sentences
+              + (11800 * n_syllables) // n_words - 15590)::BIGINT END AS fkg_milli,
+           CASE WHEN n_words = 0 THEN 'empty'
+                WHEN (206835 - (1015 * n_words) // n_sentences
+                             - (84600 * n_syllables) // n_words) >= 90000
+                  THEN 'very_easy'
+                WHEN (206835 - (1015 * n_words) // n_sentences
+                             - (84600 * n_syllables) // n_words) >= 70000
+                  THEN 'easy'
+                WHEN (206835 - (1015 * n_words) // n_sentences
+                             - (84600 * n_syllables) // n_words) >= 50000
+                  THEN 'medium'
+                WHEN (206835 - (1015 * n_words) // n_sentences
+                             - (84600 * n_syllables) // n_words) >= 30000
+                  THEN 'difficult'
+                ELSE 'very_difficult' END AS readability
+    FROM m
+    """,
+)
+def readability_score_q(spark, sf):
+    """Flesch readability gate (textstats.readability_score): sentence
+    structure is planted per doc_id%3 class (terminal-punct runs appended
+    / untouched / prepended) since the synth corpus has none; every
+    metric and both milli scores are exact integers on non-negative div
+    operands so the engines agree bit-for-bit."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat("text", F.lit(". Quick demo! Done?")))
+        .when(F.col("doc_id") % 3 == 1, F.col("text"))
+        .otherwise(F.concat(F.lit("Aa bb. "), F.col("text")))
+        .alias("text"),
+    )
+    return textstats.readability_score(planted, "doc_id", "text")
+
+
+@q("image_dup_pairs")
+def image_dup_pairs_q(spark, sf):
+    """Perceptual image near-dup (operators/imagedup.image_dup_pairs):
+    rows-only — the dhash basis is binary image decode. The media table
+    is synthesized IN-PLAN from documents ids (crc-seeded 16x16 pixels,
+    encoded through the REAL multimodal.encode_bmp / encode_png write
+    kernels, alternating by id so both registry decoders are exercised);
+    ids < 15 get a one-pixel-perturbed near-dup 'n' twin (Hamming <= 1 by
+    construction: one sampled grid cell moves one gradient comparison),
+    ids 15..29 an exact 'x' twin. Expected: exactly the 30 planted pairs
+    (pytest gates the full matrix + replica; chance 16-bit band
+    collisions are filtered by the exact bit_count verify)."""
+    from ..operators.imagedup import image_dup_pairs
+
+    base = (
+        _t(spark, sf, "documents")
+        .where("doc_id < 60")
+        .select(F.col("doc_id").cast("long").alias("base_id"))
+    )
+    u = (
+        base.select("base_id", F.lit(0).alias("variant"))
+        .unionByName(
+            base.where("base_id < 15").select("base_id", F.lit(1).alias("variant"))
+        )
+        .unionByName(
+            base.where("base_id >= 15 and base_id < 30").select(
+                "base_id", F.lit(2).alias("variant")
+            )
+        )
+    )
+
+    def _synth_media(it):
+        import zlib as _z
+
+        import numpy as _np
+        import pandas as _pd
+
+        from ..multimodal import encode_bmp, encode_png
+
+        for pdf in it:
+            ids, blobs, mimes = [], [], []
+            for b, v in zip(pdf["base_id"], pdf["variant"]):
+                rng = _np.random.RandomState(
+                    _z.crc32(f"img{int(b)}".encode()) & 0x7FFFFFFF
+                )
+                px = rng.randint(0, 256, (16, 16, 3)).astype(_np.uint8)
+                if int(v) == 1:
+                    px = px.copy()
+                    px[0, 0] = 255 - px[0, 0]
+                if int(b) % 2 == 0:
+                    blob, mime = encode_bmp(px), "image/bmp"
+                else:
+                    blob, mime = encode_png(px), "image/png"
+                ids.append(f"{'mnx'[int(v)]}{int(b):05d}")
+                blobs.append(blob)
+                mimes.append(mime)
+            yield _pd.DataFrame({"media_id": ids, "bytes": blobs, "mime": mimes})
+
+    media = u.mapInPandas(
+        _synth_media, schema="media_id string, bytes binary, mime string"
+    )
+    return image_dup_pairs(media, max_hamming=3)
+
+
+@q("video_dup_pairs")
+def video_dup_pairs_q(spark, sf):
+    """Perceptual video near-dup (operators/imagedup.video_dup_pairs):
+    rows-only — the majority-dhash basis is binary AVI decode through the
+    REAL multimodal.encode_avi / decode_avi_frames kernel pair. In-plan
+    fixture: 4-frame 16x16 videos (crc-seeded); ids < 15 get an 'n' twin
+    whose every frame carries a one-pixel perturbation (Hamming <= 1),
+    ids 15..29 an 'x' twin with the LAST FRAME wholly replaced — the
+    majority vote must shrug off the changed frame (Hamming 0, the
+    re-encode/watermark-intro robustness the operator exists for).
+    Expected: exactly the 30 planted pairs."""
+    from ..operators.imagedup import video_dup_pairs
+
+    base = (
+        _t(spark, sf, "documents")
+        .where("doc_id < 60")
+        .select(F.col("doc_id").cast("long").alias("base_id"))
+    )
+    u = (
+        base.select("base_id", F.lit(0).alias("variant"))
+        .unionByName(
+            base.where("base_id < 15").select("base_id", F.lit(1).alias("variant"))
+        )
+        .unionByName(
+            base.where("base_id >= 15 and base_id < 30").select(
+                "base_id", F.lit(2).alias("variant")
+            )
+        )
+    )
+
+    def _synth_vids(it):
+        import zlib as _z
+
+        import numpy as _np
+        import pandas as _pd
+
+        from ..multimodal import encode_avi
+
+        for pdf in it:
+            ids, blobs = [], []
+            for b, v in zip(pdf["base_id"], pdf["variant"]):
+                rng = _np.random.RandomState(
+                    _z.crc32(f"vid{int(b)}".encode()) & 0x7FFFFFFF
+                )
+                px = rng.randint(0, 256, (16, 16, 3)).astype(_np.uint8)
+                other = rng.randint(0, 256, (16, 16, 3)).astype(_np.uint8)
+                if int(v) == 1:
+                    px = px.copy()
+                    px[0, 0] = 255 - px[0, 0]
+                frames = [px, px, px, other if int(v) == 2 else px]
+                ids.append(f"{'mnx'[int(v)]}{int(b):05d}")
+                blobs.append(encode_avi(frames))
+            yield _pd.DataFrame({"media_id": ids, "bytes": blobs})
+
+    media = u.mapInPandas(
+        _synth_vids, schema="media_id string, bytes binary"
+    ).withColumn("mime", F.lit("video/avi"))
+    return video_dup_pairs(media, max_hamming=3)
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

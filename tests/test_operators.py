@@ -5161,3 +5161,44 @@ def test_embedding_pca_replica_and_planted_axis(spark):
             for a, mn, cc in zip(X[i], mean, comps[c]):
                 s = s + (float(a) - mn) * cc
             assert got[i][c] == s, (i, c)
+
+
+def test_readability_score_hand_docs(spark):
+    """textstats.readability_score on hand-built docs: known Flesch
+    values (exact integer replica), sentence floor at 1 for unpunctuated
+    text, empty-doc verdict, and the 90/70/50/30 bucket edges."""
+    rows = [
+        (0, "The cat sat."),                       # 3 words, 1 sent, 3 syll
+        (1, "no punctuation here at all"),         # 5 words, sent floor 1
+        (2, ""),                                   # empty
+        (3, "Incomprehensibility characterizes bureaucratization. Yes."),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    from kneaddata_spark.operators import textstats
+
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.readability_score(d, "doc_id", "text").collect()}
+
+    def replica(text):
+        import re
+        tw = text.strip()
+        W = 0 if not tw else len(re.split(r"\s+", tw))
+        S = max(1, len(re.findall(r"[.!?]+", text)))
+        Y = len(re.findall(r"[aeiouy]+", text.lower()))
+        if W == 0:
+            return (W, S, Y, None, None, "empty")
+        fre = 206835 - (1015 * W) // S - (84600 * Y) // W
+        fkg = (390 * W) // S + (11800 * Y) // W - 15590
+        v = ("very_easy" if fre >= 90000 else "easy" if fre >= 70000 else
+             "medium" if fre >= 50000 else "difficult" if fre >= 30000
+             else "very_difficult")
+        return (W, S, Y, fre, fkg, v)
+
+    for i, text in rows:
+        W, S, Y, fre, fkg, v = replica(text)
+        g = got[i]
+        assert (g["n_words"], g["n_sentences"], g["n_syllables"]) == (W, S, Y), i
+        assert (g["fre_milli"], g["fkg_milli"], g["readability"]) == (fre, fkg, v), i
+    assert got[0]["readability"] == "very_easy"
+    assert got[3]["readability"] == "very_difficult"
+    assert got[2]["readability"] == "empty" and got[2]["fre_milli"] is None
