@@ -849,6 +849,59 @@ def semantic_decontaminate(
 _DRIFT_OFF = 1 << 23
 
 
+def quantized_dim_moments(
+    df: DataFrame, vec_col: str = "embedding", quant: int = 1 << 20
+) -> DataFrame:
+    """(dim, n, s): exact-integer per-dimension moment cells over
+    offset-positive floor(x*quant) values — MERGEABLE in any order and
+    any grouping (sum of sums), which is what lets the streaming drift
+    monitor accumulate them per micro-batch and merge at read time.
+    posexplode multiplies rows by dim but the agg is map-side
+    combinable: each task reduces to <= dim rows before the dim-key
+    shuffle."""
+    q = F.expr(
+        f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) "
+        f"as bigint) + {_DRIFT_OFF}L)"
+    )
+    return (
+        df.select(F.posexplode(q).alias("dim", "xq"))
+        .groupBy("dim")
+        .agg(F.count("*").alias("n"), F.sum("xq").alias("s"))
+    )
+
+
+def drift_report(
+    ma: DataFrame,
+    mb: DataFrame,
+    quant: int = 1 << 20,
+    min_delta_micro: int = 10_000,
+) -> DataFrame:
+    """Join two raw moment tables (quantized_dim_moments schema) into the
+    per-dimension drift report. Means are TRUE floor divisions on both
+    engines thanks to the offset (see _DRIFT_OFF)."""
+    a = ma.select(
+        "dim",
+        F.col("n").alias("n_a"),
+        (F.expr("s div n") - F.lit(_DRIFT_OFF)).alias("mean_a_q"),
+    )
+    b = mb.select(
+        "dim",
+        F.col("n").alias("n_b"),
+        (F.expr("s div n") - F.lit(_DRIFT_OFF)).alias("mean_b_q"),
+    )
+    j = a.join(b, "dim")
+    delta = F.expr(f"abs(mean_a_q - mean_b_q) * 1000000L div {quant}").cast("long")
+    return j.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n_a",
+        "n_b",
+        "mean_a_q",
+        "mean_b_q",
+        delta.alias("delta_micro"),
+        F.when(delta >= min_delta_micro, 1).otherwise(0).cast("long").alias("drifted"),
+    )
+
+
 def embedding_drift(
     snap_a: DataFrame,
     snap_b: DataFrame,
@@ -865,39 +918,16 @@ def embedding_drift(
     in 2^-20 units, delta_micro = |mean_a - mean_b| in micro embedding
     units, drifted = delta_micro >= min_delta_micro.
 
-    Shape at 100 TB: posexplode multiplies rows by dim, but the per-dim
-    agg is map-side combinable — each task reduces to <= dim rows before
-    a dim-key shuffle (64 keys); nothing else moves. int64 headroom:
-    |sum| <= n * (quant*max|x| + OFF) — switch the sum to decimal(38,0)
-    past ~1e11 rows per snapshot."""
-    def moments(df: DataFrame, n_name: str, m_name: str) -> DataFrame:
-        q = F.expr(
-            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {quant}) "
-            f"as bigint) + {_DRIFT_OFF}L)"
-        )
-        return (
-            df.select(F.posexplode(q).alias("dim", "xq"))
-            .groupBy("dim")
-            .agg(F.count("*").alias(n_name), F.sum("xq").alias("__s"))
-            .select(
-                "dim",
-                n_name,
-                (F.expr(f"__s div {n_name}") - F.lit(_DRIFT_OFF)).alias(m_name),
-            )
-        )
-
-    a = moments(snap_a, "n_a", "mean_a_q")
-    b = moments(snap_b, "n_b", "mean_b_q")
-    j = a.join(b, "dim")
-    delta = F.expr(f"abs(mean_a_q - mean_b_q) * 1000000L div {quant}").cast("long")
-    return j.select(
-        F.col("dim").cast("long").alias("dim"),
-        "n_a",
-        "n_b",
-        "mean_a_q",
-        "mean_b_q",
-        delta.alias("delta_micro"),
-        F.when(delta >= min_delta_micro, 1).otherwise(0).cast("long").alias("drifted"),
+    Shape at 100 TB: see quantized_dim_moments (one combinable agg per
+    snapshot; nothing else moves). int64 headroom: |s| <= n *
+    (quant*max|x| + offset) — switch the sum to decimal(38,0) past ~1e11
+    rows per snapshot. Streaming variant: streaming/drift_stream.py
+    accumulates the same cells per micro-batch."""
+    return drift_report(
+        quantized_dim_moments(snap_a, vec_col, quant),
+        quantized_dim_moments(snap_b, vec_col, quant),
+        quant,
+        min_delta_micro,
     )
 
 

@@ -361,3 +361,54 @@ def test_stream_screen_matches_batch_and_idempotent(spark, clips_path, tmp_path)
     q2 = stream_screen(spark, src, out, ckpt)  # same checkpoint: no new files
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_stream_drift_equal_batch_and_replay_safe(spark, tmp_path):
+    """Streamed per-batch moment cells, merged at read time and joined
+    against a pinned reference, must be ROW-IDENTICAL to the batch
+    embedding_drift of the same snapshots (exact integers end-to-end);
+    replay with no new files changes nothing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.similarity import (
+        embedding_drift,
+        quantized_dim_moments,
+    )
+    from kneaddata_spark.streaming.drift_stream import (
+        drift_estimate,
+        merged_moments,
+        stream_drift_moments,
+    )
+
+    rng = np.random.RandomState(17)
+    mk = lambda n, shift: [
+        (i, [float(x) for x in (rng.randn(8) + shift)]) for i in range(n)
+    ]
+    ref = spark.createDataFrame(mk(300, 0.0), "vec_id long, embedding array<float>")
+    cur = spark.createDataFrame(mk(500, 0.05), "vec_id long, embedding array<float>")
+
+    src = str(tmp_path / "in")
+    cur.repartition(4).write.mode("overwrite").parquet(src)
+    mdir, ckpt = str(tmp_path / "moments"), str(tmp_path / "ckpt")
+    q = stream_drift_moments(spark, src, mdir, ckpt)
+    q.awaitTermination(300)
+
+    ref_m = quantized_dim_moments(ref)
+    got = {
+        r["dim"]: tuple(r)[1:]
+        for r in drift_estimate(spark, mdir, ref_m, min_delta_micro=10_000).collect()
+    }
+    want = {
+        r["dim"]: tuple(r)[1:]
+        for r in embedding_drift(ref, spark.read.parquet(src)).collect()
+    }
+    assert got == want and len(got) == 8
+    assert any(v[-1] == 1 for v in got.values())  # the planted shift trips
+
+    # replay: restart with no new input files -> merged cells unchanged
+    before = {tuple(r) for r in merged_moments(spark, mdir).collect()}
+    q2 = stream_drift_moments(spark, src, mdir, ckpt)
+    q2.awaitTermination(300)
+    after = {tuple(r) for r in merged_moments(spark, mdir).collect()}
+    assert after == before
