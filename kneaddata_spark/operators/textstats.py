@@ -1139,7 +1139,12 @@ def boilerplate_screen(
     prefix list (above-threshold templates are few by definition — the
     same two-phase df-guard shape as dedup's shingle hot-list); document
     text itself never shuffles. Integer permille (df*1000 div n_docs)
-    for cross-engine equality."""
+    for cross-engine equality. The n_docs broadcast assumes source
+    granularity (provider/crawl: thousands of rows); running at DOMAIN
+    granularity (~1e8 keys) drop that one hint and let the
+    post-aggregation (source, prefix) -> source join shuffle — both
+    sides are already reduced, so the shuffle is count-table-sized, not
+    corpus-sized."""
     pat = "^(" + r"\S+" + (r" \S+" * (n_words - 1)) + ")"
     base = df.select(
         F.col(id_col),
