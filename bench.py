@@ -160,6 +160,8 @@ HEADLINE = R3_SET + [
     "readability_score",
     "image_dup_pairs",
     "video_dup_pairs",
+    "chunk_overlap",
+    "truncation_report",
 ]
 
 

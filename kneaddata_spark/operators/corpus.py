@@ -587,3 +587,89 @@ def budget_cap(
         .drop("__cb")
     )
     return kept_full.unionByName(kept_boundary).drop("__h", "__b")
+
+
+def chunk_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """RAG-style overlapping chunker: whitespace tokens, one chunk every
+    `stride` tokens, each spanning `chunk_tokens` (the last chunks clamp
+    at the document end) — the retrieval-index preprocessing step every
+    RAG corpus build runs, and the overlap variant pack_contexts (abutting
+    bins) deliberately doesn't cover. Deterministic rule: starts s = 0,
+    stride, 2*stride, ... while s < n_tok.
+
+    Shape at 100 TB: pure per-row generate (sequence + posexplode, all
+    JVM codegen) — zero Python, ZERO shuffles; row expansion ~n/stride is
+    the intended output, not overhead. Empty/whitespace docs emit no
+    chunks."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    ).where((F.length(F.trim(F.col(text_col))) > 0) & (F.col("__n") > 0))
+    starts = F.expr(f"sequence(0, __n - 1, {stride})")
+    ex = base.select(
+        id_col, "__toks", "__n", F.posexplode(starts).alias("chunk_id", "start_tok")
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_in_chunk"),
+        F.array_join(
+            F.expr(f"slice(__toks, start_tok + 1, {chunk_tokens})"), " "
+        ).alias("chunk_text"),
+    )
+
+
+def truncation_report(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    limits: tuple = (128, 256, 512),
+) -> DataFrame:
+    """What a context-length cap would COST, per group: for each limit L,
+    how many documents exceed it and what permille of the group's tokens
+    fall beyond it — the report that picks max_seq_len before a training
+    run pays for it. All exact integers (sum(greatest(0, n-L)),
+    (beyond*1000) div toks) so both engines agree bit-for-bit; one
+    map-side-combinable aggregation, nothing else moves."""
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(n)
+        .alias("__n"),
+    )
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("n_toks"),
+    ]
+    for L in limits:
+        aggs.append(
+            F.sum(F.when(F.col("__n") > L, 1).otherwise(0))
+            .cast("long")
+            .alias(f"docs_over_{L}")
+        )
+        aggs.append(
+            F.sum(F.greatest(F.lit(0), F.col("__n") - L))
+            .cast("long")
+            .alias(f"toks_beyond_{L}")
+        )
+    out = base.groupBy("grp").agg(*aggs)
+    for L in limits:
+        out = out.withColumn(
+            f"cut_permille_{L}",
+            F.expr(f"(toks_beyond_{L} * 1000) div n_toks").cast("long"),
+        )
+    return out

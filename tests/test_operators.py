@@ -5202,3 +5202,53 @@ def test_readability_score_hand_docs(spark):
     assert got[0]["readability"] == "very_easy"
     assert got[3]["readability"] == "very_difficult"
     assert got[2]["readability"] == "empty" and got[2]["fre_milli"] is None
+
+
+def test_chunk_overlap_hand_doc(spark):
+    """corpus.chunk_overlap on a hand doc: start grid 0/stride/2*stride,
+    end clamp, overlap content, empty-doc emits nothing, bad params
+    raise."""
+    import pytest
+
+    from kneaddata_spark.operators.corpus import chunk_overlap
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, ""), (3, "   "), (4, "x")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_in_chunk"], r["chunk_text"])
+        for r in chunk_overlap(d, "doc_id", "text", chunk_tokens=4, stride=3).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4, "a b c d"),
+        (1, 1): (3, 4, "d e f g"),
+        (1, 2): (6, 4, "g h i j"),
+        (1, 3): (9, 1, "j"),
+        (4, 0): (0, 1, "x"),
+    }
+    with pytest.raises(ValueError):
+        chunk_overlap(d, "doc_id", "text", chunk_tokens=0)
+
+
+def test_truncation_report_hand_grid(spark):
+    """corpus.truncation_report: exact integer replica on a hand grid
+    including an empty doc (counts as 0 tokens, never divides by zero
+    within a non-empty group)."""
+    from kneaddata_spark.operators.corpus import truncation_report
+
+    rows = [
+        ("en", "one two three four five"),  # 5 toks
+        ("en", "one two"),  # 2
+        ("en", ""),  # 0
+        ("de", " ".join(["w"] * 10)),  # 10
+    ]
+    d = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["grp"]: r.asDict() for r in
+           truncation_report(d, "lang", "text", limits=(3, 8)).collect()}
+    en, de = got["en"], got["de"]
+    assert (en["n_docs"], en["n_toks"]) == (3, 7)
+    assert (en["docs_over_3"], en["toks_beyond_3"]) == (1, 2)
+    assert en["cut_permille_3"] == (2 * 1000) // 7
+    assert (en["docs_over_8"], en["toks_beyond_8"]) == (0, 0)
+    assert (de["docs_over_8"], de["toks_beyond_8"], de["cut_permille_8"]) == (1, 2, 200)
