@@ -162,6 +162,7 @@ HEADLINE = R3_SET + [
     "video_dup_pairs",
     "chunk_overlap",
     "truncation_report",
+    "incremental_image_screen",
 ]
 
 

@@ -220,3 +220,80 @@ def video_dup_pairs(
         df, id_col, bytes_col, mime_col, frame_stride=frame_stride, strict=strict
     ).where(F.col("vhash").isNotNull())
     return banded_hamming_pairs(h, id_col, "vhash", max_hamming)
+
+
+def image_band_index(
+    df: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    mime_col: str = "mime",
+    strict: bool = False,
+) -> DataFrame:
+    """(band, chunk, id, dhash) — the stored corpus-side index an ingest
+    pipeline maintains (write it bucketed/partitioned by band, chunk):
+    each image contributes N_BANDS rows; the corpus is decoded ONCE when
+    the index is built and never again."""
+    h = image_dhash(df, id_col, bytes_col, mime_col, strict=strict).where(
+        F.col("dhash").isNotNull()
+    )
+    return h.select(
+        id_col,
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftrightunsigned(dhash, {16 * i}) & 65535"
+                        ).alias("chunk"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bc"),
+    ).select("bc.band", "bc.chunk", F.col(id_col).alias("id"), "dhash")
+
+
+def incremental_image_dedup(
+    new_images: DataFrame,
+    band_index: DataFrame,
+    id_col: str = "media_id",
+    bytes_col: str = "bytes",
+    mime_col: str = "mime",
+    max_hamming: int = 3,
+    strict: bool = False,
+) -> "tuple[DataFrame, DataFrame]":
+    """Screen an ingest batch of images against a stored corpus band
+    index: (survivors, flagged) — the image analog of
+    dedup.incremental_band_screen / audiodup.incremental_audio_screen,
+    same production contract: only the NEW batch is decoded and hashed;
+    the corpus is represented by its index (image_band_index), never
+    re-decoded or reshuffled. Unlike the probabilistic audio screen, the
+    pigeonhole banding is EXACT here: an in-bucket candidate is flagged
+    iff its full-hash Hamming distance <= max_hamming, so the screen has
+    zero false positives and zero false negatives w.r.t. the dhash
+    metric. Flagged ids are persist_tracked (both returned frames read
+    them; the pin stops a second batch decode — the caching.py
+    contract)."""
+    from .caching import persist_tracked
+
+    if max_hamming >= N_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the {N_BANDS}-band pigeonhole"
+        )
+    probe = image_band_index(new_images, id_col, bytes_col, mime_col, strict=strict)
+    flagged_ids = persist_tracked(
+        probe.join(
+            band_index.select(
+                "band", "chunk", F.col("dhash").alias("__seen_h")
+            ),
+            ["band", "chunk"],
+        )
+        .where(F.expr(f"bit_count(dhash ^ __seen_h) <= {max_hamming}"))
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    flagged = new_images.join(F.broadcast(flagged_ids), id_col, "left_semi")
+    survivors = new_images.join(F.broadcast(flagged_ids), id_col, "left_anti")
+    return survivors, flagged

@@ -142,3 +142,42 @@ def test_video_dup_pairs_matrix(spark):
     assert hs["v_junk"] is None
     with pytest.raises(Exception):
         video_dhash(d, strict=True).collect()
+
+
+def test_incremental_image_dedup_against_stored_index(spark):
+    """Ingest screening vs a stored band index: exact re-upload and
+    one-pixel near-dup flagged, fresh image and undecodable survive
+    (batch decode failure is not corpus membership); the corpus side is
+    its index only — never re-decoded; precision is exact (a same-bucket
+    candidate beyond max_hamming survives)."""
+    from kneaddata_spark.operators.imagedup import (
+        image_band_index,
+        incremental_image_dedup,
+    )
+    from kneaddata_spark.multimodal import encode_bmp
+
+    rng = np.random.RandomState(41)
+    corpus_px = {f"c{i}": rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+                 for i in range(10)}
+    corpus = spark.createDataFrame(
+        [(k, encode_bmp(v), "image/bmp") for k, v in corpus_px.items()],
+        "media_id string, bytes binary, mime string",
+    )
+    idx = image_band_index(corpus)
+    near = corpus_px["c3"].copy()
+    near[0, 0] = 255 - near[0, 0]
+    batch = spark.createDataFrame(
+        [
+            ("re_up", encode_bmp(corpus_px["c7"]), "image/bmp"),
+            ("near", encode_bmp(near), "image/bmp"),
+            ("fresh", encode_bmp(rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)),
+             "image/bmp"),
+            ("junk", b"nope", "image/bmp"),
+        ],
+        "media_id string, bytes binary, mime string",
+    )
+    surv, flagged = incremental_image_dedup(batch, idx, max_hamming=3)
+    assert {r["media_id"] for r in flagged.collect()} == {"re_up", "near"}
+    assert {r["media_id"] for r in surv.collect()} == {"fresh", "junk"}
+    # index shape: N_BANDS rows per corpus image
+    assert idx.count() == 40
