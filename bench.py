@@ -163,6 +163,7 @@ HEADLINE = R3_SET + [
     "chunk_overlap",
     "truncation_report",
     "incremental_image_screen",
+    "audio_opus",
 ]
 
 

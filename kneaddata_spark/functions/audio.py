@@ -130,6 +130,17 @@ from .flaccodec import decode_flac  # noqa: E402  (registry wiring)
 
 register_codec("flac", decode_flac)
 
+# "ogg_opus" is the REAL Ogg container + Opus packet layer (r5,
+# functions/oggopus.py): full page framing, Ogg CRC-32, lacing, OpusHead
+# and the RFC 6716 TOC walk, with the honest DTX/silence decode subset
+# (real SILK/CELT payloads return None — a libopus decoder drops into
+# this same seam). Registered under its own name: the QC synth's
+# codec='opus' rows keep the documented fake container (oracle contract);
+# a corpus with real streams adds "ogg_opus" to rules.VALID_CODECS.
+from .oggopus import decode_ogg_opus  # noqa: E402  (registry wiring)
+
+register_codec("ogg_opus", decode_ogg_opus)
+
 _S16 = 32768.0
 _U8 = 128.0
 _CLIP_S16 = 32736      # smallest int16 magnitude with |x|/32768 >= CLIP_SAMPLE_THRESH

@@ -5671,6 +5671,89 @@ def incremental_image_screen_q(spark, sf):
     )
 
 
+@q("audio_opus")
+def audio_opus_q(spark, sf):
+    """REAL Ogg-Opus container kernel (functions/oggopus.py): rows-only —
+    the basis is bit-level Ogg framing. In-plan fixture: deterministic
+    DTX/silence streams per doc_id (length 480 + id*997 mod 48000 samples,
+    TOC config rotating over SILK-WB-20ms / CELT-FB-20ms / SILK-NB-60ms,
+    so the 48k frame-duration table, multi-page lacing and end trimming
+    are all exercised); id%5==3 gets a CRC bit-flip and id%5==4 a torn
+    tail — both must probe as invalid (the Ogg CRC is load-bearing). ONE
+    Arrow stage encodes, mutates, probes and decodes; only integer
+    witnesses cross back (pcm_zero proves the DTX decode contract)."""
+
+    def _probe(it):
+        import numpy as _np
+        import pandas as _pd
+
+        from ..functions.oggopus import (
+            decode_ogg_opus,
+            encode_ogg_opus,
+            probe_ogg_opus,
+        )
+
+        cfgs = (9, 31, 3)
+        for pdf in it:
+            rows = []
+            for b in pdf["base_id"]:
+                b = int(b)
+                n = 480 + (b * 997) % 48000
+                raw = bytearray(
+                    encode_ogg_opus(n, toc_config=cfgs[b % 3], input_rate=16000)
+                )
+                if b % 5 == 3:
+                    raw[len(raw) // 2] ^= 0x01  # CRC flip
+                elif b % 5 == 4:
+                    raw = raw[: len(raw) - 7]  # torn tail
+                meta = probe_ogg_opus(bytes(raw))
+                if meta is None:
+                    rows.append((f"o{b:05d}", "invalid") + (None,) * 7)
+                    continue
+                pcm = decode_ogg_opus(bytes(raw))
+                rows.append(
+                    (
+                        f"o{b:05d}",
+                        "ok",
+                        meta["n_pages"],
+                        meta["n_packets"],
+                        meta["pre_skip"],
+                        meta["n_samples"],
+                        meta["sum_frame_samples"],
+                        meta["input_rate"],
+                        int(pcm is not None and len(pcm) == meta["n_samples"] and not pcm.any()),
+                    )
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "status",
+                    "n_pages",
+                    "n_packets",
+                    "pre_skip",
+                    "n_samples",
+                    "sum_frame_samples",
+                    "input_rate",
+                    "pcm_zero",
+                ],
+            )
+
+    ids = (
+        _t(spark, sf, "documents")
+        .where("doc_id < 60")
+        .select(F.col("doc_id").cast("long").alias("base_id"))
+    )
+    return ids.mapInPandas(
+        _probe,
+        schema=(
+            "media_id string, status string, n_pages long, n_packets long, "
+            "pre_skip long, n_samples long, sum_frame_samples long, "
+            "input_rate long, pcm_zero long"
+        ),
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers
