@@ -164,6 +164,7 @@ HEADLINE = R3_SET + [
     "truncation_report",
     "incremental_image_screen",
     "audio_opus",
+    "audio_mp3",
 ]
 
 
