@@ -165,6 +165,7 @@ HEADLINE = R3_SET + [
     "incremental_image_screen",
     "audio_opus",
     "audio_mp3",
+    "script_mix",
 ]
 
 

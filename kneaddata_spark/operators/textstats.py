@@ -1223,3 +1223,58 @@ def readability_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(F.col("n_words") > 0, fkg).alias("fkg_milli"),
         verdict.alias("readability"),
     )
+
+
+# (script, java regex class, RE2 class) — Java spells Unicode scripts
+# \p{IsX}, RE2 spells them \p{X}; membership agrees on the common planes.
+# Priority order doubles as the deterministic dominant-script tiebreak.
+SCRIPTS = (
+    ("latin", r"[A-Za-z]", "[A-Za-z]"),
+    ("cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("han", r"\p{IsHan}", r"\p{Han}"),
+    ("arabic", r"\p{IsArabic}", r"\p{Arabic}"),
+    ("greek", r"\p{IsGreek}", r"\p{Greek}"),
+)
+
+
+def script_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Unicode-script histogram per document + dominant-script verdict —
+    the multilingual curation signal langid's stopword votes can't give
+    (stopword lists only cover spaced Latin-alphabet languages; script
+    counts catch CJK/Cyrillic/Arabic content, mixed-script spam and
+    mislabeled lang columns). Counts are code points matched by the
+    script class (length minus length-after-strip — one regexp_replace
+    per script, all JVM codegen, zero Python, zero shuffles).
+
+    dominant = the highest-count script, ties broken by the fixed
+    SCRIPTS priority order (identical CASE chain in the oracle); 'none'
+    when no script matches. dominant_permille is over n_chars (total
+    code points incl. spaces/digits), exact integer."""
+    t = F.col(text_col)
+    counts = {
+        name: (F.length(t) - F.length(F.regexp_replace(t, java_re, "")))
+        .cast("long")
+        .alias(name)
+        for name, java_re, _ in SCRIPTS
+    }
+    base = df.select(F.col(id_col), F.length(t).cast("long").alias("n_chars"), *counts.values())
+    g = F.greatest(*[F.col(n) for n, _, _ in SCRIPTS])
+    dom = F.when(g == 0, F.lit("none"))
+    for name, _, _ in SCRIPTS:
+        dom = dom.when(F.col(name) == g, F.lit(name))
+    return base.select(
+        id_col,
+        "n_chars",
+        *[n for n, _, _ in SCRIPTS],
+        dom.alias("dominant"),
+        F.when(
+            (g > 0) & (F.col("n_chars") > 0),
+            F.expr(
+                "(greatest("
+                + ", ".join(n for n, _, _ in SCRIPTS)
+                + ") * 1000) div n_chars"
+            ),
+        )
+        .cast("long")
+        .alias("dominant_permille"),
+    )

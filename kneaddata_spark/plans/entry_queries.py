@@ -5828,6 +5828,60 @@ def audio_mp3_q(spark, sf):
     )
 
 
+_SCRIPT_G = "greatest(latin, cyrillic, han, arabic, greek)"
+
+
+@q(
+    "script_mix",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 5
+               WHEN 1 THEN text || ' Привет мир'
+               WHEN 2 THEN '你好世界。数据清洗管道很好'
+               WHEN 3 THEN text || ' γειά σου φίλε'
+               WHEN 4 THEN text || ' مرحبا بالعالم'
+               ELSE text END AS text
+      FROM documents),
+    m AS (
+      SELECT doc_id, length(text)::BIGINT AS n_chars,
+             (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT AS latin,
+             (length(text) - length(regexp_replace(text, '\\p{{Cyrillic}}', '', 'g')))::BIGINT AS cyrillic,
+             (length(text) - length(regexp_replace(text, '\\p{{Han}}', '', 'g')))::BIGINT AS han,
+             (length(text) - length(regexp_replace(text, '\\p{{Arabic}}', '', 'g')))::BIGINT AS arabic,
+             (length(text) - length(regexp_replace(text, '\\p{{Greek}}', '', 'g')))::BIGINT AS greek
+      FROM d)
+    SELECT doc_id, n_chars, latin, cyrillic, han, arabic, greek,
+           CASE WHEN {_SCRIPT_G} = 0 THEN 'none'
+                WHEN latin = {_SCRIPT_G} THEN 'latin'
+                WHEN cyrillic = {_SCRIPT_G} THEN 'cyrillic'
+                WHEN han = {_SCRIPT_G} THEN 'han'
+                WHEN arabic = {_SCRIPT_G} THEN 'arabic'
+                ELSE 'greek' END AS dominant,
+           CASE WHEN {_SCRIPT_G} > 0 AND n_chars > 0
+                THEN (({_SCRIPT_G} * 1000) // n_chars)::BIGINT END AS dominant_permille
+    FROM m
+    """,
+)
+def script_mix_q(spark, sf):
+    """Unicode-script histogram (textstats.script_mix): Cyrillic / Han /
+    Arabic / Greek runs planted per doc_id%5 class (class 2 is a pure-Han
+    replacement so the dominant verdict actually switches); Java spells
+    script classes \\p{{IsX}} and RE2 \\p{{X}}, membership identical on
+    the planted planes. Counts are code points; permille exact integer."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 1, F.concat("text", F.lit(" Привет мир")))
+        .when(F.col("doc_id") % 5 == 2, F.lit("你好世界。数据清洗管道很好"))
+        .when(F.col("doc_id") % 5 == 3, F.concat("text", F.lit(" γειά σου φίλε")))
+        .when(F.col("doc_id") % 5 == 4, F.concat("text", F.lit(" مرحبا بالعالم")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.script_mix(planted, "doc_id", "text")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

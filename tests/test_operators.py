@@ -5252,3 +5252,30 @@ def test_truncation_report_hand_grid(spark):
     assert en["cut_permille_3"] == (2 * 1000) // 7
     assert (en["docs_over_8"], en["toks_beyond_8"]) == (0, 0)
     assert (de["docs_over_8"], de["toks_beyond_8"], de["cut_permille_8"]) == (1, 2, 200)
+
+
+def test_script_mix_hand_docs(spark):
+    """textstats.script_mix: counts per script, dominance switching,
+    fixed-priority tiebreak, 'none' for scriptless text, empty doc."""
+    from kneaddata_spark.operators import textstats
+
+    rows = [
+        (0, "hello world"),            # latin 10
+        (1, "Привет мир hi"),          # cyr 9 > latin 2
+        (2, "你好"),                    # han only
+        (3, "ab яб"),                  # tie latin 2 == cyr 2 -> latin (priority)
+        (4, "123 .!?"),                # no script
+        (5, ""),                       # empty
+        (6, "γ م"),                    # tie arabic 1 == greek 1 -> arabic (priority)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.script_mix(d, "doc_id", "text").collect()}
+    assert (got[0]["latin"], got[0]["dominant"]) == (10, "latin")
+    assert (got[1]["cyrillic"], got[1]["latin"], got[1]["dominant"]) == (9, 2, "cyrillic")
+    assert got[1]["dominant_permille"] == (9 * 1000) // 13
+    assert (got[2]["han"], got[2]["dominant"], got[2]["dominant_permille"]) == (2, "han", 1000)
+    assert got[3]["dominant"] == "latin"          # tie -> priority order
+    assert got[4]["dominant"] == "none" and got[4]["dominant_permille"] is None
+    assert got[5]["dominant"] == "none" and got[5]["n_chars"] == 0
+    assert got[6]["dominant"] == "arabic"

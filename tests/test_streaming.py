@@ -412,3 +412,63 @@ def test_stream_drift_equal_batch_and_replay_safe(spark, tmp_path):
     q2.awaitTermination(300)
     after = {tuple(r) for r in merged_moments(spark, mdir).collect()}
     assert after == before
+
+
+def test_stream_image_screen_cross_batch_and_replay(spark, tmp_path):
+    """Streaming image ingest vs a GROWING perceptual index: one stream,
+    one checkpoint, two triggers — batch 2's re-upload and near-dup of a
+    batch-1 survivor are flagged, fresh images kept and indexed, replay
+    with no new files idempotent."""
+    import os
+
+    import numpy as np
+
+    from kneaddata_spark.multimodal import encode_bmp
+    from kneaddata_spark.streaming.image_stream import stream_image_screen
+
+    rng = np.random.RandomState(53)
+    A = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    B = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    A1 = A.copy()
+    A1[0, 0] = 255 - A1[0, 0]
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    schema = "media_id string, bytes binary, mime string"
+    spark.createDataFrame(
+        [("orig_a", encode_bmp(A), "image/bmp"),
+         ("orig_b", encode_bmp(B), "image/bmp")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    out, idx, ckpt = str(tmp_path / "out"), str(tmp_path / "idx"), str(tmp_path / "ck")
+    q = stream_image_screen(spark, src, out, idx, ckpt)
+    q.awaitTermination(300)
+    spark.createDataFrame(
+        [
+            ("re_up_a", encode_bmp(A), "image/bmp"),
+            ("near_a", encode_bmp(A1), "image/bmp"),
+            ("fresh_c", encode_bmp(
+                rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)), "image/bmp"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    q2 = stream_image_screen(spark, src, out, idx, ckpt)
+    q2.awaitTermination(300)
+
+    verdicts = {
+        r["media_id"]: r["status"] for r in spark.read.parquet(out).collect()
+    }
+    assert verdicts == {
+        "orig_a": "kept",
+        "orig_b": "kept",
+        "re_up_a": "flagged",
+        "near_a": "flagged",
+        "fresh_c": "kept",
+    }
+    # index holds exactly the survivors' band rows (3 images x 4 bands)
+    assert spark.read.parquet(idx).count() == 12
+    # replay with the same checkpoint and no new files: nothing changes
+    q3 = stream_image_screen(spark, src, out, idx, ckpt)
+    q3.awaitTermination(300)
+    after = {
+        r["media_id"]: r["status"] for r in spark.read.parquet(out).collect()
+    }
+    assert after == verdicts
