@@ -58,10 +58,25 @@ def probe_mp3(raw: bytes) -> "dict | None":
     MPEG-1, Layer III, non-reserved bitrate/sample-rate) and every frame
     must be COMPLETE (a torn final frame fails — integrity, not a guess).
     Returns {n_frames, sample_rate, n_samples, cbr (1/0),
-    bitrate_kbps_min, bitrate_kbps_max, n_bytes} or None."""
+    bitrate_kbps_min, bitrate_kbps_max, n_bytes} or None.
+
+    Real-world framing: a leading ID3v2 tag (10-byte header + syncsafe
+    28-bit size, optional footer) and a trailing 128-byte ID3v1 'TAG'
+    block are SKIPPED, not errors — production mp3s almost always carry
+    one or both."""
     if raw is None or len(raw) < 4:
         return None
     pos, n = 0, len(raw)
+    if raw[:3] == b"ID3" and n >= 10:
+        if raw[3] == 0xFF or raw[4] == 0xFF or any(b & 0x80 for b in raw[6:10]):
+            return None  # malformed ID3v2 header (non-syncsafe size)
+        size = (raw[6] << 21) | (raw[7] << 14) | (raw[8] << 7) | raw[9]
+        pos = 10 + size + (10 if raw[5] & 0x10 else 0)  # footer flag
+        if pos >= n:
+            return None
+    if n - pos > 128 and raw[n - 128 : n - 125] == b"TAG":
+        n -= 128
+    audio_start = pos
     n_frames = 0
     sr0 = None
     brs = set()
@@ -98,5 +113,5 @@ def probe_mp3(raw: bytes) -> "dict | None":
         "cbr": 1 if len(brs) == 1 else 0,
         "bitrate_kbps_min": min(brs),
         "bitrate_kbps_max": max(brs),
-        "n_bytes": n,
+        "n_bytes": n - audio_start,  # audio stream bytes, tags excluded
     }

@@ -5760,7 +5760,8 @@ def audio_mp3_q(spark, sf):
     only — bit-level container basis. In-plan fixture per doc_id: CBR
     streams rotating bitrate index 9/11/14 and sample-rate index 0/1/2
     with frame counts 3 + id%29 (padding bit on every 3rd frame for
-    id%2==0, exercising the +1-byte arithmetic); id%6==3 appends a
+    id%2==0, exercising the +1-byte arithmetic); id%6==0 carries a transparent leading ID3v2 tag, id%6==1 a trailing
+    ID3v1 block (both still ok), id%6==3 appends a
     different-bitrate tail (valid VBR, cbr=0), id%6==4 is torn mid-frame
     and id%6==5 carries a reserved bitrate index — both invalid. Only
     integer witnesses cross back."""
@@ -5781,7 +5782,13 @@ def audio_mp3_q(spark, sf):
                     nf, bitrate_index=bi, sr_index=si,
                     pad_every=3 if b % 2 == 0 else 0,
                 )
-                if b % 6 == 3:
+                if b % 6 == 0:  # leading ID3v2 tag: transparent
+                    raw = (
+                        b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 64]) + bytes(64)
+                    ) + raw
+                elif b % 6 == 1:  # trailing ID3v1 tag: transparent
+                    raw += b"TAG" + bytes(125)
+                elif b % 6 == 3:
                     raw += encode_mp3_frames(2, bitrate_index=2, sr_index=si)
                     nf += 2
                 elif b % 6 == 4:

@@ -59,3 +59,24 @@ def test_malformations():
         encode_mp3_frames(0)
     with pytest.raises(ValueError):
         encode_mp3_frames(1, bitrate_index=15)
+
+
+def test_id3_tags_skipped_not_errors():
+    raw = encode_mp3_frames(4)
+    # ID3v2.3 tag: 10-byte header + 100-byte body (syncsafe size 100)
+    id3v2 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 100]) + bytes(100)
+    id3v1 = b"TAG" + bytes(125)
+    base = probe_mp3(raw)
+    for blob in (id3v2 + raw, raw + id3v1, id3v2 + raw + id3v1):
+        m = probe_mp3(blob)
+        assert m == base, "tags must be transparent"
+    assert base["n_bytes"] == len(raw)
+    # footer flag adds 10 more bytes
+    footered = b"ID3" + bytes([4, 0, 0x10]) + bytes([0, 0, 0, 50]) + bytes(60)
+    assert probe_mp3(footered + raw) == base
+    # malformed ID3v2: non-syncsafe size byte
+    bad = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 0x80]) + raw
+    assert probe_mp3(bad) is None
+    # tag that swallows the whole payload
+    huge = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 7, 127]) + bytes(20)
+    assert probe_mp3(huge) is None
