@@ -166,6 +166,7 @@ HEADLINE = R3_SET + [
     "audio_opus",
     "audio_mp3",
     "script_mix",
+    "text_gate",
 ]
 
 

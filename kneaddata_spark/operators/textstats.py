@@ -1278,3 +1278,90 @@ def script_mix(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("dominant_permille"),
     )
+
+
+def text_gate(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The fused one-pass text-quality gate — the documents-table analog
+    of the audio QC verdict (pipeline.py first-failing-rule when-chain)
+    and of the fused audio screen: ONE projection computes the structural
+    (Gopher A1.1), script, stopword and readability evidence and emits
+    the FIRST failing rule, so a curator reads one verdict column instead
+    of joining four screens (and the corpus is scanned once, not four
+    times). Thresholds come from rules.py (single source of truth).
+
+    Rule order (first failing wins): empty -> too_short -> word_len ->
+    symbol -> non_latin -> stopword -> unreadable -> ok. All evidence is
+    exact integers (word chars vs 3x/10x word count, 10x symbol count vs
+    words, script code-point counts, DISTINCT stopword hits, integer
+    milli Flesch with the sentence floor) — the cross-engine equality
+    contract of every gate here. Zero Python, zero shuffles, one codegen
+    stage at any corpus size."""
+    from .. import rules as _rules
+
+    t = F.col(text_col)
+    toks = F.split(F.regexp_replace(F.trim(t), r"\s+", " "), " ")
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(toks))
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda s, x: s + F.length(x)
+    )
+    n_sym = (
+        (F.length(t) - F.length(F.regexp_replace(t, "#", "")))
+        + (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    sw = F.array(*[F.lit(w) for w in _rules.GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.transform(toks, lambda x: F.lower(x)), sw)
+    )
+    latin = F.length(t) - F.length(F.regexp_replace(t, "[A-Za-z]", ""))
+    non_latin = F.greatest(
+        *[
+            F.length(t) - F.length(F.regexp_replace(t, java_re, ""))
+            for name, java_re, _ in SCRIPTS
+            if name != "latin"
+        ]
+    )
+    n_syll = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[aeiouy]+', 0)"))
+    n_sent = F.greatest(
+        F.lit(1), F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)"))
+    )
+    base = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_sym.alias("n_sym"),
+        latin.cast("long").alias("latin"),
+        non_latin.cast("long").alias("non_latin"),
+        n_stop.cast("long").alias("n_stop"),
+        n_syll.cast("long").alias("n_syll"),
+        n_sent.cast("long").alias("n_sent"),
+    )
+    fre = (
+        F.lit(206835)
+        - F.expr("(1015 * n_words) div n_sent")
+        - F.expr("(84600 * n_syll) div n_words")
+    ).cast("long")
+    verdict = (
+        F.when(F.col("n_words") == 0, "empty")
+        .when(F.col("n_words") < _rules.GOPHER_MIN_WORDS, "too_short")
+        .when(
+            (F.col("word_chars") < _rules.GOPHER_MIN_MEAN_WORD_LEN * F.col("n_words"))
+            | (F.col("word_chars") > _rules.GOPHER_MAX_MEAN_WORD_LEN * F.col("n_words")),
+            "word_len",
+        )
+        .when(10 * F.col("n_sym") > F.col("n_words"), "symbol")
+        .when(F.col("non_latin") > F.col("latin"), "non_latin")
+        .when(F.col("n_stop") < _rules.GOPHER_MIN_STOPWORDS, "stopword")
+        .when(fre < 0, "unreadable")
+        .otherwise("ok")
+    )
+    return base.select(
+        id_col,
+        "n_words",
+        "word_chars",
+        "n_sym",
+        "latin",
+        "non_latin",
+        "n_stop",
+        F.when(F.col("n_words") > 0, fre).alias("fre_milli"),
+        verdict.alias("verdict"),
+    )

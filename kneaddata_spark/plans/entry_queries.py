@@ -5889,6 +5889,103 @@ def script_mix_q(spark, sf):
     return textstats.script_mix(planted, "doc_id", "text")
 
 
+@q(
+    "text_gate",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 6
+               WHEN 1 THEN text || ' ' || text || ' the of and that.'
+               WHEN 2 THEN text || ' ' || text || ' the of'
+                           || repeat(' ###', 8) || repeat(' ...', 4)
+               WHEN 3 THEN repeat('你好数据 ', 500) || text || ' ' || text
+               WHEN 4 THEN trim(repeat('zap zop zab ', 20))
+               WHEN 5 THEN text || ' ' || text || ' ' || text || ' ' || text
+                           || ' the of and'
+               ELSE text END AS text
+      FROM documents),
+    t AS (
+      SELECT doc_id, text,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+               AS toks
+      FROM d),
+    w AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_words,
+             sum(length(tok))::BIGINT AS word_chars,
+             count(DISTINCT CASE WHEN lower(tok) IN
+               ('the','be','to','of','and','that','have','with')
+               THEN lower(tok) END)::BIGINT AS n_stop
+      FROM t, LATERAL (SELECT unnest(toks) AS tok) u GROUP BY doc_id),
+    m AS (
+      SELECT t.doc_id, w.n_words, w.word_chars, w.n_stop,
+             ((length(text) - length(replace(text, '#', '')))::BIGINT
+              + ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT)
+               AS n_sym,
+             (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::BIGINT
+               AS latin,
+             greatest(
+               length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')),
+               length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')),
+               length(text) - length(regexp_replace(text, '\\p{Arabic}', '', 'g')),
+               length(text) - length(regexp_replace(text, '\\p{Greek}', '', 'g'))
+             )::BIGINT AS non_latin,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syll,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT AS n_sent
+      FROM t JOIN w USING (doc_id)),
+    v AS (
+      SELECT *,
+             (206835 - (1015 * n_words) // n_sent
+                     - (84600 * n_syll) // n_words)::BIGINT AS fre
+      FROM m)
+    SELECT doc_id, n_words, word_chars, n_sym, latin, non_latin, n_stop,
+           CASE WHEN n_words > 0 THEN fre END AS fre_milli,
+           CASE WHEN n_words = 0 THEN 'empty'
+                WHEN n_words < 50 THEN 'too_short'
+                WHEN word_chars < 3 * n_words OR word_chars > 10 * n_words
+                  THEN 'word_len'
+                WHEN 10 * n_sym > n_words THEN 'symbol'
+                WHEN non_latin > latin THEN 'non_latin'
+                WHEN n_stop < 2 THEN 'stopword'
+                WHEN fre < 0 THEN 'unreadable'
+                ELSE 'ok' END AS verdict
+    FROM v
+    """,
+)
+def text_gate_q(spark, sf):
+    """Fused one-pass text-quality gate (textstats.text_gate): the
+    first-failing-rule verdict of the audio QC pipeline applied to the
+    documents table, with a planted class per rule family (doubled text
+    for the length/readability split, a symbol-stuffed class, a
+    han-dominant class, a stopword-free class, a quadrupled unreadable
+    class). Every engine-vs-oracle comparison is exact-integer."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    m6 = F.col("doc_id") % 6
+    dup2 = F.concat("text", F.lit(" "), "text")
+    planted = d.select(
+        "doc_id",
+        F.when(m6 == 1, F.concat(dup2, F.lit(" the of and that.")))
+        .when(
+            m6 == 2,
+            F.concat(
+                dup2,
+                F.lit(" the of"),
+                F.expr("repeat(' ###', 8)"),
+                F.expr("repeat(' ...', 4)"),
+            ),
+        )
+        .when(m6 == 3, F.concat(F.expr("repeat('你好数据 ', 500)"), dup2))
+        .when(m6 == 4, F.expr("trim(repeat('zap zop zab ', 20))"))
+        .when(
+            m6 == 5,
+            F.concat(dup2, F.lit(" "), dup2, F.lit(" the of and")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textstats.text_gate(planted, "doc_id", "text")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

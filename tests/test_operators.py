@@ -5279,3 +5279,38 @@ def test_script_mix_hand_docs(spark):
     assert got[4]["dominant"] == "none" and got[4]["dominant_permille"] is None
     assert got[5]["dominant"] == "none" and got[5]["n_chars"] == 0
     assert got[6]["dominant"] == "arabic"
+
+
+def test_text_gate_every_verdict_reachable(spark):
+    """textstats.text_gate: one hand doc per verdict, first-failing order
+    proven (a doc failing several rules reports the FIRST), thresholds
+    from rules.py."""
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators import textstats
+
+    ok_doc = ("the quick brown fox jumps over the lazy dog and then "
+              "rests. it was a fine day to be out with friends. ") * 3
+    rows = [
+        (0, ""),                                            # empty
+        (1, "too few words here"),                          # too_short
+        (2, " ".join(["ab"] * 60)),                         # word_len (mwl 2)
+        (3, " ".join(["word"] * 60) + " ### ### ... ..."),  # symbol (8 > 6.2)
+        (4, " ".join(["word"] * 30) + " " + "你好数据 " * 100),  # non_latin
+        (5, " ".join(["zap", "zop"] * 30)),                 # stopword
+        (6, " ".join(["the", "of", "incomprehensibility"] * 40)),  # unreadable
+        (7, ok_doc),                                        # ok
+        (8, "# " * 60),                                     # word_len BEFORE symbol
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           textstats.text_gate(d, "doc_id", "text").collect()}
+    want = ["empty", "too_short", "word_len", "symbol", "non_latin",
+            "stopword", "unreadable", "ok", "word_len"]
+    for i, v in enumerate(want):
+        assert got[i]["verdict"] == v, (i, got[i])
+    assert got[0]["fre_milli"] is None
+    assert got[7]["fre_milli"] is not None and got[7]["fre_milli"] > 0
+    # evidence replica for the symbol doc
+    g3 = got[3]
+    assert (g3["n_words"], g3["n_sym"]) == (64, 8)
+    assert rules.GOPHER_MIN_WORDS == 50  # gate thresholds come from rules
