@@ -167,6 +167,7 @@ HEADLINE = R3_SET + [
     "audio_mp3",
     "script_mix",
     "text_gate",
+    "dedup_eval",
 ]
 
 

@@ -5314,3 +5314,24 @@ def test_text_gate_every_verdict_reachable(spark):
     g3 = got[3]
     assert (g3["n_words"], g3["n_sym"]) == (64, 8)
     assert rules.GOPHER_MIN_WORDS == 50  # gate thresholds come from rules
+
+
+def test_dedup_eval_confusion_counts(spark):
+    """dedup_eval arithmetic on a tiny planted corpus: recall/precision
+    permille match an exact python replica of the same confusion."""
+    from kneaddata_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    base = [(i, f"alpha beta gamma delta epsilon zeta doc{i} eta theta iota kappa")
+            for i in range(6)]
+    near = [(i + 100000, t + " tail extra") for i, t in base[:4]]
+    d = spark.createDataFrame(base + near, "doc_id long, text string")
+    pred = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+        .where("id_b >= 100000").collect()
+    }
+    truth = {(i, i + 100000) for i in range(4)}
+    tp = len(pred & truth)
+    assert tp == 4  # every planted twin found
+    assert (tp * 1000) // len(truth) == 1000
