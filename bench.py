@@ -168,6 +168,7 @@ HEADLINE = R3_SET + [
     "script_mix",
     "text_gate",
     "dedup_eval",
+    "ann_eval",
 ]
 
 

@@ -6056,6 +6056,63 @@ def dedup_eval_q(spark, sf):
     )
 
 
+@q("ann_eval")
+def ann_eval_q(spark, sf):
+    """ANN recall report as a live query (rows-only: LSH bucketing is not
+    SQL): recall@5 of the banded sign-LSH index (Hamming-1 multiprobe)
+    against the exact brute-force top-5, on a CLUSTERED basis built
+    deterministically from the embeddings table — each of 10 query
+    centers (vec_id < 10) gets five planted neighbors (center + 0.12x a
+    distinct distractor vector, cos ~ 0.97) amid the raw corpus as
+    distractors. Recall on structureless isotropic vectors is
+    meaningless (~1% — any index's buckets are arbitrary there, measured
+    before this basis was planted); on clustered data the number
+    measures the INDEX. The pytest floor lives in
+    test_ann_variants_recall; this makes recall a standing corpus
+    surface. One row of exact integers; fully deterministic (seeded
+    hyperplanes, id tiebreaks)."""
+    e = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    centers = e.where("vec_id < 10").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    others = e.where("vec_id >= 100 and vec_id < 150").select(
+        (F.col("vec_id") - 100).alias("j"), F.col("embedding").alias("ovec")
+    )
+    members = (
+        others.withColumn("cid", F.expr("j div 5"))
+        .join(F.broadcast(centers), "cid")
+        .select(
+            (F.col("j") + 1000).alias("vec_id"),
+            F.expr(
+                "zip_with(cvec, ovec, (x, y) -> cast(x as double) + "
+                "0.12 * cast(y as double))"
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    corpus = members.unionByName(e.where("vec_id >= 150"))
+    qs = centers.select(F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding"))
+    exact = similarity.cosine_topk_bruteforce(corpus, qs, k=5).select(
+        "query_id", "nbr_id"
+    )
+    approx = similarity.ann_lsh_topk(
+        corpus, qs, dim=64, k=5, multiprobe=1
+    ).select("query_id", "nbr_id")
+    hits = exact.join(approx, ["query_id", "nbr_id"]).agg(
+        F.count("*").cast("long").alias("hits")
+    )
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    return (
+        n_exact.crossJoin(hits)
+        .select(
+            F.lit(10).cast("long").alias("n_queries"),
+            F.lit(5).cast("long").alias("k"),
+            "n_exact",
+            "hits",
+            F.expr("(hits * 1000) div n_exact").cast("long").alias("recall_permille"),
+        )
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers
