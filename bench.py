@@ -169,6 +169,9 @@ HEADLINE = R3_SET + [
     "text_gate",
     "dedup_eval",
     "ann_eval",
+    "html_extract",
+    "link_domains",
+    "url_canonical",
 ]
 
 

@@ -6113,6 +6113,266 @@ def ann_eval_q(spark, sf):
     )
 
 
+# --- HTML -> text extraction (r5: stage zero of a web-corpus pipeline) ----
+#
+# Both engines synthesize the SAME html per document from base columns
+# (the script_mix pattern): title/heading chrome, a style block (doc_id%3),
+# a script block with embedded '<' and '&&' (doc_id%4), entity-laden
+# content (doc_id%2), '. '-split paragraphs, one outlink always plus a
+# second with an &amp;-escaped query param (doc_id%5), and a comment.
+# NOT an f-string: the style/script bodies contain literal braces.
+
+_HTML_SYNTH_SQL = (
+    "SELECT doc_id,\n"
+    "       '<html><head><title>' || source || '</title>'\n"
+    "       || CASE WHEN doc_id % 3 = 0 THEN"
+    " '<style type=\"text/css\">p { color: #333; }</style>' ELSE '' END\n"
+    "       || CASE WHEN doc_id % 4 = 0 THEN"
+    " '<script>if (a < b && c.q > 1) { track(\"x&y\"); }</script>' ELSE '' END\n"
+    "       || '</head><body><h1>' || lang || '</h1><p>'\n"
+    "       || replace(CASE WHEN doc_id % 2 = 0 THEN"
+    " '&quot;Q&amp;A&quot; &lt;b&gt;bold&#39;s&nbsp;note: ' || text"
+    " ELSE text END, '. ', '.</p><p>')\n"
+    "       || '</p><a href=\"https://ex' || (doc_id % 7)::VARCHAR"
+    " || '.example.org/p/' || doc_id::VARCHAR || '\">more</a>'\n"
+    "       || CASE WHEN doc_id % 5 = 0 THEN"
+    " '<br><a href=\"http://mirror.example.net/d?id=' || doc_id::VARCHAR"
+    " || '&amp;q=1\">alt</a>' ELSE '' END\n"
+    "       || '<!-- render id=' || doc_id::VARCHAR || ' --></body></html>'"
+    " AS html\n"
+    "FROM documents"
+)
+
+# the extraction pipeline replicated in DuckDB/RE2 — stage-for-stage the
+# operator's _BLOCK_RE / _ENTITIES / _WS_RE chain (htmlextract.py); RE2
+# interprets \t and \s inside PATTERN literals, replacements use chr(10)
+# because replacement strings are not regex-unescaped
+_HTML_EXTRACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "html,"
+    " '(?is)<script[^>]*>.*?</script>', '', 'g'),"
+    " '(?is)<style[^>]*>.*?</style>', '', 'g'),"
+    " '(?s)<!--.*?-->', '', 'g'),"
+    " '(?i)<(?:br[^>]*|/p|/div|/li|/h[1-6]|/tr|/title|/ul|/ol|/table)>', chr(10), 'g'),"
+    " '(?s)</?[a-zA-Z!?][^>]*>', '', 'g'),"
+    " '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    " '&#39;', chr(39)), '&amp;', '&'),"
+    " '[ \\t]+', ' ', 'g'),"
+    " ' *' || chr(10) || '[' || chr(10) || ' ]*', chr(10), 'g'),"
+    " '^\\s+|\\s+$', '', 'g')"
+)
+
+
+def _html_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, html) — Spark twin of _HTML_SYNTH_SQL, byte-identical."""
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    did = F.col("doc_id").cast("string")
+    body = (
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("&quot;Q&amp;A&quot; &lt;b&gt;bold&#39;s&nbsp;note: "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    paras = F.replace(body, F.lit(". "), F.lit(".</p><p>"))
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<style type="text/css">p { color: #333; }</style>'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<script>if (a < b && c.q > 1) { track("x&y"); }</script>'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body><h1>"),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        paras,
+        F.lit('</p><a href="https://ex'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.org/p/"),
+        did,
+        F.lit('">more</a>'),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<br><a href="http://mirror.example.net/d?id='),
+                did,
+                F.lit('&amp;q=1">alt</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("<!-- render id="),
+        did,
+        F.lit(" --></body></html>"),
+    )
+    return d.select("doc_id", html.alias("html"))
+
+
+@q(
+    "html_extract",
+    "WITH h AS (" + _HTML_SYNTH_SQL + "),\n"
+    "x AS (SELECT doc_id, html, " + _HTML_EXTRACT_SQL + " AS text FROM h)\n"
+    "SELECT doc_id, text,\n"
+    "       length(html)::BIGINT AS n_chars_html,\n"
+    "       length(text)::BIGINT AS n_chars_text,\n"
+    "       (CASE WHEN position('<script' IN html) > 0 THEN 1 ELSE 0 END)::BIGINT"
+    " AS had_script,\n"
+    "       (CASE WHEN position('<style' IN html) > 0 THEN 1 ELSE 0 END)::BIGINT"
+    " AS had_style,\n"
+    "       len(regexp_extract_all(html, '(?i)href=\"([^\"]*)\"', 1))::BIGINT"
+    " AS n_links,\n"
+    "       CASE WHEN length(html) > 0 THEN"
+    " ((length(text)::BIGINT * 1000) // length(html)::BIGINT)::BIGINT END"
+    " AS kept_permille\n"
+    "FROM x",
+)
+def html_extract_q(spark, sf):
+    """HTML -> text extraction (operators/htmlextract.html_extract): the
+    stage-zero web-corpus operator — script/style/comment elements drop
+    whole, block tags become line breaks, remaining markup strips, the
+    minimal entity table decodes AFTER markup removal (entity-encoded
+    tags are content), whitespace normalizes. One JVM codegen project,
+    zero Python, zero shuffles — scan-bandwidth-bound at any corpus
+    size. Reference analog: span-cutting trim stages (run.py:372-450) —
+    markup is the non-content span class of crawled text. Accounting
+    (kept_permille, flags, link count) is the crawl-quality card."""
+    from ..operators.htmlextract import html_extract
+
+    return html_extract(_html_corpus(spark, sf), "doc_id", "html")
+
+
+@q(
+    "link_domains",
+    "WITH h AS (" + _HTML_SYNTH_SQL + "),\n"
+    "l AS (SELECT doc_id, unnest(regexp_extract_all(html,"
+    " '(?i)href=\"([^\"]*)\"', 1)) AS url FROM h),\n"
+    "d AS (SELECT doc_id, regexp_extract(url,"
+    " '^[a-z][a-z0-9+.-]*://([^/\"]+)', 1) AS domain FROM l)\n"
+    "SELECT domain, count(*)::BIGINT AS n_links,"
+    " count(DISTINCT doc_id)::BIGINT AS n_docs\n"
+    "FROM d WHERE domain <> '' GROUP BY domain",
+)
+def link_domains_q(spark, sf):
+    """Outlink-domain frequency card (htmlextract.link_domains): href
+    harvest -> authority extraction -> per-domain link/doc counts. The
+    URL-frequency basis for domain blocklists and crawl prioritization;
+    one explode + one combinable groupBy, only the reduced card
+    shuffles. LATERAL unnest + explicit ::BIGINT casts per the oracle
+    portability rule."""
+    from ..operators.htmlextract import link_domains
+
+    return link_domains(_html_corpus(spark, sf), "doc_id", "html")
+
+
+# URL variant synthesis shared by engine and oracle: three spellings of
+# the same logical page (doc_id div 3 collides neighbors on purpose) —
+# plain, SHOUTING host + :443 + trailing slash + utm tracker, and :80 +
+# unordered params + tracker + fragment.
+_URL_SYNTH_SQL = (
+    "SELECT (doc_id * 3)::BIGINT AS url_id,"
+    " 'https://ex' || (doc_id % 7)::VARCHAR || '.example.org/p/'"
+    " || (doc_id // 3)::VARCHAR AS url FROM documents\n"
+    "UNION ALL\n"
+    "SELECT (doc_id * 3 + 1)::BIGINT,"
+    " 'HTTPS://EX' || (doc_id % 7)::VARCHAR || '.Example.ORG:443/p/'"
+    " || (doc_id // 3)::VARCHAR || '/?utm_source=feed'"
+    " FROM documents WHERE doc_id % 2 = 0\n"
+    "UNION ALL\n"
+    "SELECT (doc_id * 3 + 2)::BIGINT,"
+    " 'http://ex' || (doc_id % 7)::VARCHAR || '.example.org:80/p/'"
+    " || (doc_id // 3)::VARCHAR || '?b=2&a=1&utm_campaign=x#sec'"
+    " || (doc_id % 4)::VARCHAR"
+    " FROM documents WHERE doc_id % 3 = 0"
+)
+
+
+def _url_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """(url_id, url) — Spark twin of _URL_SYNTH_SQL, byte-identical."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    d3 = F.expr("doc_id div 3").cast("string")
+    a = d.select(
+        (F.col("doc_id") * 3).cast("long").alias("url_id"),
+        F.concat(
+            F.lit("https://ex"), m7, F.lit(".example.org/p/"), d3
+        ).alias("url"),
+    )
+    b = d.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") * 3 + 1).cast("long").alias("url_id"),
+        F.concat(
+            F.lit("HTTPS://EX"),
+            m7,
+            F.lit(".Example.ORG:443/p/"),
+            d3,
+            F.lit("/?utm_source=feed"),
+        ).alias("url"),
+    )
+    c = d.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") * 3 + 2).cast("long").alias("url_id"),
+        F.concat(
+            F.lit("http://ex"),
+            m7,
+            F.lit(".example.org:80/p/"),
+            d3,
+            F.lit("?b=2&a=1&utm_campaign=x#sec"),
+            (F.col("doc_id") % 4).cast("string"),
+        ).alias("url"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+@q(
+    "url_canonical",
+    "WITH u AS (" + _URL_SYNTH_SQL + "),\n"
+    "s1 AS (SELECT url_id, url, regexp_replace(url, '#.*$', '', 'g') AS nofrag"
+    " FROM u),\n"
+    "s2 AS (SELECT *, regexp_extract(nofrag,"
+    " '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) AS prefix FROM s1),\n"
+    "s3 AS (SELECT *, substr(nofrag, length(prefix) + 1) AS rest,"
+    " lower(prefix) AS lp0 FROM s2),\n"
+    "s4 AS (SELECT *, CASE"
+    " WHEN lp0 LIKE 'http://%' AND lp0 LIKE '%:80'"
+    " THEN substr(lp0, 1, length(lp0) - 3)"
+    " WHEN lp0 LIKE 'https://%' AND lp0 LIKE '%:443'"
+    " THEN substr(lp0, 1, length(lp0) - 4)"
+    " ELSE lp0 END AS lp FROM s3),\n"
+    "s5 AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path,"
+    " regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS qs FROM s4),\n"
+    "s6 AS (SELECT *, regexp_replace(regexp_replace('&' || qs,"
+    " '&(?:utm_[a-zA-Z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),"
+    " '^&+', '', 'g') AS q1 FROM s5),\n"
+    "s7 AS (SELECT *, array_to_string(list_sort(string_split(q1, '&')), '&')"
+    " AS q2, regexp_replace(path, '/+$', '', 'g') AS cpath FROM s6)\n"
+    "SELECT url_id, url, lp || cpath ||"
+    " CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canon\n"
+    "FROM s7",
+)
+def url_canonical_q(spark, sf):
+    """URL canonicalization (htmlextract.url_canonicalize): the
+    crawl-frontier dedup key — fragment dropped, scheme+authority
+    lowercased, default ports stripped, tracking params (utm_*, fbclid,
+    gclid) removed, surviving params SORTED, trailing path slashes cut.
+    Planted variants (SHOUTING host + :443 + trailing slash + tracker;
+    :80 + unordered params + fragment) collapse to the plain spelling,
+    and doc_id div 3 collides neighboring docs so the key actually
+    groups. Pure Column algebra, zero Python, zero shuffles — the map
+    side of a dedup whose groupBy cost is dedup_exact's. The oracle
+    replays every stage in DuckDB with no replacement group refs (Spark
+    spells them $1, RE2 \\1 — avoided by construction)."""
+    from ..operators.htmlextract import url_canonicalize
+
+    u = _url_corpus(spark, sf)
+    return u.select("url_id", "url", url_canonicalize(F.col("url")).alias("canon"))
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers
