@@ -172,6 +172,7 @@ HEADLINE = R3_SET + [
     "html_extract",
     "link_domains",
     "url_canonical",
+    "main_content",
 ]
 
 

@@ -110,6 +110,86 @@ def html_extract(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
     )
 
 
+# block boundaries for jusText-style segmentation: every opening OR
+# closing block-level tag starts a new segment (inline tags — a, b, i,
+# span, em — stay inside their segment so anchor text can be measured)
+BOUNDARY_RE = (
+    r"(?i)</?(?:p|div|li|h[1-6]|tr|table|ul|ol|br|section|article|td|th)[^>]*>"
+)
+ANCHOR_RE = r"(?is)<a[^>]*>.*?</a>"
+_PRE_CLEAN_RE = _BLOCK_RE[:3]  # script/style/comment removal
+_INLINE_STRIP_RE = _BLOCK_RE[4][0]  # generic letter-open tag strip
+
+
+def segment_text(seg: Column) -> Column:
+    """Per-segment text: inline tags strip, entities decode, whitespace
+    normalizes (no block-newline stage — boundaries already split)."""
+    out = F.regexp_replace(seg, _INLINE_STRIP_RE, "")
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    for pat, rep in _WS_RE:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def main_content(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    min_chars: int | None = None,
+    nav_permille: int | None = None,
+) -> DataFrame:
+    """jusText-style main-content segmentation: split the page at block
+    tag boundaries, extract each segment's text, measure its anchor-text
+    share (chars of extracted text minus chars after `<a>…</a>` spans are
+    removed — no list lambdas, so the measurement ports to the oracle),
+    and rule: short chrome / nav (link-dense menus, footers) / content.
+    The boilerplate remover C4-class pipelines run between raw extraction
+    and the document screens.
+
+    Shape at scale: one posexplode (segments stay with their task — no
+    shuffle) over the same zero-shuffle regex algebra as html_extract;
+    emitted rows carry only segment text, never the page."""
+    from .. import rules
+
+    min_chars = rules.MAIN_MIN_SEG_CHARS if min_chars is None else min_chars
+    nav_permille = (
+        rules.MAIN_NAV_LINK_PERMILLE if nav_permille is None else nav_permille
+    )
+    pre = F.col(html_col)
+    for pat, rep in _PRE_CLEAN_RE:
+        pre = F.regexp_replace(pre, pat, rep)
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(pre, BOUNDARY_RE)).alias("seg_idx", "seg"),
+    )
+    text = segment_text(F.col("seg"))
+    no_anchor = segment_text(F.regexp_replace(F.col("seg"), ANCHOR_RE, ""))
+    out = segs.select(
+        id_col,
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+        text.alias("text"),
+        F.length(text).cast("long").alias("n_chars"),
+        (F.length(text) - F.length(no_anchor)).cast("long").alias("anchor_chars"),
+    ).where(F.col("n_chars") > 0)
+    return out.select(
+        id_col,
+        "seg_idx",
+        "text",
+        "n_chars",
+        F.expr("(anchor_chars * 1000) div n_chars").cast("long").alias(
+            "anchor_permille"
+        ),
+        F.when(
+            F.col("anchor_chars") * 1000 >= F.lit(nav_permille) * F.col("n_chars"),
+            F.lit("nav"),
+        )
+        .when(F.col("n_chars") < min_chars, F.lit("short"))
+        .otherwise(F.lit("content"))
+        .alias("verdict"),
+    )
+
+
 def url_canonicalize(url: Column) -> Column:
     """Canonical URL form — the key for crawl-frontier dedup (the same
     page arrives as HTTPS://Ex.ORG:443/p/?utm_source=feed#frag and

@@ -6272,6 +6272,84 @@ def link_domains_q(spark, sf):
     return link_domains(_html_corpus(spark, sf), "doc_id", "html")
 
 
+# main-content basis: the html corpus with a planted nav header (pure
+# link chrome -> 'nav') and a tiny paragraph ('Ok' -> 'short') prepended,
+# so all three verdicts are live in driver data
+_NAV_PREFIX = (
+    '<div><a href="https://nav.example.org/a">Home</a> '
+    '<a href="https://nav.example.org/b">About us</a> '
+    '<a href="https://nav.example.org/c">Contact</a></div><p>Ok</p>'
+)
+
+
+def _seg_text_sql(col: str) -> str:
+    """DuckDB replica of htmlextract.segment_text over the expr `col`:
+    inline-tag strip, ordered entity decode, whitespace normalize."""
+    s = f"regexp_replace({col}, '(?s)</?[a-zA-Z!?][^>]*>', '', 'g')"
+    s = f"replace({s}, '&nbsp;', ' ')"
+    s = f"replace({s}, '&lt;', '<')"
+    s = f"replace({s}, '&gt;', '>')"
+    s = f"replace({s}, '&quot;', '\"')"
+    s = f"replace({s}, '&#39;', chr(39))"
+    s = f"replace({s}, '&amp;', '&')"
+    s = f"regexp_replace({s}, '[ \\t]+', ' ', 'g')"
+    s = f"regexp_replace({s}, ' *' || chr(10) || '[' || chr(10) || ' ]*', chr(10), 'g')"
+    s = f"regexp_replace({s}, '^\\s+|\\s+$', '', 'g')"
+    return s
+
+
+_MAIN_BOUNDARY_SQL = (
+    "(?i)</?(?:p|div|li|h[1-6]|tr|table|ul|ol|br|section|article|td|th)[^>]*>"
+)
+
+
+@q(
+    "main_content",
+    "WITH h0 AS (" + _HTML_SYNTH_SQL + "),\n"
+    "h AS (SELECT doc_id, '" + _NAV_PREFIX.replace("'", "''") + "' || html"
+    " AS html FROM h0),\n"
+    "p AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,"
+    " '(?is)<script[^>]*>.*?</script>', '', 'g'),"
+    " '(?is)<style[^>]*>.*?</style>', '', 'g'),"
+    " '(?s)<!--.*?-->', '', 'g') AS pre FROM h),\n"
+    "s AS (SELECT doc_id, string_split_regex(pre, '" + _MAIN_BOUNDARY_SQL + "')"
+    " AS arr FROM p),\n"
+    "e AS (SELECT doc_id, i AS seg_idx, arr[i+1] AS seg FROM s,"
+    " LATERAL (SELECT unnest(range(len(arr))) AS i)),\n"
+    "t AS (SELECT doc_id, seg_idx, " + _seg_text_sql("seg") + " AS text, "
+    + _seg_text_sql("regexp_replace(seg, '(?is)<a[^>]*>.*?</a>', '', 'g')")
+    + " AS tna FROM e),\n"
+    "m AS (SELECT doc_id, seg_idx::BIGINT AS seg_idx, text,"
+    " length(text)::BIGINT AS n_chars,"
+    " (length(text) - length(tna))::BIGINT AS anchor_chars FROM t"
+    " WHERE length(text) > 0)\n"
+    "SELECT doc_id, seg_idx, text, n_chars,"
+    " ((anchor_chars * 1000) // n_chars)::BIGINT AS anchor_permille,\n"
+    f"  CASE WHEN anchor_chars * 1000 >= {_rules.MAIN_NAV_LINK_PERMILLE}"
+    " * n_chars THEN 'nav'\n"
+    f"       WHEN n_chars < {_rules.MAIN_MIN_SEG_CHARS} THEN 'short'\n"
+    "       ELSE 'content' END AS verdict\n"
+    "FROM m",
+)
+def main_content_q(spark, sf):
+    """jusText-style main-content segmentation (htmlextract.main_content):
+    block-tag boundaries split the page, each segment gets extracted text
+    + anchor-text share, and the rules.py thresholds rule short chrome /
+    nav / content. The planted nav header (pure links -> anchor_permille
+    1000) and 'Ok' paragraph keep all three verdicts live in driver data.
+    One posexplode over zero-shuffle regex algebra; nav precedence over
+    short is deliberate (a tiny all-anchor segment is chrome of the nav
+    kind). Split semantics verified identical Spark/DuckDB (both keep
+    interior AND trailing empty segments)."""
+    from ..operators.htmlextract import main_content
+
+    base = _html_corpus(spark, sf)
+    wrapped = base.select(
+        "doc_id", F.concat(F.lit(_NAV_PREFIX), F.col("html")).alias("html")
+    )
+    return main_content(wrapped, "doc_id", "html")
+
+
 # URL variant synthesis shared by engine and oracle: three spellings of
 # the same logical page (doc_id div 3 collides neighbors on purpose) —
 # plain, SHOUTING host + :443 + trailing slash + utm tracker, and :80 +

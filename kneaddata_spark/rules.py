@@ -294,6 +294,14 @@ GOPHER_MAX_ELLIPSIS_LINE_PCT = 30
 RATE_MIN_CPS_CENTI = 200
 RATE_MAX_CPS_CENTI = 3_500
 
+# --- main-content (boilerplate) segmentation of crawled HTML ---------------
+# jusText-style block verdicts: a segment shorter than MAIN_MIN_SEG_CHARS
+# extracted chars is 'short' chrome; one whose anchor-text share reaches
+# MAIN_NAV_LINK_PERMILLE is 'nav' (link farms, menus, footers); the rest
+# is 'content'. Integer permille so Spark and the SQL oracle agree exactly.
+MAIN_MIN_SEG_CHARS = 25
+MAIN_NAV_LINK_PERMILLE = 400
+
 # fake container magics used by the deterministic synthetic encoder/decoder
 # (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic

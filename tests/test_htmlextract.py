@@ -196,6 +196,52 @@ def test_url_corpus_variants_collapse(spark):
     assert any(i % 3 == 2 for i in canon_of)
 
 
+def test_main_content_hand_fixture(spark):
+    from kneaddata_spark.operators.htmlextract import main_content
+
+    html = (
+        '<div><a href="x">A B C D</a></div>'
+        "<p>Real paragraph with plenty of characters to pass the minimum "
+        "threshold easily.</p><p>Ok</p>"
+    )
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    rows = sorted(
+        main_content(df, "id", "html").collect(), key=lambda r: r["seg_idx"]
+    )
+    verdicts = [r["verdict"] for r in rows]
+    assert verdicts == ["nav", "content", "short"], rows
+    assert rows[0]["anchor_permille"] == 1000
+    assert rows[1]["anchor_permille"] == 0
+    assert rows[2]["text"] == "Ok"
+
+
+def test_main_content_all_verdicts_live_per_doc(spark):
+    """Every doc in the driver basis carries the planted nav header and
+    'Ok' paragraph, so all three verdicts appear for every doc_id."""
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["main_content"](spark, SF_DIR).collect()
+    by_doc: dict[int, set] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["verdict"])
+        if r["verdict"] == "nav":
+            assert r["anchor_permille"] >= 400
+    assert by_doc
+    for doc, vs in by_doc.items():
+        assert {"nav", "short", "content"} <= vs, (doc, vs)
+
+
+def test_main_content_plan_has_no_exchange(spark):
+    from kneaddata_spark.operators.htmlextract import main_content
+    from kneaddata_spark.plans.entry_queries import _html_corpus
+
+    plan = main_content(
+        _html_corpus(spark, SF_DIR), "doc_id", "html"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
 def test_extract_plan_is_shuffle_free(spark):
     """100 TB shape: the extraction is one codegen project — no Exchange,
     no Python eval of any kind in the plan."""
