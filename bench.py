@@ -173,6 +173,7 @@ HEADLINE = R3_SET + [
     "link_domains",
     "url_canonical",
     "main_content",
+    "dropout_screen",
 ]
 
 

@@ -3626,6 +3626,24 @@ def hum_screen_q(spark, sf):
     return hum_screen(_synth_clips(spark, 400, 8))
 
 
+@q("dropout_screen")
+def dropout_screen_q(spark, sf):
+    """Dropout / stuck-sample screen (operators/dropout): run-length
+    analysis of the ACTIVE region (between first and last nonzero sample)
+    — interior zero runs >= rules.DROPOUT_MIN_RUN_MS are packet-loss /
+    buffer-underrun fill, constant nonzero runs are stuck-sample / DAC
+    holds; natural 16-bit audio never repeats one exact value that long.
+    The digital-defect axis no other screen sees (declip = rails, VAD =
+    boundary silence). Rows-only by necessity (binary PCM decode, the
+    snr_screen basis); pytest replica-gates every scalar against an
+    independent per-sample python walk, plus planted gap/hold defects,
+    boundary-silence exclusion and clean rejection. Plan: 1
+    ArrowEvalPython, 0 exchanges (pytest-enforced)."""
+    from ..operators.dropout import dropout_screen
+
+    return dropout_screen(_synth_clips(spark, 400, 8))
+
+
 @q("reverb_screen")
 def reverb_screen_q(spark, sf):
     """Reverb / decay-tail screen (operators/reverb): blind RT60 proxy —

@@ -302,6 +302,18 @@ RATE_MAX_CPS_CENTI = 3_500
 MAIN_MIN_SEG_CHARS = 25
 MAIN_NAV_LINK_PERMILLE = 400
 
+# --- dropout / stuck-sample screen (digital-defect detection) --------------
+# A run of >= DROPOUT_MIN_RUN_MS identical samples INSIDE the active
+# region (between first and last nonzero sample — leading/trailing
+# silence is trimming's business) is a digital defect: zero runs are
+# packet-loss / buffer-underrun fill ("dropouts"), nonzero constant runs
+# are stuck-sample / DAC-hold glitches. Natural 16-bit audio does not
+# hold one exact value that long. Gates are integer permille of the
+# active region.
+DROPOUT_MIN_RUN_MS = 3
+DROPOUT_MAX_PERMILLE = 10
+STUCK_MAX_PERMILLE = 10
+
 # fake container magics used by the deterministic synthetic encoder/decoder
 # (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic
