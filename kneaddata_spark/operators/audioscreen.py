@@ -1,17 +1,18 @@
 """Fused audio screen: VAD + SNR + pitch + hum/DC + bandwidth + reverb +
-dynamic-range verdicts from ONE decode.
+dynamic-range + dropout verdicts from ONE decode.
 
 The screen-family analog of operators/audioprep (which fused the
-canonical-form chain): a corpus pass that wants all seven audio-quality
+canonical-form chain): a corpus pass that wants all eight audio-quality
 verdicts — voice activity, noise floor, periodicity, electrical defects,
-effective bandwidth, decay tail, loudness range — must not decode the
-corpus seven times.
+effective bandwidth, decay tail, loudness range, digital dropouts — must
+not decode the corpus eight times.
 Decode is the per-core Python ceiling (BASELINE.md roofline), and at
 100 TB the bytes-column scan itself is the other ceiling; running the
 standalone operators back-to-back pays both seven times. This stage runs
 the SAME kernels (operators/vad.segment_samples, operators/snr.snr_of,
 operators/pitch.pitch_of, operators/hum.hum_of, operators/bandwidth.
-band_of, operators/reverb.reverb_of, operators/dynrange.dr_of — one
+band_of, operators/reverb.reverb_of, operators/dynrange.dr_of,
+operators/dropout.dropout_of — one
 source of truth each, all replica-gated in their own tests) on one decoded buffer inside ONE
 ArrowEvalPython stage.
 
@@ -38,6 +39,7 @@ from pyspark.sql import types as T
 
 from .. import rules
 from .bandwidth import band_of
+from .dropout import dropout_of
 from .dynrange import dr_of
 from .hum import hum_of
 from .pitch import pitch_of
@@ -64,6 +66,9 @@ _SCREEN_T = T.StructType(
         T.StructField("rt60_ms", T.LongType()),
         T.StructField("dr_status", T.StringType()),
         T.StructField("dr_ratio_permille", T.LongType()),
+        T.StructField("drop_status", T.StringType()),
+        T.StructField("dropout_permille", T.LongType()),
+        T.StructField("stuck_permille", T.LongType()),
     ]
 )
 
@@ -90,6 +95,7 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
         b_st, _, _, est = band_of(x, s)
         r_st, _, _, _, _, rt60 = reverb_of(x, s)
         d_st, _, _, _, _, dr = dr_of(x, s)
+        g_st, _, _, _, _, _, _, _, dp_p, st_p = dropout_of(x, s)
         out.append(
             {
                 "n_segments": len(segs),
@@ -109,6 +115,9 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 "rt60_ms": rt60,
                 "dr_status": d_st,
                 "dr_ratio_permille": dr,
+                "drop_status": g_st,
+                "dropout_permille": dp_p,
+                "stuck_permille": st_p,
             }
         )
     return pa.array(
@@ -132,6 +141,9 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 ("rt60_ms", pa.int64()),
                 ("dr_status", pa.string()),
                 ("dr_ratio_permille", pa.int64()),
+                ("drop_status", pa.string()),
+                ("dropout_permille", pa.int64()),
+                ("stuck_permille", pa.int64()),
             ]
         ),
     )
@@ -151,13 +163,16 @@ def screen_audio(
     """(clip_id, n_segments, speech_frames, snr_status, snr_ratio,
     pitch_status, f0_centi_hz, periodicity_permille, hum_status,
     dc_offset, hum_permille, hum_hz, bw_status, est_nyquist_hz,
-    rev_status, rt60_ms, dr_status, dr_ratio_permille, snr_keep,
+    rev_status, rt60_ms, dr_status, dr_ratio_permille, drop_status,
+    dropout_permille, stuck_permille, snr_keep,
     voiced, speechlike, hum_detected, dc_detected, hum_keep, narrowband,
-    reverb_detected, rev_keep, compressed, dr_keep) — all seven screens'
+    reverb_detected, rev_keep, compressed, dr_keep, dropout_detected,
+    stuck_detected, drop_keep) — all eight screens'
     verdicts from one decode; verdict booleans are the standalone
     operators' JVM-side rules verbatim (snr.snr_screen,
     pitch.pitch_screen, hum.hum_screen, bandwidth.bandwidth_screen,
-    reverb.reverb_screen, dynrange.dynrange_screen). `passthrough` names
+    reverb.reverb_screen, dynrange.dynrange_screen,
+    dropout.dropout_screen). `passthrough` names
     extra clip columns to carry through unchanged (zero cost — they ride
     the same projection), so compositions like rate.speech_rate read
     transcript next to the verdicts without a join or second decode."""
@@ -190,6 +205,13 @@ def screen_audio(
     comp = (F.col("a.dr_status") == "ok") & (
         F.col("a.dr_ratio_permille") >= rules.DR_COMPRESSED_MIN_PERMILLE
     )
+    gap = F.coalesce(
+        F.col("a.dropout_permille") >= rules.DROPOUT_MAX_PERMILLE, F.lit(False)
+    )
+    stuck = F.coalesce(
+        F.col("a.stuck_permille") >= rules.STUCK_MAX_PERMILLE, F.lit(False)
+    )
+    drop_keep = (F.col("a.drop_status") == "ok") & ~gap & ~stuck
     return e.select(
         "clip_id",
         *passthrough,
@@ -210,6 +232,9 @@ def screen_audio(
         F.col("a.rt60_ms").alias("rt60_ms"),
         F.col("a.dr_status").alias("dr_status"),
         F.col("a.dr_ratio_permille").alias("dr_ratio_permille"),
+        F.col("a.drop_status").alias("drop_status"),
+        F.col("a.dropout_permille").alias("dropout_permille"),
+        F.col("a.stuck_permille").alias("stuck_permille"),
         snr_keep.alias("snr_keep"),
         voiced.alias("voiced"),
         (voiced & in_band).alias("speechlike"),
@@ -221,4 +246,7 @@ def screen_audio(
         (~rev).alias("rev_keep"),
         comp.alias("compressed"),
         (~comp).alias("dr_keep"),
+        gap.alias("dropout_detected"),
+        stuck.alias("stuck_detected"),
+        drop_keep.alias("drop_keep"),
     )

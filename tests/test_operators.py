@@ -3221,6 +3221,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
 
     from kneaddata_spark.operators.audioscreen import screen_audio
     from kneaddata_spark.operators.bandwidth import bandwidth_screen
+    from kneaddata_spark.operators.dropout import dropout_screen
     from kneaddata_spark.operators.hum import hum_screen
     from kneaddata_spark.operators.dynrange import dynrange_screen
     from kneaddata_spark.operators.pitch import pitch_screen
@@ -3238,6 +3239,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     bw = {r["clip_id"]: r.asDict() for r in bandwidth_screen(clips).collect()}
     rev = {r["clip_id"]: r.asDict() for r in reverb_screen(clips).collect()}
     dr = {r["clip_id"]: r.asDict() for r in dynrange_screen(clips).collect()}
+    gp = {r["clip_id"]: r.asDict() for r in dropout_screen(clips).collect()}
     segs = {}
     for r in vad_segments(clips).collect():
         a = segs.setdefault(r["clip_id"], [0, 0])
@@ -3278,6 +3280,14 @@ def test_screen_audio_fusion_equals_standalones(spark):
         assert (
             f["dr_status"], f["dr_ratio_permille"], f["compressed"], f["dr_keep"],
         ) == (d["status"], d["dr_ratio_permille"], d["compressed"], d["keep"]), cid
+        g = gp[cid]
+        assert (
+            f["drop_status"], f["dropout_permille"], f["stuck_permille"],
+            f["dropout_detected"], f["stuck_detected"], f["drop_keep"],
+        ) == (
+            g["status"], g["dropout_permille"], g["stuck_permille"],
+            g["dropout_detected"], g["stuck_detected"], g["keep"],
+        ), cid
 
     p = plan_of(screen_audio(clips_spark_df(spark, 50, n_partitions=2)))
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", p)) == 1
