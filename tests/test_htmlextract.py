@@ -253,3 +253,31 @@ def test_extract_plan_is_shuffle_free(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_stream_html_extract_matches_batch_and_idempotent(spark, tmp_path):
+    """html_extract is stateless per page, so the SAME plan under
+    readStream must emit exactly the batch rows (stream==batch, the
+    qc_stream contract extended to web ingest), and re-triggering on the
+    same checkpoint appends nothing."""
+    from kneaddata_spark.operators.htmlextract import html_extract
+    from kneaddata_spark.plans.entry_queries import _html_corpus
+    from kneaddata_spark.streaming import stream_html_extract
+
+    src = str(tmp_path / "pages_in")
+    _html_corpus(spark, SF_DIR).repartition(3).write.mode("overwrite").parquet(src)
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in html_extract(spark.read.parquet(src), "doc_id", "html").collect()
+    }
+
+    out, ckpt = str(tmp_path / "pages_out"), str(tmp_path / "pages_ckpt")
+    q = stream_html_extract(spark, src, out, ckpt)
+    q.awaitTermination(300)
+    got = {r["doc_id"]: r.asDict() for r in spark.read.parquet(out).collect()}
+    assert got == batch and len(batch) > 100
+
+    n_before = spark.read.parquet(out).count()
+    q2 = stream_html_extract(spark, src, out, ckpt)  # same checkpoint
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
