@@ -174,6 +174,7 @@ HEADLINE = R3_SET + [
     "url_canonical",
     "main_content",
     "dropout_screen",
+    "link_pagerank",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Link-graph PageRank: crawl-seed centrality over an edge table.
+
+Web-corpus curation ranks pages/domains by link centrality before
+spending crawl or training budget on them (the CommonCrawl-rank /
+harmonic-centrality signal; quality-filter pipelines keep high-rank
+hosts and drop link-farm tails). This operator computes damped PageRank
+over ANY (src, dst) edge table in exact integer arithmetic so the
+verdict is bit-reproducible and the DuckDB oracle can replay it.
+
+Integer semantics (micro-rank units, SCALE = 1_000_000):
+- rank_0(v) = SCALE for every node (nodes = distinct src UNION dst).
+- each iteration: every edge carries rank(src) // outdeg(src) (floor);
+  rank_{t+1}(v) = BASE + damping * sum(in-contribs) // 1000 with
+  BASE = (1000 - damping_permille) * SCALE // 1000.
+- dangling nodes keep rank BASE + their in-flow; their own mass is NOT
+  redistributed (the leaked mass lowers the global sum — deterministic,
+  identical in the oracle, and rank ORDER, which is what curation uses,
+  is unaffected for connected graphs). Documented, not hidden.
+
+Shape at 100 TB: the edge table is the big side; the rank table is one
+row per node. Each iteration is one join (edges x ranks on src — AQE
+broadcasts ranks when they fit, else co-hash) and one combinable
+groupBy(dst) sum — the canonical PageRank shuffle pair. Iterations are
+UNROLLED into one plan (k is small and fixed); each iteration's rank
+frame is node-sized, never corpus-sized. deg is computed once and
+reused by every iteration.
+
+Reference lineage: an engine extension (like dup_clusters' pointer
+jumping — SURVEY §2 has no graph ops); the iterative-join discipline is
+dedup.dup_clusters', with a fixed iteration count instead of a
+convergence loop so the oracle can unroll.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_permille: int = 850,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank_micro) after `iterations` damped rounds; exact integer
+    micro-rank units. Self-loops and parallel edges are honored as given
+    (each parallel edge carries one contribution)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    base = (1000 - damping_permille) * SCALE // 1000
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div deg").cast("long").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").cast("long").alias("inflow"))
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_permille} * coalesce(inflow, 0)) div 1000"
+                )
+            )
+            .cast("long")
+            .alias("rank_micro"),
+        )
+    return ranks

@@ -6469,6 +6469,95 @@ def url_canonical_q(spark, sf):
     return u.select("url_id", "url", url_canonicalize(F.col("url")).alias("canon"))
 
 
+# Link-graph edges shared by engine and oracle: two affine out-links per
+# doc (pseudo-random but deterministic) plus a hub edge onto nodes 0..9
+# (real link graphs are hub-skewed; the combinable groupBy absorbs it).
+# max(doc_id)+1 rides INSIDE the plan (one-row cross join) so the builder
+# stays job-free.
+_EDGE_SYNTH_SQL = (
+    "WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),\n"
+    "edges AS (\n"
+    "  SELECT doc_id AS src, (doc_id * 13 + 7919) % n AS dst"
+    " FROM documents, mx\n"
+    "  UNION ALL\n"
+    "  SELECT doc_id, (doc_id * 13 + 15838) % n FROM documents, mx\n"
+    "  UNION ALL\n"
+    "  SELECT doc_id, doc_id % 10 FROM documents\n"
+    ")"
+)
+
+
+def _pagerank_oracle_sql(iterations: int, damping_permille: int) -> str:
+    """DuckDB replica of linkgraph.pagerank, UNROLLED (fixed iteration
+    count is what makes the oracle expressible): floor division via //,
+    every sum cast ::BIGINT (the HUGEINT portability rule)."""
+    from ..operators.linkgraph import SCALE
+
+    base = (1000 - damping_permille) * SCALE // 1000
+    parts = [
+        "nodes AS (SELECT DISTINCT src AS node FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, {SCALE}::BIGINT AS rank_micro FROM nodes)",
+    ]
+    for t in range(iterations):
+        parts.append(
+            f"i{t + 1} AS (SELECT e.dst AS node,"
+            f" sum(r.rank_micro // d.deg)::BIGINT AS inflow"
+            f" FROM edges e JOIN r{t} r ON r.node = e.src"
+            f" JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{t + 1} AS (SELECT n.node,"
+            f" ({base} + ({damping_permille} * coalesce(i.inflow, 0)) // 1000)"
+            f"::BIGINT AS rank_micro"
+            f" FROM nodes n LEFT JOIN i{t + 1} i ON i.node = n.node)"
+        )
+    return (
+        _EDGE_SYNTH_SQL
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT node::BIGINT AS node, rank_micro FROM r{iterations}"
+    )
+
+
+def _edge_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """(src, dst) — Spark twin of _EDGE_SYNTH_SQL, byte-identical."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    mx = d.agg((F.max("doc_id") + 1).alias("n"))
+    dn = d.crossJoin(mx)
+    a = dn.select(
+        F.col("doc_id").alias("src"),
+        F.expr("(doc_id * 13 + 7919) % n").cast("long").alias("dst"),
+    )
+    b = dn.select(
+        F.col("doc_id").alias("src"),
+        F.expr("(doc_id * 13 + 15838) % n").cast("long").alias("dst"),
+    )
+    c = d.select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") % 10).cast("long").alias("dst"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+@q("link_pagerank", _pagerank_oracle_sql(iterations=5, damping_permille=850))
+def link_pagerank_q(spark, sf):
+    """Link-graph PageRank (operators/linkgraph.pagerank): crawl-seed
+    centrality — damped rank over a deterministic hub-skewed edge graph,
+    5 unrolled iterations, exact integer micro-rank units (floor-division
+    contributions, Spark div == DuckDB //). The CommonCrawl-rank signal a
+    web curation pipeline uses to keep high-centrality hosts and drop
+    link-farm tails. Each iteration = one edges-x-ranks join (AQE
+    broadcasts the node-sized rank table) + one combinable groupBy sum —
+    the canonical PageRank shuffle pair; the fixed iteration count is
+    what makes the DuckDB oracle expressible (iterative cousin:
+    dup_clusters' pointer jumping, which needs rows-only treatment)."""
+    from ..operators.linkgraph import pagerank
+
+    return pagerank(_edge_corpus(spark, sf), iterations=5, damping_permille=850)
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers
