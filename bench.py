@@ -175,6 +175,7 @@ HEADLINE = R3_SET + [
     "main_content",
     "dropout_screen",
     "link_pagerank",
+    "click_screen",
 ]
 
 

@@ -1,18 +1,18 @@
 """Fused audio screen: VAD + SNR + pitch + hum/DC + bandwidth + reverb +
-dynamic-range + dropout verdicts from ONE decode.
+dynamic-range + dropout + click verdicts from ONE decode.
 
 The screen-family analog of operators/audioprep (which fused the
-canonical-form chain): a corpus pass that wants all eight audio-quality
+canonical-form chain): a corpus pass that wants all nine audio-quality
 verdicts — voice activity, noise floor, periodicity, electrical defects,
-effective bandwidth, decay tail, loudness range, digital dropouts — must
-not decode the corpus eight times.
+effective bandwidth, decay tail, loudness range, digital dropouts,
+impulsive clicks — must not decode the corpus nine times.
 Decode is the per-core Python ceiling (BASELINE.md roofline), and at
 100 TB the bytes-column scan itself is the other ceiling; running the
 standalone operators back-to-back pays both seven times. This stage runs
 the SAME kernels (operators/vad.segment_samples, operators/snr.snr_of,
 operators/pitch.pitch_of, operators/hum.hum_of, operators/bandwidth.
 band_of, operators/reverb.reverb_of, operators/dynrange.dr_of,
-operators/dropout.dropout_of — one
+operators/dropout.dropout_of, operators/click.click_of — one
 source of truth each, all replica-gated in their own tests) on one decoded buffer inside ONE
 ArrowEvalPython stage.
 
@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from .. import rules
 from .bandwidth import band_of
+from .click import click_of
 from .dropout import dropout_of
 from .dynrange import dr_of
 from .hum import hum_of
@@ -69,6 +70,8 @@ _SCREEN_T = T.StructType(
         T.StructField("drop_status", T.StringType()),
         T.StructField("dropout_permille", T.LongType()),
         T.StructField("stuck_permille", T.LongType()),
+        T.StructField("click_status", T.StringType()),
+        T.StructField("clicks_per_min", T.LongType()),
     ]
 )
 
@@ -96,6 +99,7 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
         r_st, _, _, _, _, rt60 = reverb_of(x, s)
         d_st, _, _, _, _, dr = dr_of(x, s)
         g_st, _, _, _, _, _, _, _, dp_p, st_p = dropout_of(x, s)
+        c_st, _, _, _, _, _, cpm = click_of(x, s)
         out.append(
             {
                 "n_segments": len(segs),
@@ -118,6 +122,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 "drop_status": g_st,
                 "dropout_permille": dp_p,
                 "stuck_permille": st_p,
+                "click_status": c_st,
+                "clicks_per_min": cpm,
             }
         )
     return pa.array(
@@ -144,6 +150,8 @@ def _screen_udf(raw: pa.Array, codec: pa.Array, sr: pa.Array) -> pa.Array:
                 ("drop_status", pa.string()),
                 ("dropout_permille", pa.int64()),
                 ("stuck_permille", pa.int64()),
+                ("click_status", pa.string()),
+                ("clicks_per_min", pa.int64()),
             ]
         ),
     )
@@ -164,15 +172,17 @@ def screen_audio(
     pitch_status, f0_centi_hz, periodicity_permille, hum_status,
     dc_offset, hum_permille, hum_hz, bw_status, est_nyquist_hz,
     rev_status, rt60_ms, dr_status, dr_ratio_permille, drop_status,
-    dropout_permille, stuck_permille, snr_keep,
+    dropout_permille, stuck_permille, click_status, clicks_per_min,
+    snr_keep,
     voiced, speechlike, hum_detected, dc_detected, hum_keep, narrowband,
     reverb_detected, rev_keep, compressed, dr_keep, dropout_detected,
-    stuck_detected, drop_keep) — all eight screens'
+    stuck_detected, drop_keep, click_detected, click_keep) — all nine
+    screens'
     verdicts from one decode; verdict booleans are the standalone
     operators' JVM-side rules verbatim (snr.snr_screen,
     pitch.pitch_screen, hum.hum_screen, bandwidth.bandwidth_screen,
     reverb.reverb_screen, dynrange.dynrange_screen,
-    dropout.dropout_screen). `passthrough` names
+    dropout.dropout_screen, click.click_screen). `passthrough` names
     extra clip columns to carry through unchanged (zero cost — they ride
     the same projection), so compositions like rate.speech_rate read
     transcript next to the verdicts without a join or second decode."""
@@ -212,6 +222,10 @@ def screen_audio(
         F.col("a.stuck_permille") >= rules.STUCK_MAX_PERMILLE, F.lit(False)
     )
     drop_keep = (F.col("a.drop_status") == "ok") & ~gap & ~stuck
+    clk = F.coalesce(
+        F.col("a.clicks_per_min") >= rules.CLICK_MAX_PER_MIN, F.lit(False)
+    )
+    click_keep = (F.col("a.click_status") == "ok") & ~clk
     return e.select(
         "clip_id",
         *passthrough,
@@ -235,6 +249,8 @@ def screen_audio(
         F.col("a.drop_status").alias("drop_status"),
         F.col("a.dropout_permille").alias("dropout_permille"),
         F.col("a.stuck_permille").alias("stuck_permille"),
+        F.col("a.click_status").alias("click_status"),
+        F.col("a.clicks_per_min").alias("clicks_per_min"),
         snr_keep.alias("snr_keep"),
         voiced.alias("voiced"),
         (voiced & in_band).alias("speechlike"),
@@ -249,4 +265,6 @@ def screen_audio(
         gap.alias("dropout_detected"),
         stuck.alias("stuck_detected"),
         drop_keep.alias("drop_keep"),
+        clk.alias("click_detected"),
+        click_keep.alias("click_keep"),
     )

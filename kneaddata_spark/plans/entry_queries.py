@@ -3644,6 +3644,22 @@ def dropout_screen_q(spark, sf):
     return dropout_screen(_synth_clips(spark, 400, 8))
 
 
+@q("click_screen")
+def click_screen_q(spark, sf):
+    """Click / pop screen (operators/click): integer second-difference
+    impulse detection — |x[i-1] - 2x[i] + x[i+1]| >= max(CLICK_MIN_ABS,
+    CLICK_MAD_MULT * clip's own mean |d2|), adjacent hits merged into
+    events, gated on events per minute. Completes the impulsive-defect
+    triad (declip = rails, dropout = gaps, click = spikes). Rows-only by
+    necessity (binary PCM decode, the snr_screen basis); pytest
+    replica-gates every scalar against an independent per-sample python
+    walk, plus planted-pop detection, event merging and clean/tone
+    rejection. Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
+    from ..operators.click import click_screen
+
+    return click_screen(_synth_clips(spark, 400, 8))
+
+
 @q("reverb_screen")
 def reverb_screen_q(spark, sf):
     """Reverb / decay-tail screen (operators/reverb): blind RT60 proxy —

@@ -314,6 +314,18 @@ DROPOUT_MIN_RUN_MS = 3
 DROPOUT_MAX_PERMILLE = 10
 STUCK_MAX_PERMILLE = 10
 
+# --- click / pop screen (impulsive-defect detection) -----------------------
+# A sample whose second difference |x[i-1] - 2x[i] + x[i+1]| exceeds BOTH
+# CLICK_MIN_ABS and CLICK_MAD_MULT * (mean |d2| of the clip) is impulsive
+# — vinyl-style clicks, digital pops, splice ticks. The MAD-relative arm
+# keeps loud-but-smooth speech out (plosives ride the clip's own d2
+# scale); the absolute floor keeps near-silent clips from flagging their
+# own quantization noise. Adjacent flagged samples merge into one event;
+# the verdict gates events per minute (integer: events * 60 * sr // n).
+CLICK_MAD_MULT = 10
+CLICK_MIN_ABS = 4000
+CLICK_MAX_PER_MIN = 10
+
 # fake container magics used by the deterministic synthetic encoder/decoder
 # (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic

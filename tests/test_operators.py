@@ -3221,6 +3221,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
 
     from kneaddata_spark.operators.audioscreen import screen_audio
     from kneaddata_spark.operators.bandwidth import bandwidth_screen
+    from kneaddata_spark.operators.click import click_screen
     from kneaddata_spark.operators.dropout import dropout_screen
     from kneaddata_spark.operators.hum import hum_screen
     from kneaddata_spark.operators.dynrange import dynrange_screen
@@ -3240,6 +3241,7 @@ def test_screen_audio_fusion_equals_standalones(spark):
     rev = {r["clip_id"]: r.asDict() for r in reverb_screen(clips).collect()}
     dr = {r["clip_id"]: r.asDict() for r in dynrange_screen(clips).collect()}
     gp = {r["clip_id"]: r.asDict() for r in dropout_screen(clips).collect()}
+    ck = {r["clip_id"]: r.asDict() for r in click_screen(clips).collect()}
     segs = {}
     for r in vad_segments(clips).collect():
         a = segs.setdefault(r["clip_id"], [0, 0])
@@ -3287,6 +3289,13 @@ def test_screen_audio_fusion_equals_standalones(spark):
         ) == (
             g["status"], g["dropout_permille"], g["stuck_permille"],
             g["dropout_detected"], g["stuck_detected"], g["keep"],
+        ), cid
+        c = ck[cid]
+        assert (
+            f["click_status"], f["clicks_per_min"],
+            f["click_detected"], f["click_keep"],
+        ) == (
+            c["status"], c["clicks_per_min"], c["click_detected"], c["keep"],
         ), cid
 
     p = plan_of(screen_audio(clips_spark_df(spark, 50, n_partitions=2)))
