@@ -176,6 +176,7 @@ HEADLINE = R3_SET + [
     "dropout_screen",
     "link_pagerank",
     "click_screen",
+    "qc_eval",
 ]
 
 

@@ -6574,6 +6574,90 @@ def link_pagerank_q(spark, sf):
     return pagerank(_edge_corpus(spark, sf), iterations=5, damping_permille=850)
 
 
+@q("qc_eval")
+def qc_eval_q(spark, sf):
+    """Standing QC-parity surface: the BASELINE.json headline metric —
+    keep/drop F1 vs the reference-oracle labels — as a driver row, not
+    just a pytest (the dedup_eval/ann_eval 'measure, don't guess' rule
+    applied to the flagship pipeline). The engine side is the production
+    annotate() plan; the oracle side runs oracle.label_row (the pure
+    pandas reference implementation, independent float-domain math)
+    distributed via mapInPandas with the same broadcast models. One row
+    of exact integers: n, tp/fp/fn/tn, drop-rule agreement (null==null),
+    f1_permille = 2*tp*1000 // (2*tp + fp + fn). Rows-only by necessity
+    (the oracle is python, not SQL); the pytest F1 gate
+    (tests/test_pipeline) remains the hard >= 0.99 fence — this query
+    makes the number visible in every driver round."""
+    import pandas as _pd
+
+    from ..pipeline import annotate, broadcast_models
+
+    clips = _synth_clips(spark, 400, 8)
+    lang_bc, ppl_bc = broadcast_models(spark)
+    eng = annotate(clips, lang_bc, ppl_bc).select("clip_id", "keep", "drop_rule")
+
+    def _oracle(it):
+        from ..oracle import label_row
+
+        lm, pm = lang_bc.value, ppl_bc.value
+        for pdf in it:
+            out = []
+            for r in pdf.to_dict("records"):
+                o = label_row(r, lm, pm)
+                out.append(
+                    {
+                        "clip_id": o["clip_id"],
+                        "expect_keep": bool(o["expect_keep"]),
+                        "expect_drop_rule": o["expect_drop_rule"],
+                    }
+                )
+            yield _pd.DataFrame(
+                out, columns=["clip_id", "expect_keep", "expect_drop_rule"]
+            )
+
+    orc = clips.mapInPandas(
+        _oracle, "clip_id string, expect_keep boolean, expect_drop_rule string"
+    )
+    j = eng.join(orc, "clip_id")
+    agg = j.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("keep") & F.col("expect_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("keep") & ~F.col("expect_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~F.col("keep") & F.col("expect_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~F.col("keep") & ~F.col("expect_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+        F.sum(
+            F.when(
+                F.col("drop_rule").eqNullSafe(F.col("expect_drop_rule")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("rule_agree"),
+    )
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "rule_agree",
+        F.when(
+            (2 * F.col("tp") + F.col("fp") + F.col("fn")) > 0,
+            F.expr("(2 * tp * 1000) div (2 * tp + fp + fn)"),
+        )
+        .cast("long")
+        .alias("f1_permille"),
+        F.expr("(rule_agree * 1000) div n").cast("long").alias("rule_agree_permille"),
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -52,3 +52,17 @@ def test_pagerank_driver_graph_matches_replica(spark):
     # the planted hub edges make nodes 0..9 the top-ranked set
     top10 = sorted(got, key=got.get, reverse=True)[:10]
     assert set(top10) == set(range(10))
+
+
+def test_qc_eval_standing_surface(spark):
+    """The standing qc_eval driver row must report the pytest-gated
+    truth: perfect keep/drop F1 and full drop-rule agreement between the
+    engine and the pure-pandas oracle on the shared synth basis."""
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["qc_eval"](spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == r["tp"] + r["fp"] + r["fn"] + r["tn"] > 0
+    assert r["f1_permille"] == 1000 and r["rule_agree_permille"] == 1000
+    assert r["fp"] == 0 and r["fn"] == 0 and r["rule_agree"] == r["n"]
