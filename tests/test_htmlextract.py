@@ -281,3 +281,87 @@ def test_stream_html_extract_matches_batch_and_idempotent(spark, tmp_path):
     q2 = stream_html_extract(spark, src, out, ckpt)  # same checkpoint
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_extract_fuzz_engine_equals_replica(spark):
+    """300 seeded adversarial strings (tag fragments, stray '<'/'&',
+    half-entities, mixed case, tabs/newlines, unicode) through the
+    engine vs the python replica — guards the Java-regex semantics the
+    fixtures can't enumerate."""
+    import random
+
+    rng = random.Random(20260819)
+    atoms = [
+        "<", ">", "&", ";", "/", '"', "'", "!", "?", "#", "=", " ", "\t",
+        "\n", "a", "B", "z", "0", "9", "é", "日", "<p>", "</p>", "<br>",
+        "<BR/>", "<script>", "</script>", "<style>", "</style>", "<!--",
+        "-->", "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;",
+        "&amp", "&x;", "<a href=\"u\">", "</a>", "<div ", "<h1>", "</h1>",
+        "< p>", "<5>", "word", ". ",
+    ]
+    cases = [
+        "".join(rng.choice(atoms) for _ in range(rng.randint(0, 40)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "id long, html string"
+    )
+    from kneaddata_spark.operators.htmlextract import html_extract
+
+    got = {
+        r["id"]: r["text"]
+        for r in html_extract(df, "id", "html").select("id", "text").collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == extract_replica(c), (i, c, got[i], extract_replica(c))
+
+
+def _url_canon_replica(url: str) -> str:
+    import re as _re
+
+    nofrag = _re.sub(r"#.*$", "", url)
+    m = _re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", nofrag)
+    prefix = m.group(1) if m else ""
+    rest = nofrag[len(prefix):]
+    lp = prefix.lower()
+    if lp.startswith("http://") and lp.endswith(":80"):
+        lp = lp[:-3]
+    elif lp.startswith("https://") and lp.endswith(":443"):
+        lp = lp[:-4]
+    path = rest.split("?", 1)[0]
+    qs = rest.split("?", 1)[1] if "?" in rest else ""
+    q = _re.sub(r"&(?:utm_[a-zA-Z0-9_]*|fbclid|gclid)=[^&]*", "", "&" + qs)
+    q = _re.sub(r"^&+", "", q)
+    q = "&".join(sorted(q.split("&")))
+    cpath = _re.sub(r"/+$", "", path)
+    return lp + cpath + ("?" + q if q != "" else "")
+
+
+def test_url_canonicalize_fuzz_engine_equals_replica(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.htmlextract import url_canonicalize
+
+    rng = random.Random(7919)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", "ftp://", ""]
+    hosts = ["a.b", "EX.Example.ORG", "x", "a.b:80", "a.b:443", "a.b:8080", ""]
+    paths = ["", "/", "/p", "/p/", "/p//q///", "/P/Q"]
+    params = ["", "a=1", "b=2&a=1", "utm_source=x", "utm_=1&z=9",
+              "fbclid=7", "gclid=8&b=2", "utming=1", "a=1&a=0"]
+    frags = ["", "#f", "#a#b"]
+    cases = []
+    for _ in range(300):
+        cases.append(
+            rng.choice(schemes) + rng.choice(hosts) + rng.choice(paths)
+            + (("?" + rng.choice(params)) if rng.random() < 0.8 else "")
+            + rng.choice(frags)
+        )
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "id long, url string")
+    got = {
+        r["id"]: r["canon"]
+        for r in df.select("id", url_canonicalize(F.col("url")).alias("canon")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == _url_canon_replica(c), (i, c, got[i])
