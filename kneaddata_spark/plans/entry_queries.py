@@ -4554,7 +4554,8 @@ def source_concentration_q(spark, sf):
     SELECT dim, sum(n)::BIGINT AS n_vecs, count(*)::BIGINT AS n_distinct,
            sum(CASE WHEN is_zero THEN n ELSE 0 END)::BIGINT AS n_zero,
            sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT AS n_dup_vecs,
-           ((1000 * sum(CASE WHEN n > 1 THEN n ELSE 0 END)) // sum(n))::BIGINT
+           ((1000 * sum(CASE WHEN n > 1 THEN n ELSE 0 END)::BIGINT)
+            // sum(n)::BIGINT)::BIGINT
              AS dup_permille
     FROM g GROUP BY dim
     """,
