@@ -177,6 +177,11 @@ HEADLINE = R3_SET + [
     "link_pagerank",
     "click_screen",
     "qc_eval",
+    "html_meta",
+    "lang_meta_screen",
+    "soft404_screen",
+    "robots_filter",
+    "domain_quality_card",
 ]
 
 

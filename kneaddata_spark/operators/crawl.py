@@ -1,0 +1,207 @@
+"""Crawl-policy and page-metadata operators: the screens a web-corpus
+pipeline runs BETWEEN fetching and per-document quality filtering.
+
+Reference analog: kneaddata decides keep/drop from per-read metadata and
+contaminant-database verdicts before any content transform runs
+(run.py:53-185 database gates; utilities.py:537-574 format-validity
+gates). Here the "databases" are the crawl's own metadata surfaces —
+page <head> metadata, robots.txt policy, domain-level yield — and the
+verdicts gate documents before the text screens pay to run.
+
+Spark-first shapes, all audited for 100 TB:
+ - html_meta / soft404_screen: pure JVM regex/Column algebra — one
+   whole-stage-codegen project, zero Python, zero shuffles.
+ - robots_filter: rules are per-host and tiny next to the URL table —
+   broadcast join + ONE map-side-combinable max() agg; longest-match
+   resolution is integer arithmetic, never a window.
+ - domain_quality_card: combinable sums per domain; the shuffle carries
+   only the reduced card (domains << pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .. import rules
+
+# shared regex subset only (inline flags, non-greedy, [^>] classes) so the
+# DuckDB/RE2 oracle replicas run the same patterns verbatim
+TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
+H1_RE = r"(?is)<h1[^>]*>(.*?)</h1>"
+LANG_ATTR_RE = r'(?i)<html[^>]* lang="([^"]*)"'
+P_OPEN_RE = r"(?i)<p[ >]"
+URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)"
+
+
+def _decode_entities(col: Column) -> Column:
+    """Minimal single-pass entity decode (same ordered table as
+    htmlextract._ENTITIES — &amp; last, the html5 single-pass rule)."""
+    from .htmlextract import _ENTITIES
+
+    out = col
+    for ent, ch in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def html_meta(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Page <head>/chrome metadata card: entity-decoded <title> and first
+    <h1> text, the declared `<html lang="...">` attribute ('' when the
+    page declares none), and the paragraph count. The routing surface a
+    crawl pipeline reads before extracting anything — titles feed the
+    soft-404 screen, lang feeds language bucketing."""
+    h = F.col(html_col)
+    return df.select(
+        F.col(id_col),
+        _decode_entities(F.trim(F.regexp_extract(h, TITLE_RE, 1))).alias("title"),
+        _decode_entities(F.trim(F.regexp_extract(h, H1_RE, 1))).alias("h1"),
+        F.regexp_extract(h, LANG_ATTR_RE, 1).alias("lang_attr"),
+        F.size(F.regexp_extract_all(h, F.lit(P_OPEN_RE), 0))
+        .cast("long")
+        .alias("n_paras"),
+    )
+
+
+def lang_meta_screen(
+    meta: DataFrame, catalog: DataFrame, id_col: str, lang_col: str = "lang"
+) -> DataFrame:
+    """Declared-vs-catalog language consistency: join the page's declared
+    lang attribute against the catalog language and rule each document
+    'match' / 'mismatch' / 'missing' (rules.py taxonomy). A mismatch
+    mis-buckets the document in every downstream per-language mixture.
+    One equi-join on the id (broadcast-eligible when the meta side is a
+    sampled audit slice); the verdict is a CASE, never Python."""
+    j = meta.select(id_col, "lang_attr").join(
+        catalog.select(id_col, F.col(lang_col).alias("catalog_lang")), id_col
+    )
+    return j.select(
+        id_col,
+        "lang_attr",
+        "catalog_lang",
+        F.when(F.col("lang_attr") == "", F.lit("missing"))
+        .when(F.col("lang_attr") == F.col("catalog_lang"), F.lit("match"))
+        .otherwise(F.lit("mismatch"))
+        .alias("verdict"),
+    )
+
+
+def soft404_screen(
+    df: DataFrame,
+    id_col: str,
+    title_col: str,
+    text_col: str,
+    min_chars: int | None = None,
+) -> DataFrame:
+    """Soft-404 / error-template screen (rules.py SOFT404_*): a page whose
+    TITLE matches the error pattern is a soft 404 outright; an error
+    PHRASE in the body only convicts when the body is also short, so an
+    article ABOUT 404 pages survives. Integer rule flags + first-failing
+    taxonomy mirror the pipeline's drop_rule style. Pure row-local regex
+    — zero shuffles at any corpus size."""
+    min_chars = rules.SOFT404_MIN_CHARS if min_chars is None else min_chars
+    t = F.col(title_col)
+    b = F.col(text_col)
+    f_title = t.rlike(rules.SOFT404_TITLE_RE)
+    f_phrase = b.rlike(rules.SOFT404_PHRASE_RE)
+    f_short = F.length(b) < F.lit(min_chars)
+    return df.select(
+        F.col(id_col),
+        f_title.cast("long").alias("flag_title"),
+        f_phrase.cast("long").alias("flag_phrase"),
+        f_short.cast("long").alias("flag_short"),
+        F.when(f_title, F.lit("title_404"))
+        .when(f_phrase & f_short, F.lit("body_404"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
+
+
+def parse_url(url: Column) -> tuple[Column, Column]:
+    """(host, path) of a URL: host lowercased (authority case is not
+    identity), path defaulting to '/' when absent (RFC 9309 matches the
+    empty path as '/')."""
+    host = F.lower(F.regexp_extract(url, URL_HOST_RE, 1))
+    raw_path = F.regexp_extract(url, URL_PATH_RE, 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    return host, path
+
+
+def robots_filter(
+    urls: DataFrame, robot_rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """RFC 9309 / Google robots.txt matching over a URL frontier:
+    `robot_rules` is (host, prefix, allow 0/1); among a URL's host rules
+    whose prefix path-matches, the LONGEST prefix wins and Allow beats
+    Disallow on a length tie; no matching rule means allowed.
+
+    Both resolutions collapse into one integer: best_key =
+    2*len(prefix) + allow, maximized per URL — lexicographic (len, allow)
+    order without a window or a struct (portable to the SQL oracle
+    verbatim). Shape at scale: the rules table is per-host and tiny next
+    to a 100 TB frontier — BROADCAST left join (URLs never shuffle), then
+    ONE map-side-combinable max() agg keyed on the URL."""
+    host, path = parse_url(F.col(url_col))
+    u = urls.select(F.col(url_col).alias("url"), host.alias("host"), path.alias("path"))
+    r = robot_rules.select(
+        F.col("host").alias("r_host"),
+        F.col("prefix"),
+        F.col("allow").cast("long").alias("allow"),
+    )
+    j = u.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("r_host")) & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    key = F.when(
+        F.col("prefix").isNotNull(), F.length("prefix") * 2 + F.col("allow")
+    ).cast("long")
+    agg = j.groupBy("url", "host", "path").agg(F.max(key).alias("best_key"))
+    return agg.select(
+        "url",
+        "host",
+        "path",
+        F.coalesce("best_key", F.lit(-1)).cast("long").alias("best_key"),
+        F.when(
+            F.col("best_key").isNull() | (F.col("best_key") % 2 == 1), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("allowed"),
+    )
+
+
+def domain_quality_card(
+    pages: DataFrame,
+    domain_col: str,
+    kept_col: str = "kept_permille",
+    script_col: str = "had_script",
+    low_kept_permille: int | None = None,
+    review_permille: int | None = None,
+) -> DataFrame:
+    """Domain-level yield card over html_extract output: pages, the
+    domain's aggregate kept ratio (integer permille of char SUMS, so one
+    huge page weighs its size), the share of low-yield pages and of
+    scripted pages, and the blocklist-review verdict (rules.py DOMAIN_*).
+    RefinedWeb-class pipelines gate whole domains before paying for
+    per-document screens. Combinable sums only; the shuffle carries the
+    reduced card, never pages."""
+    low = rules.DOMAIN_LOW_KEPT_PERMILLE if low_kept_permille is None else low_kept_permille
+    review = rules.DOMAIN_REVIEW_PERMILLE if review_permille is None else review_permille
+    g = pages.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum("n_chars_html").cast("long").alias("sum_html"),
+        F.sum("n_chars_text").cast("long").alias("sum_text"),
+        F.sum((F.col(kept_col) < low).cast("long")).cast("long").alias("n_low"),
+        F.sum(script_col).cast("long").alias("n_script"),
+    )
+    low_pm = F.expr("(n_low * 1000) div n_pages").cast("long")
+    return g.select(
+        "domain",
+        "n_pages",
+        F.expr("(sum_text * 1000) div sum_html").cast("long").alias("kept_permille"),
+        low_pm.alias("low_permille"),
+        F.expr("(n_script * 1000) div n_pages").cast("long").alias("script_permille"),
+        F.when(low_pm >= review, F.lit("review")).otherwise(F.lit("ok")).alias("verdict"),
+    )

@@ -6659,6 +6659,316 @@ def qc_eval_q(spark, sf):
     )
 
 
+# --- crawl-policy screens (r5: the gates BETWEEN fetch and extraction) ----
+#
+# crawl basis: the html corpus with a planted `<html lang="...">`
+# attribute so all three lang_meta verdicts are live in driver data
+# (doc_id%3: 0 -> no attribute/'missing', 1 -> catalog lang/'match',
+# 2 -> 'xx'/'mismatch'). The literal '<html><head>' prefix occurs exactly
+# once per page (the closing tag is '</html>'), so plain replace() is a
+# safe attribute injection on both engines.
+
+_CRAWL_SYNTH_SQL = (
+    "SELECT h0.doc_id, CASE"
+    " WHEN h0.doc_id % 3 = 1 THEN replace(html, '<html><head>',"
+    " '<html lang=\"' || d.lang || '\"><head>')"
+    " WHEN h0.doc_id % 3 = 2 THEN replace(html, '<html><head>',"
+    " '<html lang=\"xx\"><head>')"
+    " ELSE html END AS html"
+    " FROM h0 JOIN documents d USING (doc_id)"
+)
+
+
+def _crawl_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, html) with the planted lang attribute — Spark twin of
+    _CRAWL_SYNTH_SQL (which assumes a CTE `h0 AS (_HTML_SYNTH_SQL)`)."""
+    h = _html_corpus(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    j = h.join(d, "doc_id")
+    html = (
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.replace(
+                F.col("html"),
+                F.lit("<html><head>"),
+                F.concat(F.lit('<html lang="'), F.col("lang"), F.lit('"><head>')),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.replace(
+                F.col("html"),
+                F.lit("<html><head>"),
+                F.lit('<html lang="xx"><head>'),
+            ),
+        )
+        .otherwise(F.col("html"))
+    )
+    return j.select("doc_id", html.alias("html"))
+
+
+def _decode_sql(expr: str) -> str:
+    """DuckDB replica of crawl._decode_entities over the SQL expr: the
+    same ordered entity table (&amp; last, html5 single-pass rule)."""
+    out = expr
+    for ent, ch in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "chr(39)"),
+        ("&amp;", "&"),
+    ]:
+        rep = ch if ch == "chr(39)" else "'" + ch.replace("'", "''") + "'"
+        out = f"replace({out}, '{ent}', {rep})"
+    return out
+
+
+@q(
+    "html_meta",
+    "WITH h0 AS (" + _HTML_SYNTH_SQL + "),\n"
+    "c AS (" + _CRAWL_SYNTH_SQL + ")\n"
+    "SELECT doc_id,\n"
+    "  " + _decode_sql(
+        "trim(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1))"
+    ) + " AS title,\n"
+    "  " + _decode_sql(
+        "trim(regexp_extract(html, '(?is)<h1[^>]*>(.*?)</h1>', 1))"
+    ) + " AS h1,\n"
+    "  regexp_extract(html, '(?i)<html[^>]* lang=\"([^\"]*)\"', 1) AS lang_attr,\n"
+    "  len(regexp_extract_all(html, '(?i)<p[ >]'))::BIGINT AS n_paras\n"
+    "FROM c",
+)
+def html_meta_q(spark, sf):
+    """Page <head>/chrome metadata card (operators/crawl.html_meta): the
+    routing surface a crawl pipeline reads BEFORE extracting anything —
+    entity-decoded <title> and first <h1>, the declared `<html lang>`
+    attribute ('' when absent), paragraph count. Titles feed the
+    soft-404 screen, lang feeds language bucketing. Pure JVM regex/
+    Column algebra: one whole-stage-codegen project, zero Python, zero
+    shuffles — scan-bandwidth-bound at 100 TB. Reference analog: the
+    per-read metadata gates that run before any content transform
+    (run.py:53-185)."""
+    from ..operators.crawl import html_meta
+
+    return html_meta(_crawl_corpus(spark, sf), "doc_id", "html")
+
+
+@q(
+    "lang_meta_screen",
+    "WITH h0 AS (" + _HTML_SYNTH_SQL + "),\n"
+    "c AS (" + _CRAWL_SYNTH_SQL + "),\n"
+    "m AS (SELECT doc_id,"
+    " regexp_extract(html, '(?i)<html[^>]* lang=\"([^\"]*)\"', 1) AS lang_attr"
+    " FROM c)\n"
+    "SELECT m.doc_id, m.lang_attr, d.lang AS catalog_lang,\n"
+    "  CASE WHEN m.lang_attr = '' THEN 'missing'\n"
+    "       WHEN m.lang_attr = d.lang THEN 'match'\n"
+    "       ELSE 'mismatch' END AS verdict\n"
+    "FROM m JOIN documents d ON d.doc_id = m.doc_id",
+)
+def lang_meta_screen_q(spark, sf):
+    """Declared-vs-catalog language consistency (crawl.lang_meta_screen):
+    the self-reported `<html lang>` attribute against the catalog
+    language — a mismatch mis-buckets the document in every downstream
+    per-language mixture (CCNet/mC4 route by declared lang first). One
+    equi-join + a CASE verdict, never Python; the meta side is a
+    projection of the same scan at 100 TB."""
+    from ..operators.crawl import html_meta, lang_meta_screen
+
+    meta = html_meta(_crawl_corpus(spark, sf), "doc_id", "html")
+    catalog = _t(spark, sf, "documents").select("doc_id", "lang")
+    return lang_meta_screen(meta, catalog, "doc_id")
+
+
+# soft-404 basis: titles/bodies from base columns with planted error
+# templates so every verdict is live (doc_id%13: 0 -> error TITLE,
+# 5 -> short error BODY, 7 -> error phrase inside a LONG body == 'ok',
+# the guard that keeps articles ABOUT 404 pages alive)
+_SOFT404_BASIS_SQL = (
+    "SELECT doc_id,\n"
+    "  CASE WHEN doc_id % 13 = 0 THEN '404 Not Found' ELSE source END AS title,\n"
+    "  CASE WHEN doc_id % 13 = 5 THEN 'An error occurred.'\n"
+    "       WHEN doc_id % 13 = 7 THEN text || ' the page was not found'\n"
+    "       ELSE text END AS text\n"
+    "FROM documents"
+)
+
+
+@q(
+    "soft404_screen",
+    "WITH b AS (" + _SOFT404_BASIS_SQL + "),\n"
+    "f AS (SELECT doc_id,\n"
+    f"  regexp_matches(title, '{_rules.SOFT404_TITLE_RE}') AS f_title,\n"
+    f"  regexp_matches(text, '{_rules.SOFT404_PHRASE_RE}') AS f_phrase,\n"
+    f"  length(text) < {_rules.SOFT404_MIN_CHARS} AS f_short\n"
+    "FROM b)\n"
+    "SELECT doc_id,\n"
+    "  (CASE WHEN f_title THEN 1 ELSE 0 END)::BIGINT AS flag_title,\n"
+    "  (CASE WHEN f_phrase THEN 1 ELSE 0 END)::BIGINT AS flag_phrase,\n"
+    "  (CASE WHEN f_short THEN 1 ELSE 0 END)::BIGINT AS flag_short,\n"
+    "  CASE WHEN f_title THEN 'title_404'\n"
+    "       WHEN f_phrase AND f_short THEN 'body_404'\n"
+    "       ELSE 'ok' END AS verdict\n"
+    "FROM f",
+)
+def soft404_screen_q(spark, sf):
+    """Soft-404 / error-template screen (operators/crawl.soft404_screen):
+    an HTTP-200 page carrying an error TEMPLATE poisons dedup (thousands
+    of identical 'not found' bodies) and quality stats. Title match is
+    decisive; a body PHRASE only convicts when the body is also short,
+    so an article ABOUT 404 pages survives (rules.py SOFT404_*). Pure
+    row-local regex, first-failing-rule taxonomy — zero shuffles at any
+    corpus size. Reference analog: format-validity drop gates
+    (utilities.py:537-574)."""
+    from ..operators.crawl import soft404_screen
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    b = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit("404 Not Found"))
+        .otherwise(F.col("source"))
+        .alias("title"),
+        F.when(F.col("doc_id") % 13 == 5, F.lit("An error occurred."))
+        .when(
+            F.col("doc_id") % 13 == 7,
+            F.concat(F.col("text"), F.lit(" the page was not found")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return soft404_screen(b, "doc_id", "title", "text")
+
+
+# robots fixture rules: longest-match, tie->Allow, no-match->allowed are
+# all exercised (ex0: / disallow vs /p/ allow — longest wins allow;
+# ex1: blanket /p disallow; ex2: equal-length Allow/Disallow tie on /p/1;
+# ex3: rule that never path-matches; ex4..ex6: no rules; mirror: /d
+# disallow catches every mirror URL, whose ?query is not path)
+_ROBOTS_RULES = [
+    ("ex0.example.org", "/", 0),
+    ("ex0.example.org", "/p/", 1),
+    ("ex1.example.org", "/p", 0),
+    ("ex2.example.org", "/p/1", 0),
+    ("ex2.example.org", "/p/1", 1),
+    ("ex3.example.org", "/q/", 0),
+    ("mirror.example.net", "/d", 0),
+]
+
+_ROBOTS_RULES_SQL = ", ".join(
+    f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES
+)
+
+
+@q(
+    "robots_filter",
+    "WITH u AS (\n"
+    "  SELECT 'https://ex' || (doc_id % 7)::VARCHAR || '.example.org/p/'"
+    " || doc_id::VARCHAR AS url FROM documents\n"
+    "  UNION ALL\n"
+    "  SELECT 'http://mirror.example.net/d?id=' || doc_id::VARCHAR"
+    " || '&q=1' AS url FROM documents WHERE doc_id % 5 = 0\n"
+    "),\n"
+    "p AS (SELECT url,\n"
+    "  lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))"
+    " AS host,\n"
+    "  CASE WHEN regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'\n"
+    "       ELSE regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) END AS path\n"
+    "FROM u),\n"
+    "r(r_host, prefix, allow) AS (VALUES " + _ROBOTS_RULES_SQL + "),\n"
+    "j AS (SELECT p.url, p.host, p.path,\n"
+    "  CASE WHEN r.prefix IS NOT NULL THEN"
+    " (length(r.prefix)::BIGINT * 2 + r.allow::BIGINT) END AS key\n"
+    "FROM p LEFT JOIN r ON p.host = r.r_host"
+    " AND substr(p.path, 1, length(r.prefix)) = r.prefix),\n"
+    "a AS (SELECT url, host, path, max(key)::BIGINT AS bk"
+    " FROM j GROUP BY url, host, path)\n"
+    "SELECT url, host, path, coalesce(bk, -1)::BIGINT AS best_key,\n"
+    "  (CASE WHEN bk IS NULL OR bk % 2 = 1 THEN 1 ELSE 0 END)::BIGINT"
+    " AS allowed\n"
+    "FROM a",
+)
+def robots_filter_q(spark, sf):
+    """RFC 9309 / Google robots.txt matching over a URL frontier
+    (operators/crawl.robots_filter): longest path-prefix wins, Allow
+    beats Disallow on a length tie, no match means allowed — all three
+    resolved by maximizing ONE integer (2*len(prefix)+allow). Shape at
+    100 TB: the rules table is per-host and tiny next to the frontier —
+    BROADCAST left join (URLs never shuffle) + one map-side-combinable
+    max() agg. Reference analog: the contaminant-database verdict gates
+    (run.py:53-185) — policy tables decide keep/drop before content."""
+    from ..operators.crawl import robots_filter
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    did = F.col("doc_id").cast("string")
+    canon = d.select(
+        F.concat(
+            F.lit("https://ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            did,
+        ).alias("url")
+    )
+    mirror = d.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(
+            F.lit("http://mirror.example.net/d?id="), did, F.lit("&q=1")
+        ).alias("url")
+    )
+    urls = canon.unionByName(mirror)
+    robot = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, prefix string, allow int"
+    )
+    return robots_filter(urls, robot)
+
+
+@q(
+    "domain_quality_card",
+    "WITH h AS (" + _HTML_SYNTH_SQL + "),\n"
+    "x AS (SELECT doc_id, html, " + _HTML_EXTRACT_SQL + " AS text FROM h),\n"
+    "s AS (SELECT 'ex' || (doc_id % 7)::VARCHAR || '.example.org' AS domain,\n"
+    "  length(html)::BIGINT AS nh, length(text)::BIGINT AS nt,\n"
+    "  (CASE WHEN length(html) > 0 THEN"
+    " ((length(text)::BIGINT * 1000) // length(html)::BIGINT) END)::BIGINT"
+    " AS kept,\n"
+    "  (CASE WHEN position('<script' IN html) > 0 THEN 1 ELSE 0 END)::BIGINT"
+    " AS scr\n"
+    "FROM x),\n"
+    "g AS (SELECT domain, count(*)::BIGINT AS n_pages,\n"
+    "  sum(nh)::BIGINT AS sh, sum(nt)::BIGINT AS st,\n"
+    f"  sum(CASE WHEN kept < {_rules.DOMAIN_LOW_KEPT_PERMILLE} THEN 1"
+    " ELSE 0 END)::BIGINT AS n_low,\n"
+    "  sum(scr)::BIGINT AS n_s\n"
+    "FROM s GROUP BY domain)\n"
+    "SELECT domain, n_pages,\n"
+    "  ((st * 1000) // sh)::BIGINT AS kept_permille,\n"
+    "  ((n_low * 1000) // n_pages)::BIGINT AS low_permille,\n"
+    "  ((n_s * 1000) // n_pages)::BIGINT AS script_permille,\n"
+    f"  CASE WHEN ((n_low * 1000) // n_pages) >= {_rules.DOMAIN_REVIEW_PERMILLE}"
+    " THEN 'review' ELSE 'ok' END AS verdict\n"
+    "FROM g",
+)
+def domain_quality_card_q(spark, sf):
+    """Domain-level yield card (operators/crawl.domain_quality_card) over
+    html_extract output: pages, size-weighted kept permille (char SUMS,
+    so one huge page weighs its size), low-yield and scripted page
+    shares, and the blocklist-review verdict (rules.py DOMAIN_*).
+    RefinedWeb/C4-class pipelines gate whole DOMAINS before paying for
+    per-document screens. Combinable sums only; the shuffle carries the
+    reduced per-domain card, never pages — the right shape at 100 TB."""
+    from ..operators.crawl import domain_quality_card
+    from ..operators.htmlextract import html_extract
+
+    pages = html_extract(_html_corpus(spark, sf), "doc_id", "html").withColumn(
+        "domain",
+        F.concat(
+            F.lit("ex"), (F.col("doc_id") % 7).cast("string"), F.lit(".example.org")
+        ),
+    )
+    return domain_quality_card(pages, "domain")
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -326,6 +326,41 @@ CLICK_MAD_MULT = 10
 CLICK_MIN_ABS = 4000
 CLICK_MAX_PER_MIN = 10
 
+# --- soft-404 / error-page screen (crawl stage-zero) -----------------------
+# A crawled page that returned HTTP 200 but carries an error TEMPLATE is a
+# "soft 404" — it poisons dedup (thousands of identical "not found" bodies)
+# and quality stats. Verdict: title matching SOFT404_TITLE_RE is decisive;
+# an error PHRASE in the body only counts when the body is also short
+# (< SOFT404_MIN_CHARS extracted chars) so an article ABOUT 404 pages
+# survives. Patterns stick to the RE2/Java shared regex subset.
+SOFT404_TITLE_RE = r"(?i)(404|not found|forbidden|unavailable|error)"
+SOFT404_PHRASE_RE = (
+    r"(?i)(page (was )?not found|access denied|temporarily unavailable"
+    r"|an error occurred|does not exist)"
+)
+SOFT404_MIN_CHARS = 120
+
+# --- robots.txt crawl-policy filter ----------------------------------------
+# Google/RFC 9309 matching semantics: among the rules of a URL's host
+# whose path-prefix matches, the LONGEST prefix wins; on a length tie,
+# Allow beats Disallow; a URL with no matching rule is allowed. Encoded
+# as integer best_key = 2*len(prefix) + allow so one max() resolves both
+# the length and the tie rule (portable to the SQL oracle verbatim).
+
+# --- per-domain quality card ------------------------------------------------
+# Domain-level curation (RefinedWeb/C4 run URL+domain filters before any
+# per-document screen): a domain whose share of low-yield pages
+# (kept_permille < DOMAIN_LOW_KEPT_PERMILLE after HTML extraction)
+# reaches DOMAIN_REVIEW_PERMILLE is flagged for blocklist review.
+DOMAIN_LOW_KEPT_PERMILLE = 550
+DOMAIN_REVIEW_PERMILLE = 500
+
+# --- declared-language metadata screen --------------------------------------
+# The <html lang="..."> attribute is self-reported metadata; pipelines
+# route documents by it, so a mismatch against the catalog/detected
+# language mis-buckets the document. Verdict taxonomy: 'match',
+# 'mismatch', 'missing' (no lang attribute on the page).
+
 # fake container magics used by the deterministic synthetic encoder/decoder
 # (real opus/mp3 codec libraries are not in this container; the decode
 # step for those codecs is a clearly-marked deterministic fake: a magic

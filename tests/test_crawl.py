@@ -1,0 +1,263 @@
+"""Crawl-policy screens (operators/crawl.py): hand fixtures with exact
+expectations, pure-python replicas over the driver-query bases, RFC 9309
+robots semantics vs an independent replica, and 100 TB plan audits
+(row-local screens shuffle-free; robots join broadcast)."""
+
+from __future__ import annotations
+
+import re
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ---- pure-python replicas -------------------------------------------------
+
+_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def _decode(s: str) -> str:
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def meta_replica(html: str) -> dict:
+    t = re.search(r"(?is)<title[^>]*>(.*?)</title>", html)
+    h1 = re.search(r"(?is)<h1[^>]*>(.*?)</h1>", html)
+    lang = re.search(r'(?i)<html[^>]* lang="([^"]*)"', html)
+    return {
+        "title": _decode((t.group(1) if t else "").strip()),
+        "h1": _decode((h1.group(1) if h1 else "").strip()),
+        "lang_attr": lang.group(1) if lang else "",
+        "n_paras": len(re.findall(r"(?i)<p[ >]", html)),
+    }
+
+
+def robots_replica(host: str, path: str, table) -> tuple[int, int]:
+    """(best_key, allowed) under RFC 9309/Google semantics: longest
+    matching prefix wins; Allow beats Disallow on a length tie; no
+    matching rule -> allowed."""
+    best = -1
+    for r_host, prefix, allow in table:
+        if r_host == host and path.startswith(prefix):
+            best = max(best, 2 * len(prefix) + allow)
+    allowed = 1 if (best == -1 or best % 2 == 1) else 0
+    return best, allowed
+
+
+# ---- html_meta / lang_meta ------------------------------------------------
+
+
+def test_html_meta_matches_replica_on_crawl_basis(spark):
+    from kneaddata_spark.operators.crawl import html_meta
+    from kneaddata_spark.plans.entry_queries import _crawl_corpus
+
+    corpus = _crawl_corpus(spark, SF_DIR)
+    raw = {r["doc_id"]: r["html"] for r in corpus.collect()}
+    got = html_meta(corpus, "doc_id", "html").collect()
+    assert len(got) == len(raw) > 100
+    for r in got:
+        want = meta_replica(raw[r["doc_id"]])
+        for k, v in want.items():
+            assert r[k] == v, (r["doc_id"], k, r[k], v)
+    # the planted basis keeps every lang verdict live
+    attrs = {r["lang_attr"] for r in got}
+    assert "" in attrs and "xx" in attrs and len(attrs) > 2
+
+
+def test_lang_meta_verdicts_follow_planting(spark):
+    """doc_id%3: 0 -> missing, 1 -> match (catalog lang), 2 -> mismatch."""
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["lang_meta_screen"](spark, SF_DIR).collect()
+    assert len(rows) > 100
+    for r in rows:
+        want = {0: "missing", 1: "match", 2: "mismatch"}[r["doc_id"] % 3]
+        assert r["verdict"] == want, r
+        if r["verdict"] == "match":
+            assert r["lang_attr"] == r["catalog_lang"]
+        if r["verdict"] == "mismatch":
+            assert r["lang_attr"] == "xx"
+
+
+# ---- soft404 ----------------------------------------------------------------
+
+
+def test_soft404_hand_fixtures(spark):
+    from kneaddata_spark.operators.crawl import soft404_screen
+
+    long_body = "word " * 60  # >= SOFT404_MIN_CHARS
+    cases = [
+        # (title, text, verdict)
+        ("404 Not Found", long_body, "title_404"),  # title decisive, any body
+        ("Fine title", "The page was not found.", "body_404"),
+        ("Fine title", long_body + "an error occurred", "ok"),  # long guard
+        ("Fine title", long_body, "ok"),
+        ("Access forbidden", "x", "title_404"),
+        ("Fine", "short but harmless", "ok"),  # short alone never convicts
+    ]
+    df = spark.createDataFrame(
+        [(i, t, b) for i, (t, b, _) in enumerate(cases)],
+        "id long, title string, text string",
+    )
+    got = {r["id"]: r for r in soft404_screen(df, "id", "title", "text").collect()}
+    for i, (_, _, want) in enumerate(cases):
+        assert got[i]["verdict"] == want, (i, got[i])
+    # flags are honest even when the verdict is ok
+    assert got[2]["flag_phrase"] == 1 and got[2]["flag_short"] == 0
+    assert got[5]["flag_short"] == 1 and got[5]["flag_phrase"] == 0
+
+
+def test_soft404_corpus_all_verdicts_live(spark):
+    from kneaddata_spark.plans.entry_queries import QUERIES
+    from kneaddata_spark import rules
+
+    rows = QUERIES["soft404_screen"](spark, SF_DIR).collect()
+    verdicts = {r["verdict"] for r in rows}
+    assert verdicts == {"title_404", "body_404", "ok"}
+    for r in rows:
+        if r["doc_id"] % 13 == 0:
+            assert r["verdict"] == "title_404"
+        elif r["doc_id"] % 13 == 5:
+            assert r["verdict"] == "body_404"
+        elif r["doc_id"] % 13 == 7:
+            # planted error phrase inside a LONG body stays ok (the guard)
+            assert r["flag_phrase"] == 1
+            if r["flag_short"] == 0:
+                assert r["verdict"] == "ok"
+    assert rules.SOFT404_MIN_CHARS > 0  # rules is the threshold source
+
+
+# ---- robots_filter ----------------------------------------------------------
+
+_TABLE = [
+    ("ex0.example.org", "/", 0),
+    ("ex0.example.org", "/p/", 1),
+    ("ex1.example.org", "/p", 0),
+    ("ex2.example.org", "/p/1", 0),
+    ("ex2.example.org", "/p/1", 1),
+    ("ex3.example.org", "/q/", 0),
+    ("mirror.example.net", "/d", 0),
+]
+
+
+def test_robots_semantics_hand_cases(spark):
+    from kneaddata_spark.operators.crawl import robots_filter
+
+    cases = [
+        # (url, allowed) — covering each semantic rule
+        ("https://ex0.example.org/p/9", 1),   # longest prefix /p/ allow wins
+        ("https://ex0.example.org/other", 0),  # only "/" disallow matches
+        ("https://ex1.example.org/p/9", 0),    # blanket /p disallow
+        ("https://ex1.example.org/q", 1),      # no match -> allowed
+        ("https://ex2.example.org/p/1", 1),    # equal-length tie -> Allow
+        ("https://ex3.example.org/p/9", 1),    # host has rules, none match
+        ("https://unknown.example.com/p", 1),  # host absent entirely
+        ("http://mirror.example.net/d?id=3&q=1", 0),  # ?query is not path
+        ("http://MIRROR.example.net/d/x", 0),  # host case-folded
+        ("https://ex0.example.org", 0),        # empty path matches "/"
+    ]
+    urls = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    table = spark.createDataFrame(_TABLE, "host string, prefix string, allow int")
+    got = {r["url"]: r for r in robots_filter(urls, table).collect()}
+    for u, want in cases:
+        r = got[u]
+        assert r["allowed"] == want, (u, r)
+        # engine agrees with the independent replica on BOTH columns
+        bk, al = robots_replica(r["host"], r["path"], _TABLE)
+        assert (r["best_key"], r["allowed"]) == (bk, al), (u, r)
+
+
+def test_robots_driver_query_matches_replica(spark):
+    from kneaddata_spark.plans.entry_queries import QUERIES, _ROBOTS_RULES
+
+    rows = QUERIES["robots_filter"](spark, SF_DIR).collect()
+    assert len(rows) > 100
+    both = {r["allowed"] for r in rows}
+    assert both == {0, 1}  # fixture keeps both outcomes live
+    for r in rows:
+        bk, al = robots_replica(r["host"], r["path"], _ROBOTS_RULES)
+        assert (r["best_key"], r["allowed"]) == (bk, al), r
+
+
+def test_robots_plan_is_broadcast(spark):
+    """100 TB shape: the frontier NEVER shuffles for the join — the rules
+    side broadcasts; the only Exchange is the per-URL max() agg."""
+    from kneaddata_spark.operators.crawl import robots_filter
+
+    urls = spark.range(100).selectExpr(
+        "concat('https://ex0.example.org/p/', id) AS url"
+    )
+    table = spark.createDataFrame(_TABLE, "host string, prefix string, allow int")
+    plan = (
+        robots_filter(urls, table)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ---- domain_quality_card ----------------------------------------------------
+
+
+def test_domain_quality_card_matches_replica(spark):
+    from kneaddata_spark.plans.entry_queries import QUERIES, _html_corpus
+    from kneaddata_spark import rules
+    from tests.test_htmlextract import extract_replica
+
+    # replica aggregation over the same extract replica
+    agg: dict[str, list] = {}
+    for r in _html_corpus(spark, SF_DIR).collect():
+        dom = f"ex{r['doc_id'] % 7}.example.org"
+        text = extract_replica(r["html"])
+        nh, nt = len(r["html"]), len(text)
+        kept = (nt * 1000) // nh if nh else None
+        a = agg.setdefault(dom, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += nh
+        a[2] += nt
+        a[3] += 1 if (kept is not None and kept < rules.DOMAIN_LOW_KEPT_PERMILLE) else 0
+        a[4] += 1 if "<script" in r["html"] else 0
+
+    got = {r["domain"]: r for r in QUERIES["domain_quality_card"](spark, SF_DIR).collect()}
+    assert set(got) == set(agg) and len(agg) == 7
+    for dom, (n, sh, st, nlow, nscr) in agg.items():
+        r = got[dom]
+        low_pm = (nlow * 1000) // n
+        assert r["n_pages"] == n
+        assert r["kept_permille"] == (st * 1000) // sh
+        assert r["low_permille"] == low_pm
+        assert r["script_permille"] == (nscr * 1000) // n
+        want = "review" if low_pm >= rules.DOMAIN_REVIEW_PERMILLE else "ok"
+        assert r["verdict"] == want
+
+
+# ---- plan audits ------------------------------------------------------------
+
+
+def test_row_local_screens_are_shuffle_free(spark):
+    """html_meta and soft404_screen are one codegen project each: no
+    shuffle Exchange (the basis's lang join broadcasts — the page side
+    never moves), no Python eval of any kind."""
+    from kneaddata_spark.operators.crawl import html_meta, soft404_screen
+    from kneaddata_spark.plans.entry_queries import _crawl_corpus
+
+    corpus = _crawl_corpus(spark, SF_DIR)
+    for df in (
+        html_meta(corpus, "doc_id", "html"),
+        soft404_screen(
+            corpus.selectExpr("doc_id", "'t' AS title", "html AS text"),
+            "doc_id",
+            "title",
+            "text",
+        ),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.replace("BroadcastExchange", "")
+        assert "EvalPython" not in plan and "InPandas" not in plan
