@@ -182,6 +182,7 @@ HEADLINE = R3_SET + [
     "soft404_screen",
     "robots_filter",
     "domain_quality_card",
+    "warc_manifest",
 ]
 
 

@@ -6969,6 +6969,89 @@ def domain_quality_card_q(spark, sf):
     return domain_quality_card(pages, "domain")
 
 
+# --- WARC container ingest (r5: the mile BEFORE the crawl screens) --------
+
+_WARC_FIXTURE_DIR = "/tmp/kneaddata_bench/warc_v1"
+
+
+def _warc_fixture_dir() -> str:
+    """Deterministic WARC shard fixtures, written ONCE with stdlib file
+    I/O (no Spark job — builders stay job-free). 6 shards: plain and
+    member-gzip spellings, html/404/request/binary record mix derived
+    from the shard+record index, plus one shard with a torn tail record
+    exercising the soft per-record failure contract."""
+    import os
+
+    from ..sources.warc import build_warc_bytes
+
+    done = os.path.join(_WARC_FIXTURE_DIR, "_DONE")
+    if os.path.exists(done):
+        return _WARC_FIXTURE_DIR
+    os.makedirs(_WARC_FIXTURE_DIR, exist_ok=True)
+
+    def shard(s: int) -> list[dict]:
+        recs: list[dict] = [
+            {"warc_type": "warcinfo",
+             "content_type": "application/warc-fields",
+             "payload": f"software: kneaddata_spark shard {s}\r\n".encode()}
+        ]
+        for i in range(40):
+            k = (s * 40 + i) % 10
+            uri = f"https://ex{k % 7}.example.org/p/{s}/{i}"
+            if k == 3:
+                recs.append({"warc_type": "request", "target_uri": uri,
+                             "content_type": "application/http",
+                             "payload": b"GET / HTTP/1.1\r\n\r\n"})
+            elif k == 7:
+                recs.append({"warc_type": "response", "target_uri": uri,
+                             "http_status": 404,
+                             "http_content_type": "text/html",
+                             "payload": b"<p>gone</p>"})
+            elif k == 9:
+                recs.append({"warc_type": "response", "target_uri": uri,
+                             "http_status": 200,
+                             "http_content_type": "application/octet-stream",
+                             "payload": bytes([s, i]) * (50 + i)})
+            else:
+                body = (f"<html><head><title>d{s}.{i}</title></head>"
+                        f"<body><p>{'para ' * (1 + k)}</p></body></html>")
+                recs.append({"warc_type": "response", "target_uri": uri,
+                             "http_status": 200,
+                             "http_content_type": "text/html; charset=utf-8",
+                             "payload": body.encode()})
+        return recs
+
+    for s in range(6):
+        raw = build_warc_bytes(shard(s), member_gzip=s % 2 == 1)
+        if s == 4:  # torn tail (plain shard): records before the tear
+            raw = raw[:-9]  # survive, then exactly one invalid row
+        name = f"shard{s}.warc" + (".gz" if s % 2 == 1 else "")
+        with open(os.path.join(_WARC_FIXTURE_DIR, name), "wb") as f:
+            f.write(raw)
+    with open(done, "w") as f:
+        f.write("v1")
+    return _WARC_FIXTURE_DIR
+
+
+@q("warc_manifest")
+def warc_manifest_q(spark, sf):
+    """WARC (ISO 28500) container ingest + per-shard accounting card
+    (sources/warc.py): binaryFile scan (one member-gzip shard == one
+    task, the format's parallelism unit) -> mapInPandas record walk ->
+    combinable per-shard sums (records by type, ok-status share, payload
+    bytes, invalid count). Rows-only by necessity: the oracle cannot
+    read a binary container. The parser itself is oracle'd in pytest
+    (round-trip + malformation matrix vs parse_warc_bytes replica).
+    Reference analog: SAM/BAM container->per-read-rows splitting
+    (sources/fastq.py S5/S6)."""
+    from ..sources.warc import read_warc, warc_manifest
+
+    recs = read_warc(spark, _warc_fixture_dir() + "/*.warc*")
+    return warc_manifest(recs).withColumn(
+        "path", F.regexp_extract("path", r"([^/]+)$", 1)
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

@@ -1,0 +1,257 @@
+"""WARC (ISO 28500) source: the container CommonCrawl actually ships —
+the missing first mile of the web-ingest front (crawl fetch -> WARC
+shards -> html_extract -> screens). Pure stdlib parsing (struct/gzip),
+no external libraries.
+
+Spark shape, audited for 100 TB:
+- One WARC shard file == one Spark partition. This is not a limitation,
+  it is the format: CommonCrawl publishes ~1 GB gzipped shards and
+  member-gzip is not block-splittable, so file-granular parallelism is
+  exactly how every production WARC reader distributes (the binaryFile
+  source gives (path, content) rows; `mapInPandas` walks records within
+  each file). 90k shards per crawl >> any executor count.
+- Records stream OUT of the parser as they are walked; the html/http
+  payload bytes never cross back to the JVM except as the output binary
+  column the downstream screens decode (same contract as the audio
+  sources).
+- Malformed records fail SOFT per record (warc_type='invalid' rows with
+  a reason), never per file — one torn record in a 1 GB shard must not
+  sink the other ~50k records (the audio_opus/audio_mp3 malformation
+  contract applied to the container).
+
+Format subset (WARC/1.0 and 1.1): `WARC/1.x\\r\\n` header block of
+`Name: value` lines ended by an empty line, exactly Content-Length
+payload bytes, then the mandatory `\\r\\n\\r\\n` record terminator.
+Files may be plain or gzip MEMBER-compressed (one gzip member per
+record, the CommonCrawl convention) — stdlib gzip handles concatenated
+members transparently; both spellings parse identically. For
+`warc_type='response'` records the payload is an HTTP/1.x response:
+status line + headers + body; the body and parsed status/Content-Type
+are surfaced as columns so html_extract composes directly.
+
+Reference lineage: kneaddata's sources sniff and split multi-record
+container formats into per-read rows before any QC runs (SAM/BAM pair
+splitting, sources/fastq.py S5/S6); read_warc is the same
+container->rows move for crawl archives.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("record_idx", T.LongType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("warc_record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("http_content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("reason", T.StringType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+_HDR_END = b"\r\n\r\n"
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Name: value lines; names case-folded (RFC: case-insensitive);
+    duplicate names keep the FIRST (WARC named fields shall not repeat)."""
+    out: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if not line or b":" not in line:
+            continue
+        name, _, val = line.partition(b":")
+        key = name.strip().lower().decode("ascii", "replace")
+        if key and key not in out:
+            out[key] = val.strip().decode("utf-8", "replace")
+    return out
+
+
+def _parse_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, body) of an HTTP/1.x response payload; a
+    payload that does not start with HTTP/ returns (None, None, payload)
+    unchanged — metadata/request records carry non-HTTP payloads."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head_end = payload.find(_HDR_END)
+    if head_end < 0:
+        return None, None, payload
+    head = payload[:head_end]
+    body = payload[head_end + 4 :]
+    status_line, _, hdr_block = head.partition(_CRLF)
+    parts = status_line.split(None, 2)
+    status: int | None = None
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
+    hdrs = _parse_headers(hdr_block)
+    return status, hdrs.get("content-type"), body
+
+
+def parse_warc_bytes(path: str, raw: bytes) -> Iterator[dict]:
+    """Walk one WARC file's bytes into record dicts (RECORD_SCHEMA keys).
+    Transparent member-gzip: magic 0x1f8b decompresses the whole stream
+    (stdlib gzip reads concatenated members). Malformed records emit ONE
+    'invalid' row with a reason and stop the walk (after a framing error
+    the stream offset is untrusted — resyncing risks emitting garbage
+    rows; the shard's earlier records are already out)."""
+    if raw[:2] == b"\x1f\x8b":
+        try:
+            raw = gzip.decompress(raw)
+        except (OSError, EOFError) as e:  # EOFError: truncated final member
+            yield {"path": path, "record_idx": 0, "warc_type": "invalid",
+                   "reason": f"gzip: {e}"}
+            return
+    off = 0
+    idx = 0
+    n = len(raw)
+    while off < n:
+        # tolerate stray CRLFs between records (some writers pad)
+        while raw[off : off + 2] == _CRLF:
+            off += 2
+        if off >= n:
+            return
+
+        def _bad(reason: str) -> dict:
+            return {"path": path, "record_idx": idx, "warc_type": "invalid",
+                    "reason": reason}
+
+        if not raw.startswith(b"WARC/", off):
+            yield _bad(f"no WARC/ magic at offset {off}")
+            return
+        hdr_end = raw.find(_HDR_END, off)
+        if hdr_end < 0:
+            yield _bad("unterminated header block")
+            return
+        version_line, _, hdr_block = raw[off:hdr_end].partition(_CRLF)
+        if version_line.strip() not in (b"WARC/1.0", b"WARC/1.1"):
+            yield _bad(f"unsupported version {version_line[:20]!r}")
+            return
+        hdrs = _parse_headers(hdr_block)
+        try:
+            clen = int(hdrs["content-length"])
+        except (KeyError, ValueError):
+            yield _bad("missing/non-integer Content-Length")
+            return
+        body_start = hdr_end + 4
+        body_end = body_start + clen
+        if clen < 0 or body_end + 4 > n:
+            yield _bad("payload truncated (Content-Length past EOF)")
+            return
+        if raw[body_end : body_end + 4] != _HDR_END:
+            yield _bad("missing record terminator")
+            return
+        payload = raw[body_start:body_end]
+        status, http_ct, body = _parse_http_payload(payload)
+        yield {
+            "path": path,
+            "record_idx": idx,
+            "warc_type": hdrs.get("warc-type", ""),
+            "warc_record_id": hdrs.get("warc-record-id", ""),
+            "target_uri": hdrs.get("warc-target-uri", ""),
+            "warc_date": hdrs.get("warc-date", ""),
+            "content_type": hdrs.get("content-type", ""),
+            "content_length": clen,
+            "http_status": status,
+            "http_content_type": http_ct,
+            "payload": body,
+            "reason": None,
+        }
+        off = body_end + 4
+        idx += 1
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards -> one row per record. binaryFile scan (one file per
+    task — the member-gzip parallelism unit) + mapInPandas walking each
+    file; for response records http_status / http_content_type / payload
+    carry the parsed HTTP body so html_extract composes directly."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def walk(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in RECORD_SCHEMA.fields]
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                rows = list(parse_warc_bytes(path_, bytes(content)))
+                if rows:
+                    yield pd.DataFrame(
+                        {c: [r.get(c) for r in rows] for c in cols}
+                    )
+
+    return files.mapInPandas(walk, RECORD_SCHEMA)
+
+
+# ------------------------------------------------------------------ writer --
+
+_REQUIRED = ("WARC-Type", "WARC-Record-ID", "WARC-Date")
+
+
+def build_warc_bytes(records: list[dict], member_gzip: bool = False) -> bytes:
+    """Serialize records to WARC/1.0 bytes (the test/fixture writer and
+    the receipt for read_warc round-trips). Each record dict: warc_type,
+    target_uri, payload (bytes), plus optional http_status /
+    http_content_type (wrapping payload as an HTTP response),
+    warc_record_id, warc_date, content_type. Byte-deterministic: fixed
+    header order, no clock reads (caller passes dates)."""
+    out = io.BytesIO()
+    for i, rec in enumerate(records):
+        payload = rec.get("payload", b"")
+        if rec.get("http_status") is not None:
+            status = int(rec["http_status"])
+            ct = rec.get("http_content_type") or "application/octet-stream"
+            payload = (
+                f"HTTP/1.1 {status} X\r\nContent-Type: {ct}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload
+        hdrs = [
+            ("WARC-Type", rec.get("warc_type", "response")),
+            ("WARC-Record-ID", rec.get("warc_record_id", f"<urn:uuid:{i}>")),
+            ("WARC-Date", rec.get("warc_date", "2026-01-01T00:00:00Z")),
+            ("WARC-Target-URI", rec.get("target_uri", "")),
+            ("Content-Type", rec.get("content_type", "application/http")),
+            ("Content-Length", str(len(payload))),
+        ]
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in hdrs if v != ""
+        )
+        member = head + b"\r\n" + payload + b"\r\n\r\n"
+        if member_gzip:
+            member = gzip.compress(member, mtime=0)
+        out.write(member)
+    return out.getvalue()
+
+
+def warc_manifest(records: DataFrame) -> DataFrame:
+    """Per-shard accounting card over read_warc output: records by type,
+    response share, ok-status share, total payload bytes — the shard
+    health surface an ingest job monitors. Combinable sums; only the
+    per-file card shuffles."""
+    is_resp = (F.col("warc_type") == "response").cast("long")
+    is_ok = (
+        (F.col("http_status") >= 200) & (F.col("http_status") < 300)
+    ).cast("long")
+    return records.groupBy("path").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.sum(is_resp).cast("long").alias("n_responses"),
+        F.sum(F.coalesce(is_ok, F.lit(0))).cast("long").alias("n_ok"),
+        F.sum((F.col("warc_type") == "invalid").cast("long"))
+        .cast("long")
+        .alias("n_invalid"),
+        F.sum(F.coalesce(F.length("payload"), F.lit(0)))
+        .cast("long")
+        .alias("payload_bytes"),
+    )

@@ -1,0 +1,193 @@
+"""WARC source: byte-deterministic writer/reader round-trip (plain AND
+member-gzip), HTTP payload parsing, the malformation matrix (soft
+per-record failure), composition with html_extract, manifest replica,
+and the one-file-one-task plan shape."""
+
+from __future__ import annotations
+
+import gzip
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _records():
+    return [
+        {
+            "warc_type": "warcinfo",
+            "content_type": "application/warc-fields",
+            "payload": b"software: kneaddata_spark\r\n",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://ex0.example.org/p/1",
+            "http_status": 200,
+            "http_content_type": "text/html; charset=utf-8",
+            "payload": b"<html><head><title>t</title></head><body><p>Hi</p></body></html>",
+        },
+        {
+            "warc_type": "response",
+            "target_uri": "https://ex1.example.org/missing",
+            "http_status": 404,
+            "http_content_type": "text/html",
+            "payload": b"<p>gone</p>",
+        },
+        {
+            "warc_type": "request",
+            "target_uri": "https://ex0.example.org/p/1",
+            "content_type": "application/http",
+            "payload": b"GET /p/1 HTTP/1.1\r\nHost: ex0.example.org\r\n\r\n",
+        },
+        {
+            # binary body with CRLFCRLF inside: framing must use lengths,
+            # never delimiters
+            "warc_type": "response",
+            "target_uri": "https://ex0.example.org/bin",
+            "http_status": 200,
+            "http_content_type": "application/octet-stream",
+            "payload": b"\x00\x01\r\n\r\nWARC/1.0\r\n\xff" * 3,
+        },
+    ]
+
+
+def test_roundtrip_plain_and_gzip(spark, tmp_path):
+    from kneaddata_spark.sources.warc import build_warc_bytes, read_warc
+
+    recs = _records()
+    (tmp_path / "a.warc").write_bytes(build_warc_bytes(recs))
+    (tmp_path / "b.warc.gz").write_bytes(build_warc_bytes(recs, member_gzip=True))
+    got = read_warc(spark, str(tmp_path / "*.warc*")).collect()
+    by_file: dict[str, list] = {}
+    for r in got:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    assert set(by_file) == {"a.warc", "b.warc.gz"}
+    for rows in by_file.values():
+        rows = sorted(rows, key=lambda r: r["record_idx"])
+        assert [r["warc_type"] for r in rows] == [
+            "warcinfo", "response", "response", "request", "response",
+        ]
+        assert rows[1]["http_status"] == 200
+        assert rows[1]["http_content_type"] == "text/html; charset=utf-8"
+        assert bytes(rows[1]["payload"]) == recs[1]["payload"]
+        assert rows[2]["http_status"] == 404
+        # non-HTTP payloads pass through unparsed
+        assert rows[3]["http_status"] is None
+        assert bytes(rows[3]["payload"]) == recs[3]["payload"]
+        # binary body with embedded CRLFCRLF/WARC magic framed by length
+        assert bytes(rows[4]["payload"]) == recs[4]["payload"]
+        assert all(r["reason"] is None for r in rows)
+
+
+def test_malformation_matrix(spark, tmp_path):
+    from kneaddata_spark.sources.warc import build_warc_bytes, read_warc
+
+    ok = build_warc_bytes(_records()[:2])  # two good records first
+    cases = {
+        "torn.warc": ok + build_warc_bytes(_records()[1:2])[:-10],
+        "magic.warc": ok + b"HTTP/1.1 200 X\r\n\r\n",
+        "version.warc": ok + b"WARC/9.9\r\nContent-Length: 0\r\n\r\n\r\n\r\n",
+        "nolen.warc": ok + b"WARC/1.0\r\nWARC-Type: response\r\n\r\n\r\n\r\n",
+        "noterm.warc": ok
+        + b"WARC/1.0\r\nContent-Length: 4\r\n\r\nBODYxxxx"
+        + b" " * 8,
+        "badgz.warc.gz": b"\x1f\x8b" + b"\x00" * 30,
+        # truncated FINAL member: stdlib raises EOFError (not OSError) —
+        # must still fail soft as one invalid row
+        "teargz.warc.gz": build_warc_bytes(_records()[:2], member_gzip=True)[:-6],
+    }
+    for name, raw in cases.items():
+        (tmp_path / name).write_bytes(raw)
+    rows = read_warc(spark, str(tmp_path / "*.warc*")).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    for name in cases:
+        got = sorted(by_file[name], key=lambda r: r["record_idx"])
+        if name in ("badgz.warc.gz", "teargz.warc.gz"):
+            # whole-stream gzip failure: decompression is all-or-nothing,
+            # so the file collapses to ONE invalid row (unlike framing
+            # errors, where records before the tear survive)
+            assert [r["warc_type"] for r in got] == ["invalid"]
+            assert "gzip" in got[0]["reason"]
+            continue
+        # the two good records SURVIVE, then exactly one invalid row
+        assert [r["warc_type"] for r in got] == [
+            "warcinfo", "response", "invalid",
+        ], (name, got)
+        assert got[2]["reason"], name
+
+
+def test_compose_with_html_extract(spark, tmp_path):
+    """The point of the source: response payloads flow straight into the
+    stage-zero extractor."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.htmlextract import html_extract
+    from kneaddata_spark.sources.warc import build_warc_bytes, read_warc
+
+    (tmp_path / "c.warc.gz").write_bytes(
+        build_warc_bytes(_records(), member_gzip=True)
+    )
+    recs = read_warc(spark, str(tmp_path / "c.warc.gz"))
+    pages = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").startswith("text/html")
+        & (F.col("http_status") == 200)
+    ).select("target_uri", F.col("payload").cast("string").alias("html"))
+    out = {r["target_uri"]: r["text"] for r in
+           html_extract(pages, "target_uri", "html").collect()}
+    assert out == {"https://ex0.example.org/p/1": "t\nHi"}
+
+
+def test_manifest_matches_replica(spark, tmp_path):
+    from kneaddata_spark.sources.warc import (
+        build_warc_bytes,
+        parse_warc_bytes,
+        read_warc,
+        warc_manifest,
+    )
+
+    raw = build_warc_bytes(_records())
+    (tmp_path / "m.warc").write_bytes(raw)
+    want_rows = list(parse_warc_bytes("m.warc", raw))
+    m = warc_manifest(read_warc(spark, str(tmp_path / "m.warc"))).collect()
+    assert len(m) == 1
+    r = m[0]
+    assert r["n_records"] == len(want_rows) == 5
+    assert r["n_responses"] == 3
+    assert r["n_ok"] == 2  # 200 + 200; the 404 is a response but not ok
+    assert r["n_invalid"] == 0
+    assert r["payload_bytes"] == sum(len(w["payload"]) for w in want_rows)
+
+
+def test_gzip_member_stream_is_concatenated_members(tmp_path):
+    """Each record is its OWN gzip member (the CommonCrawl convention a
+    range-request reader relies on), not one stream."""
+    from kneaddata_spark.sources.warc import build_warc_bytes
+
+    raw = build_warc_bytes(_records(), member_gzip=True)
+    # count gzip member headers: magic + deflate method at member starts
+    n_members = 0
+    off = 0
+    while off < len(raw):
+        assert raw[off : off + 2] == b"\x1f\x8b"
+        n_members += 1
+        # walk to the next member by decompressing exactly one
+        d = gzip.zlib.decompressobj(31)
+        d.decompress(raw[off:])
+        off = len(raw) - len(d.unused_data)
+    assert n_members == len(_records())
+
+
+def test_read_plan_shape(spark, tmp_path):
+    """One mapInPandas over the binaryFile scan, no shuffle before the
+    record rows exist; the manifest adds exactly the one reduced-card
+    aggregation exchange."""
+    from kneaddata_spark.sources.warc import build_warc_bytes, read_warc, warc_manifest
+
+    (tmp_path / "p.warc").write_bytes(build_warc_bytes(_records()))
+    recs = read_warc(spark, str(tmp_path / "p.warc"))
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+    mplan = warc_manifest(recs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(path" in mplan
