@@ -183,6 +183,7 @@ HEADLINE = R3_SET + [
     "robots_filter",
     "domain_quality_card",
     "warc_manifest",
+    "robots_parse",
 ]
 
 

@@ -20,7 +20,7 @@ Spark-first shapes, all audited for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import rules
@@ -169,6 +169,85 @@ def robots_filter(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("allowed"),
+    )
+
+
+UA_LINE_RE = r"(?i)^user-agent\s*:\s*(\S+)"
+RULE_LINE_RE = r"(?i)^(disallow|allow)\s*:\s*(\S*)"
+
+
+def robots_parse(
+    df: DataFrame, host_col: str, body_col: str, agent: str = "*"
+) -> DataFrame:
+    """Raw robots.txt bodies -> the (host, prefix, allow) rules table
+    ``robots_filter`` consumes, with RFC 9309 group semantics:
+
+    - a run of consecutive ``User-agent:`` lines forms one group header;
+      the Allow/Disallow lines after it belong to that group,
+    - a group applies when any header token is ``*`` or equals `agent`
+      (case-insensitive); rules of ALL applying groups merge (distinct),
+    - rules before any User-agent line are ignored (RFC: outside a
+      group), comments (``#`` to end of line) are stripped first,
+    - an empty Disallow value is the no-restriction idiom (no rule), and
+      rules carrying the ``*``/``$`` wildcard extension are excluded —
+      ``robots_filter`` implements the plain prefix subset, the
+      overwhelming production majority.
+
+    Shape at scale: robots.txt bodies are one small row per HOST — per-
+    host windows (lag + running sum assign group ids; keyed, never
+    global), a tiny distinct applying-group frame joined back on
+    (host, gid), one distinct on the reduced rules. All costs are on the
+    hosts table, never the frontier."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("idx", "raw"),
+    )
+    # \s-trim (not F.trim) so CRLF bodies behave; identical in the oracle
+    clean = F.regexp_replace(F.regexp_replace("raw", r"#.*$", ""), r"^\s+|\s+$", "")
+    k = lines.select(
+        "host",
+        "idx",
+        clean.alias("line"),
+    ).select(
+        "host",
+        "idx",
+        F.col("line").rlike(UA_LINE_RE).alias("is_ua"),
+        F.lower(F.regexp_extract("line", UA_LINE_RE, 1)).alias("ua_token"),
+        F.lower(F.regexp_extract("line", RULE_LINE_RE, 1)).alias("kind"),
+        F.regexp_extract("line", RULE_LINE_RE, 2).alias("val"),
+    )
+    w = Window.partitionBy("host").orderBy("idx")
+    with_prev = k.withColumn(
+        "ua_start",
+        (F.col("is_ua") & ~F.coalesce(F.lag("is_ua").over(w), F.lit(False))).cast(
+            "long"
+        ),
+    )
+    g = with_prev.withColumn(
+        "gid", F.sum("ua_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    applies = (
+        g.where(
+            F.col("is_ua")
+            & F.col("ua_token").isin("*", agent.lower())
+        )
+        .select("host", "gid")
+        .distinct()
+    )
+    rule_rows = g.where(
+        (F.col("kind") != "")
+        & (F.col("val") != "")
+        & ~F.col("val").contains("*")
+        & ~F.col("val").contains("$")
+    )
+    return (
+        rule_rows.join(F.broadcast(applies), ["host", "gid"])
+        .select(
+            "host",
+            F.col("val").alias("prefix"),
+            (F.col("kind") == "allow").cast("long").alias("allow"),
+        )
+        .distinct()
     )
 
 

@@ -6969,6 +6969,100 @@ def domain_quality_card_q(spark, sf):
     return domain_quality_card(pages, "domain")
 
 
+# robots.txt corpus synthesis shared by engine and oracle: one body per
+# host (k = doc_id % 7) exercising every parse rule — an orphan rule
+# before any group (ignored), a BadBot group (never applies), a two-line
+# User-agent header run (* + GoodBot), case-varied directives, an empty
+# Disallow (no-restriction idiom), a wildcard rule (excluded), an
+# inline comment, and for even k a SECOND applying group whose rules
+# merge in.
+_ROBOTS_BODY_SQL = (
+    "'Disallow: /orphan' || chr(10) ||"
+    " '# policy for ex' || k::VARCHAR || chr(10) ||"
+    " 'User-agent: BadBot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||"
+    " 'User-agent: *' || chr(10) || 'User-agent: GoodBot' || chr(10) ||"
+    " 'disallow: /p/' || k::VARCHAR || '/' || chr(10) ||"
+    " 'ALLOW: /p/' || k::VARCHAR || '/open' || chr(10) ||"
+    " 'Disallow:' || chr(10) ||"
+    " 'Disallow: /tmp/*.log' || chr(10) ||"
+    " 'Allow: /q/' || k::VARCHAR || ' # reviewed' ||"
+    " CASE WHEN k % 2 = 0 THEN chr(10) || chr(10) || 'User-agent: *'"
+    " || chr(10) || 'Disallow: /z/' ELSE '' END"
+)
+
+
+@q(
+    "robots_parse",
+    "WITH hk AS (SELECT DISTINCT (doc_id % 7)::BIGINT AS k FROM documents),\n"
+    "b AS (SELECT 'ex' || k::VARCHAR || '.example.org' AS host, "
+    + _ROBOTS_BODY_SQL
+    + " AS body FROM hk),\n"
+    "l0 AS (SELECT host, arr, i::BIGINT AS idx FROM"
+    " (SELECT host, string_split(body, chr(10)) AS arr FROM b),"
+    " LATERAL (SELECT unnest(range(len(arr))) AS i)),\n"
+    "l AS (SELECT host, idx, regexp_replace(regexp_replace(arr[idx+1],"
+    " '#.*$', ''), '^\\s+|\\s+$', '', 'g') AS line FROM l0),\n"
+    "k2 AS (SELECT host, idx,\n"
+    "  regexp_matches(line, '(?i)^user-agent\\s*:\\s*(\\S+)') AS is_ua,\n"
+    "  lower(regexp_extract(line, '(?i)^user-agent\\s*:\\s*(\\S+)', 1))"
+    " AS ua_token,\n"
+    "  lower(regexp_extract(line, '(?i)^(disallow|allow)\\s*:\\s*(\\S*)', 1))"
+    " AS kind,\n"
+    "  regexp_extract(line, '(?i)^(disallow|allow)\\s*:\\s*(\\S*)', 2) AS val\n"
+    "FROM l),\n"
+    "p AS (SELECT *, coalesce(lag(is_ua) OVER"
+    " (PARTITION BY host ORDER BY idx), false) AS prev_ua FROM k2),\n"
+    "g AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)"
+    " OVER (PARTITION BY host ORDER BY idx ROWS UNBOUNDED PRECEDING)::BIGINT"
+    " AS gid FROM p),\n"
+    "ap AS (SELECT DISTINCT host, gid FROM g WHERE is_ua AND ua_token = '*'),\n"
+    "r AS (SELECT g.host, g.val AS prefix,"
+    " (CASE WHEN g.kind = 'allow' THEN 1 ELSE 0 END)::BIGINT AS allow\n"
+    " FROM g JOIN ap ON g.host = ap.host AND g.gid = ap.gid\n"
+    " WHERE g.kind <> '' AND g.val <> ''"
+    " AND position('*' IN g.val) = 0 AND position('$' IN g.val) = 0)\n"
+    "SELECT DISTINCT host, prefix, allow FROM r",
+)
+def robots_parse_q(spark, sf):
+    """robots.txt parsing to the rules table robots_filter consumes
+    (operators/crawl.robots_parse): RFC 9309 group semantics — runs of
+    User-agent lines form a group header, rules of every applying group
+    (token '*' or the agent) merge distinct, orphan rules and foreign
+    groups are ignored, empty-Disallow and wildcard rules excluded.
+    Per-HOST windows only (lag + running sum for group ids — keyed,
+    never global); every cost is on the tiny hosts table, never the
+    frontier. The synthesized per-host bodies keep every branch live in
+    driver data. Reference analog: contaminant-database config parsing
+    before the gates run (run.py:53-185)."""
+    from ..operators.crawl import robots_parse
+
+    hk = (
+        _t(spark, sf, "documents")
+        .select((F.col("doc_id") % 7).cast("long").alias("k"))
+        .distinct()
+    )
+    ks = F.col("k").cast("string")
+    nl = F.lit("\n")
+    body = F.concat(
+        F.lit("Disallow: /orphan\n# policy for ex"), ks, nl,
+        F.lit("User-agent: BadBot\nDisallow: /\n\n"),
+        F.lit("User-agent: *\nUser-agent: GoodBot\n"),
+        F.lit("disallow: /p/"), ks, F.lit("/\n"),
+        F.lit("ALLOW: /p/"), ks, F.lit("/open\n"),
+        F.lit("Disallow:\n"),
+        F.lit("Disallow: /tmp/*.log\n"),
+        F.lit("Allow: /q/"), ks, F.lit(" # reviewed"),
+        F.when(
+            F.col("k") % 2 == 0, F.lit("\n\nUser-agent: *\nDisallow: /z/")
+        ).otherwise(F.lit("")),
+    )
+    b = hk.select(
+        F.concat(F.lit("ex"), ks, F.lit(".example.org")).alias("host"),
+        body.alias("body"),
+    )
+    return robots_parse(b, "host", "body")
+
+
 # --- WARC container ingest (r5: the mile BEFORE the crawl screens) --------
 
 _WARC_FIXTURE_DIR = "/tmp/kneaddata_bench/warc_v1"

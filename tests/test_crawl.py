@@ -261,3 +261,135 @@ def test_row_local_screens_are_shuffle_free(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan.replace("BroadcastExchange", "")
         assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+# ---- robots_parse ----------------------------------------------------------
+
+
+def _robots_parse_replica(body: str, agent: str = "*") -> set[tuple[str, int]]:
+    """Independent RFC 9309 group-semantics replica (urllib-free: the
+    stdlib RobotFileParser does not expose its rule table)."""
+    groups: list[tuple[set[str], list[tuple[str, int]]]] = []
+    cur_agents: set[str] | None = None
+    in_header = False
+    for raw in body.split("\n"):
+        line = re.sub(r"#.*$", "", raw).strip()
+        m = re.match(r"(?i)^user-agent\s*:\s*(\S+)", line)
+        if m:
+            if not in_header:
+                cur_agents = set()
+                groups.append((cur_agents, []))
+            cur_agents.add(m.group(1).lower())
+            in_header = True
+            continue
+        r = re.match(r"(?i)^(disallow|allow)\s*:\s*(\S*)", line)
+        in_header = False
+        if r and cur_agents is not None:
+            kind, val = r.group(1).lower(), r.group(2)
+            if val and "*" not in val and "$" not in val:
+                groups[-1][1].append((val, 1 if kind == "allow" else 0))
+    out: set[tuple[str, int]] = set()
+    for agents, rls in groups:
+        if "*" in agents or agent.lower() in agents:
+            out |= set(rls)
+    return out
+
+
+_ROBOTS_BODY = """Disallow: /orphan
+# leading comment
+User-agent: BadBot
+Disallow: /secret/
+
+User-agent: *
+User-agent: GoodBot
+disallow: /a/
+ALLOW: /a/open
+Disallow:
+Disallow: /logs/*.log
+Allow: /b # inline comment
+Allow: /end$
+
+User-agent: OtherBot
+Disallow: /c/
+
+User-agent: *
+Disallow: /z/
+Disallow: /a/
+"""
+
+
+def test_robots_parse_matches_replica_and_rfc(spark):
+    from kneaddata_spark.operators.crawl import robots_parse
+
+    df = spark.createDataFrame(
+        [("h.example.org", _ROBOTS_BODY), ("empty.example.org", "# nothing\n")],
+        "host string, body string",
+    )
+    got = {
+        (r["host"], r["prefix"], r["allow"])
+        for r in robots_parse(df, "host", "body").collect()
+    }
+    want = {
+        ("h.example.org", p, a) for p, a in _robots_parse_replica(_ROBOTS_BODY)
+    }
+    assert got == want
+    # the exact rule table, spelled out: orphan/BadBot/OtherBot/wildcard/
+    # empty-Disallow all excluded; '/a/' dedupes across the two * groups
+    assert got == {
+        ("h.example.org", "/a/", 0),
+        ("h.example.org", "/a/open", 1),
+        ("h.example.org", "/b", 1),
+        ("h.example.org", "/z/", 0),
+    }
+
+
+def test_robots_parse_agent_specific_group(spark):
+    from kneaddata_spark.operators.crawl import robots_parse
+
+    body = "User-agent: MyBot\nDisallow: /m/\n\nUser-agent: *\nDisallow: /w/\n"
+    df = spark.createDataFrame([("h", body)], "host string, body string")
+    star = {(r["prefix"], r["allow"]) for r in robots_parse(df, "host", "body").collect()}
+    mine = {
+        (r["prefix"], r["allow"])
+        for r in robots_parse(df, "host", "body", agent="mybot").collect()
+    }
+    assert star == {("/w/", 0)}
+    assert mine == {("/m/", 0), ("/w/", 0)}
+
+
+def test_robots_parse_composes_with_filter(spark):
+    """parse -> filter end-to-end: the longest-match/tie semantics run
+    over a PARSED table identically to the hand-built one."""
+    from kneaddata_spark.operators.crawl import robots_filter, robots_parse
+
+    body = "User-agent: *\nDisallow: /a/\nAllow: /a/open\n"
+    rules_df = robots_parse(
+        spark.createDataFrame([("h.example.org", body)], "host string, body string"),
+        "host",
+        "body",
+    )
+    urls = spark.createDataFrame(
+        [("https://H.example.org/a/x",), ("https://h.example.org/a/open/1",),
+         ("https://h.example.org/other",)],
+        "url string",
+    )
+    got = {r["url"]: r["allowed"] for r in robots_filter(urls, rules_df).collect()}
+    assert got == {
+        "https://H.example.org/a/x": 0,
+        "https://h.example.org/a/open/1": 1,
+        "https://h.example.org/other": 1,
+    }
+
+
+def test_robots_parse_windows_are_host_keyed(spark):
+    """The group-id windows partition by host — never a global
+    single-partition window (the repo-wide invariant)."""
+    from kneaddata_spark.operators.crawl import robots_parse
+
+    df = spark.createDataFrame([("h", "User-agent: *\nDisallow: /a/")],
+                               "host string, body string")
+    plan = robots_parse(df, "host", "body")._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Window \[.*", plan):
+        assert "host" in m.group(0)
