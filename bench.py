@@ -184,6 +184,7 @@ HEADLINE = R3_SET + [
     "domain_quality_card",
     "warc_manifest",
     "robots_parse",
+    "warc_audio_qc",
 ]
 
 

@@ -7146,6 +7146,110 @@ def warc_manifest_q(spark, sf):
     )
 
 
+_WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
+_WARC_AUDIO_N = 240
+
+_AUDIO_MIME = {
+    "wav": "audio/x-wav", "flac": "audio/flac", "opus": "audio/opus",
+    "mp3": "audio/mpeg", "pcm_s16le": "audio/L16", "pcm_u8": "audio/basic",
+    "bogus": "audio/unknown",
+}
+
+
+def _warc_audio_dir() -> str:
+    """Deterministic crawled-audio fixture: the synth clip corpus
+    (synth.gen_clip — the BASELINE.json input_hint generator, planted
+    defects included) packaged as 4 member-gzip WARC shards of audio
+    responses plus html distractor records, with the transcript/metadata
+    CATALOG as a sidecar parquet (pyarrow write — no Spark job; builders
+    stay job-free). Payload bytes live ONLY in the WARC shards; the
+    catalog carries metadata — the split a real crawl+caption-DB
+    pipeline has."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.warc import build_warc_bytes
+    from ..synth import gen_clip
+
+    done = os.path.join(_WARC_AUDIO_DIR, "_DONE")
+    if os.path.exists(done):
+        return _WARC_AUDIO_DIR
+    os.makedirs(_WARC_AUDIO_DIR, exist_ok=True)
+    clips = [gen_clip(i) for i in range(_WARC_AUDIO_N)]
+    per_shard = _WARC_AUDIO_N // 4
+    for s in range(4):
+        recs = []
+        for c in clips[s * per_shard : (s + 1) * per_shard]:
+            recs.append({
+                "warc_type": "response",
+                "target_uri": f"https://cdn{s}.example.org/clips/{c['clip_id']}.bin",
+                "http_status": 200,
+                "http_content_type": _AUDIO_MIME[c["codec"]],
+                "payload": c["bytes"],
+            })
+            if int(c["clip_id"][1:]) % 12 == 0:  # html distractors the
+                recs.append({                    # audio filter must skip
+                    "warc_type": "response",
+                    "target_uri": f"https://cdn{s}.example.org/pages/{c['clip_id']}",
+                    "http_status": 200,
+                    "http_content_type": "text/html",
+                    "payload": b"<html><body><p>about this clip</p></body></html>",
+                })
+        raw = build_warc_bytes(recs, member_gzip=True)
+        with open(os.path.join(_WARC_AUDIO_DIR, f"audio{s}.warc.gz"), "wb") as f:
+            f.write(raw)
+    cat = pa.table({
+        "clip_id": [c["clip_id"] for c in clips],
+        "sr_hz": pa.array([c["sr_hz"] for c in clips], pa.int32()),
+        "dur_ms": pa.array([c["dur_ms"] for c in clips], pa.int32()),
+        "codec": [c["codec"] for c in clips],
+        "transcript": [c["transcript"] for c in clips],
+    })
+    pq.write_table(cat, os.path.join(_WARC_AUDIO_DIR, "catalog.parquet"))
+    with open(done, "w") as f:
+        f.write("v1")
+    return _WARC_AUDIO_DIR
+
+
+@q("warc_audio_qc")
+def warc_audio_qc_q(spark, sf):
+    """The two axes in ONE plan — crawl container to audio corpus:
+    WARC shards of crawled audio responses (read_warc: one shard == one
+    task, soft per-record failure) -> content-type gate -> clip_id from
+    the URI -> BROADCAST join against the transcript/metadata catalog
+    (bytes never shuffle: the join builds on the tiny catalog side) ->
+    the full QC pipeline (annotate: ONE ArrowEvalPython, verdicts in
+    codegen) -> per-rule counts. Rows-only: binary container + PCM
+    decode basis; pytest proves WARC transport is LOSSLESS (identical
+    per-rule counts and byte-identical payloads vs the same clips fed
+    directly). Reference analog: the full fastq-in -> QC -> per-stage
+    counts flow (run.py end-to-end)."""
+    from ..pipeline import annotate
+    from ..sources.warc import read_warc
+
+    d = _warc_audio_dir()
+    recs = read_warc(spark, d + "/*.warc.gz")
+    audio = recs.where(
+        (F.col("warc_type") == "response")
+        & F.col("http_content_type").startswith("audio/")
+    ).select(
+        F.regexp_extract("target_uri", r"/([^/]+)\.bin$", 1).alias("clip_id"),
+        F.col("payload").alias("bytes"),
+    )
+    cat = spark.read.parquet(d + "/catalog.parquet")
+    clips = audio.join(F.broadcast(cat), "clip_id").select(
+        "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"
+    )
+    ann = annotate(clips, *_cached_models(spark))
+    return (
+        ann.select(F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # Driver sweep order — ROTATION POLICY (VERDICT r3 next-round #1): the
 # external driver sweeps roughly the first 50 registered queries under a
 # global time budget, so with 60+ registered queries whatever registers

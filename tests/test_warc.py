@@ -191,3 +191,51 @@ def test_read_plan_shape(spark, tmp_path):
     assert "Exchange" not in plan
     mplan = warc_manifest(recs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(path" in mplan
+
+
+def test_warc_audio_qc_transport_is_lossless(spark):
+    """The axes-tying composition: clips packaged as WARC audio responses
+    must QC IDENTICALLY to the same clips fed directly — same per-rule
+    counts, byte-identical payloads after container round-trip."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.pipeline import annotate
+    from kneaddata_spark.plans.entry_queries import (
+        QUERIES,
+        _WARC_AUDIO_N,
+        _cached_models,
+        _warc_audio_dir,
+    )
+    from kneaddata_spark.sources.warc import read_warc
+    from kneaddata_spark.synth import gen_clips_pdf
+
+    got = {
+        r["status"]: r["n"]
+        for r in QUERIES["warc_audio_qc"](spark, SF_DIR).collect()
+    }
+
+    direct_pdf = gen_clips_pdf(_WARC_AUDIO_N)
+    direct = annotate(
+        spark.createDataFrame(direct_pdf), *_cached_models(spark)
+    ).select(F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"))
+    want = {
+        r["status"]: r["n"]
+        for r in direct.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want and sum(got.values()) == _WARC_AUDIO_N
+
+    # byte-identity through the container for every clip
+    recs = read_warc(spark, _warc_audio_dir() + "/*.warc.gz")
+    trans = {
+        r["clip_id"]: bytes(r["payload"])
+        for r in recs.where(F.col("http_content_type").startswith("audio/"))
+        .select(
+            F.regexp_extract("target_uri", r"/([^/]+)\.bin$", 1).alias("clip_id"),
+            "payload",
+        )
+        .collect()
+    }
+    assert len(trans) == _WARC_AUDIO_N
+    for cid, raw in zip(direct_pdf["clip_id"], direct_pdf["bytes"]):
+        assert trans[cid] == bytes(raw), cid
