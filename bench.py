@@ -185,6 +185,7 @@ HEADLINE = R3_SET + [
     "warc_manifest",
     "robots_parse",
     "warc_audio_qc",
+    "cdx_index",
 ]
 
 

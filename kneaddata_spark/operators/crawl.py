@@ -251,6 +251,57 @@ def robots_parse(
     )
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the CDX index
+    key CommonCrawl orders its URL lookup index by: canonicalize
+    (htmlextract.url_canonicalize: lowercase authority, default ports
+    and trackers stripped, params sorted), then reverse the host
+    components (`cdn.example.org` -> `org,example,cdn`), drop a leading
+    `www.`, keep a non-default port after the host run, append `)` and
+    the lowercased path+query. Prefix-ordering by site: every URL of a
+    registrable domain sorts adjacent, which is what makes range-pruned
+    index lookups work. Pure Column algebra."""
+    from .htmlextract import url_canonicalize
+
+    canon = url_canonicalize(url)
+    prefix = F.regexp_extract(canon, r"^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    auth = F.regexp_extract(canon, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    pathq = canon.substr(F.length(prefix) + 1, F.lit(2_000_000_000))
+    host = F.regexp_extract(auth, r"^([^:]+)", 1)
+    port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host_nw, r"\.")), ",")
+    return F.concat(
+        rev,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        F.lower(pathq),
+    )
+
+
+def cdx_index(
+    df: DataFrame, url_col: str, ts_col: str, payload_col: str
+) -> DataFrame:
+    """CDX-style capture index over crawl records: (surt, ts, url,
+    digest, idx) globally ordered by (surt, ts, url) — the lookup index
+    a WARC archive ships next to its shards. digest is the payload md5
+    (the dedup/revisit key). Ordering uses pairs.global_rank (range
+    sort + per-partition offsets — never a single-partition window);
+    the ranked frame is the slim 4-column projection, payloads never
+    enter the sort. At scale the written index is range-partitioned by
+    surt, so a URL lookup prunes to one partition — the zone-map
+    pattern over string keys."""
+    from .pairs import global_rank
+
+    slim = df.select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col).cast("binary")).alias("digest"),
+    )
+    return global_rank(slim, ["surt", "ts", "url"], rank_col="idx")
+
+
 def domain_quality_card(
     pages: DataFrame,
     domain_col: str,

@@ -7146,6 +7146,83 @@ def warc_manifest_q(spark, sf):
     )
 
 
+# canon stages shared with the url_canonical oracle (same text over the
+# same corpus), extended to the SURT/CDX surface
+_CDX_CANON_SQL = (
+    "s1 AS (SELECT url_id, url, regexp_replace(url, '#.*$', '', 'g') AS nofrag"
+    " FROM u),\n"
+    "s2 AS (SELECT *, regexp_extract(nofrag,"
+    " '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) AS prefix0 FROM s1),\n"
+    "s3 AS (SELECT *, substr(nofrag, length(prefix0) + 1) AS rest,"
+    " lower(prefix0) AS lp0 FROM s2),\n"
+    "s4 AS (SELECT *, CASE"
+    " WHEN lp0 LIKE 'http://%' AND lp0 LIKE '%:80'"
+    " THEN substr(lp0, 1, length(lp0) - 3)"
+    " WHEN lp0 LIKE 'https://%' AND lp0 LIKE '%:443'"
+    " THEN substr(lp0, 1, length(lp0) - 4)"
+    " ELSE lp0 END AS lp FROM s3),\n"
+    "s5 AS (SELECT *, regexp_extract(rest, '^([^?]*)', 1) AS path,"
+    " regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS qs FROM s4),\n"
+    "s6 AS (SELECT *, regexp_replace(regexp_replace('&' || qs,"
+    " '&(?:utm_[a-zA-Z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),"
+    " '^&+', '', 'g') AS q1 FROM s5),\n"
+    "s7 AS (SELECT *, array_to_string(list_sort(string_split(q1, '&')), '&')"
+    " AS q2, regexp_replace(path, '/+$', '', 'g') AS cpath FROM s6),\n"
+    "c AS (SELECT url_id, url, lp || cpath ||"
+    " CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END AS canon FROM s7)"
+)
+
+
+@q(
+    "cdx_index",
+    "WITH u AS (" + _URL_SYNTH_SQL + "),\n"
+    + _CDX_CANON_SQL + ",\n"
+    "b AS (SELECT url_id, url, canon,"
+    " (20260101000000 + url_id)::BIGINT AS ts,"
+    " md5('payload-' || url_id::VARCHAR) AS digest FROM c),\n"
+    "a AS (SELECT *, regexp_extract(canon,"
+    " '^([a-z][a-z0-9+.-]*://[^/?#]+)', 1) AS pre,"
+    " regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS auth"
+    " FROM b),\n"
+    "h AS (SELECT *, substr(canon, length(pre) + 1) AS pathq,"
+    " regexp_extract(auth, '^([^:]+)', 1) AS host,"
+    " regexp_extract(auth, ':([0-9]+)$', 1) AS port FROM a),\n"
+    "hn AS (SELECT *, regexp_replace(host, '^www\\.', '') AS host_nw FROM h),\n"
+    "parts AS (SELECT url_id, i::BIGINT AS i, arr[i+1] AS p FROM"
+    " (SELECT url_id, string_split(host_nw, '.') AS arr FROM hn),"
+    " LATERAL (SELECT unnest(range(len(arr))) AS i)),\n"
+    "rv AS (SELECT url_id, string_agg(p, ',' ORDER BY i DESC) AS rev"
+    " FROM parts GROUP BY url_id),\n"
+    "sx AS (SELECT hn.url, hn.ts, hn.digest,"
+    " rv.rev || CASE WHEN hn.port <> '' THEN ':' || hn.port ELSE '' END"
+    " || ')' || lower(hn.pathq) AS surt"
+    " FROM hn JOIN rv ON hn.url_id = rv.url_id)\n"
+    "SELECT surt, ts, url, digest,"
+    " row_number() OVER (ORDER BY surt, ts, url)::BIGINT AS idx FROM sx",
+)
+def cdx_index_q(spark, sf):
+    """CDX capture index (operators/crawl.cdx_index) over the URL-variant
+    corpus: SURT keys (canonicalize -> reversed host run -> ')' ->
+    lowercased path+query — every URL of a site sorts adjacent), payload
+    md5 digests (the revisit/dedup key), and the global (surt, ts, url)
+    order via pairs.global_rank — range sort + offsets, never a
+    single-partition window; payloads never enter the sort. The index
+    CommonCrawl ships next to its WARC shards; range-partitioned by
+    surt, a lookup prunes to one partition. Reference analog: the
+    ordered per-read index kneaddata emits for reconciliation
+    (reorder_emit O1)."""
+    from ..operators.crawl import cdx_index
+
+    base = _url_corpus(spark, sf).select(
+        "url",
+        (F.lit(20260101000000) + F.col("url_id")).cast("long").alias("ts"),
+        F.concat(F.lit("payload-"), F.col("url_id").cast("string")).alias(
+            "payload"
+        ),
+    )
+    return cdx_index(base, "url", "ts", "payload")
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

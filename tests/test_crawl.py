@@ -393,3 +393,56 @@ def test_robots_parse_windows_are_host_keyed(spark):
 
     for m in _re.finditer(r"Window \[.*", plan):
         assert "host" in m.group(0)
+
+
+# ---- surt_key / cdx_index --------------------------------------------------
+
+
+def test_surt_key_hand_cases(spark):
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.crawl import surt_key
+
+    cases = [
+        ("https://cdn.example.org/clips/A.bin", "org,example,cdn)/clips/a.bin"),
+        # www stripped, default port stripped, tracker dropped, params sorted
+        ("HTTP://WWW.Example.COM:80/Path/?b=2&a=1&utm_source=x",
+         "com,example)/path?a=1&b=2"),
+        # non-default port survives after the host run
+        ("https://ex.org:8443/p", "org,ex:8443)/p"),
+        # fragment dropped, trailing slash cut
+        ("https://a.b.c.example.net/x/#frag", "net,example,c,b,a)/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = dict(
+        df.select("url", surt_key(F.col("url")).alias("s")).collect()
+    )
+    for u, want in cases:
+        assert got[u] == want, (u, got[u])
+
+
+def test_cdx_index_order_matches_python_replica(spark):
+    """Global (surt, ts, url) rank equals a plain-python sort — the
+    global_rank machinery under string keys — and digests are payload
+    md5s."""
+    import hashlib
+
+    from kneaddata_spark.operators.crawl import cdx_index
+
+    rows = [
+        (f"https://s{i % 5}.example.org/p/{i}", 20260101000000 + i, f"pay-{i}")
+        for i in range(97)
+    ] + [("https://s0.example.org/p/0", 20260101009999, "revisit")]
+    df = spark.createDataFrame(rows, "url string, ts long, payload string")
+    got = cdx_index(df, "url", "ts", "payload").collect()
+    assert len(got) == len(rows)
+    by_idx = sorted(got, key=lambda r: r["idx"])
+    assert [r["idx"] for r in by_idx] == list(range(1, len(rows) + 1))
+    want_order = sorted((r["surt"], r["ts"], r["url"]) for r in got)
+    assert [(r["surt"], r["ts"], r["url"]) for r in by_idx] == want_order
+    # same page revisited: same surt, later ts -> adjacent index entries
+    revisits = [r for r in by_idx if r["url"] == "https://s0.example.org/p/0"]
+    assert len(revisits) == 2 and revisits[1]["idx"] == revisits[0]["idx"] + 1
+    md = {(r["url"], r["ts"]): r["digest"] for r in got}
+    for url, ts, pay in rows[:5] + rows[-1:]:
+        assert md[(url, ts)] == hashlib.md5(pay.encode()).hexdigest()
