@@ -186,6 +186,8 @@ HEADLINE = R3_SET + [
     "robots_parse",
     "warc_audio_qc",
     "cdx_index",
+    "frontier_schedule",
+    "cdx_revisits",
 ]
 
 

@@ -302,6 +302,54 @@ def cdx_index(
     return global_rank(slim, ["surt", "ts", "url"], rank_col="idx")
 
 
+def frontier_schedule(
+    urls: DataFrame, url_col: str = "url", per_wave: int | None = None
+) -> DataFrame:
+    """Politeness scheduler over a URL frontier: fetches to the same host
+    must not run concurrently without bound, so each URL gets a per-host
+    slot (deterministic order: the URL string) and a fetch wave of at
+    most `per_wave` URLs per host (rules.FRONTIER_PER_WAVE). A crawler
+    executes wave 0 everywhere, then wave 1, … — cross-host parallelism
+    stays maximal while per-host concurrency is capped. One keyed window
+    (partitioned BY HOST — never global); the frontier shuffles once on
+    host, the same partitioning a per-host fetch executor wants."""
+    per_wave = rules.FRONTIER_PER_WAVE if per_wave is None else per_wave
+    host, path = parse_url(F.col(url_col))
+    u = urls.select(F.col(url_col).alias("url"), host.alias("host"))
+    w = Window.partitionBy("host").orderBy("url")
+    slot = F.row_number().over(w).cast("long")
+    return u.select("url", "host", slot.alias("slot")).select(
+        "url",
+        "host",
+        "slot",
+        # integer div (Spark div == DuckDB //), never float-then-truncate
+        F.expr(f"(slot - 1) div {int(per_wave)}").cast("long").alias("wave"),
+    )
+
+
+def cdx_revisits(captures: DataFrame) -> DataFrame:
+    """Revisit detection over CDX captures (surt, ts, url, digest): a
+    capture whose payload digest already appeared at an earlier (ts,
+    url) is a 'revisit' — WARC's revisit-record semantics, the signal
+    that lets an archive store the body ONCE and the fetch event many
+    times. Digest-keyed window (never global): per digest, captures
+    rank by (ts, url); rank 1 is the original. Dedup-adjacent but
+    event-preserving: unlike dedup_exact, every capture row survives,
+    labeled."""
+    w = Window.partitionBy("digest").orderBy("ts", "url")
+    rk = F.row_number().over(w).cast("long")
+    return captures.select(
+        "surt",
+        "ts",
+        "url",
+        "digest",
+        rk.alias("capture_seq"),
+        F.when(rk == 1, F.lit("original")).otherwise(F.lit("revisit")).alias(
+            "verdict"
+        ),
+    )
+
+
 def domain_quality_card(
     pages: DataFrame,
     domain_col: str,

@@ -7223,6 +7223,75 @@ def cdx_index_q(spark, sf):
     return cdx_index(base, "url", "ts", "payload")
 
 
+@q(
+    "frontier_schedule",
+    "WITH u AS (" + _URL_SYNTH_SQL + "),\n"
+    "p AS (SELECT url,"
+    " lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))"
+    " AS host FROM u),\n"
+    "s AS (SELECT url, host,"
+    " row_number() OVER (PARTITION BY host ORDER BY url)::BIGINT AS slot"
+    " FROM p)\n"
+    f"SELECT url, host, slot, ((slot - 1) // {_rules.FRONTIER_PER_WAVE})::BIGINT"
+    " AS wave FROM s",
+)
+def frontier_schedule_q(spark, sf):
+    """Politeness scheduler (operators/crawl.frontier_schedule): per-host
+    fetch slots (deterministic URL order) and waves of at most
+    FRONTIER_PER_WAVE URLs per host — per-host concurrency bounded,
+    cross-host parallelism maximal. ONE keyed window partitioned by
+    host (never global); the frontier shuffles once on host, the same
+    partitioning a per-host fetch executor wants. The URL-variant corpus
+    (uppercase-authority spellings hash to DIFFERENT hosts here —
+    scheduling is by literal authority, pre-canonicalization, exactly
+    when politeness applies). Reference analog: the serial per-database
+    cascade order (run.py D7) — bounded concurrency against one
+    resource."""
+    from ..operators.crawl import frontier_schedule
+
+    u = _url_corpus(spark, sf).select("url")
+    return frontier_schedule(u)
+
+
+@q(
+    "cdx_revisits",
+    "WITH u AS (" + _URL_SYNTH_SQL + "),\n"
+    "b AS (SELECT url, (20260101000000 + url_id)::BIGINT AS ts,"
+    " md5('payload-' || (url_id % 40)::VARCHAR) AS digest,"
+    " 'surt-' || (url_id % 40)::VARCHAR AS surt FROM u),\n"
+    "r AS (SELECT surt, ts, url, digest,"
+    " row_number() OVER (PARTITION BY digest ORDER BY ts, url)::BIGINT"
+    " AS capture_seq FROM b)\n"
+    "SELECT surt, ts, url, digest, capture_seq,"
+    " CASE WHEN capture_seq = 1 THEN 'original' ELSE 'revisit' END AS verdict"
+    " FROM r",
+)
+def cdx_revisits_q(spark, sf):
+    """Revisit detection over CDX captures (operators/crawl.cdx_revisits):
+    a capture whose payload digest already appeared at an earlier
+    (ts, url) is labeled 'revisit' — WARC revisit-record semantics, the
+    store-body-once signal. Digest-keyed window only (never global);
+    every capture row survives, labeled — dedup-adjacent but
+    event-preserving, unlike dedup_exact which drops rows. The synth
+    folds url_id mod 40 so every digest has a real revisit chain in
+    driver data."""
+    from ..operators.crawl import cdx_revisits
+
+    caps = _url_corpus(spark, sf).select(
+        "url",
+        (F.lit(20260101000000) + F.col("url_id")).cast("long").alias("ts"),
+        F.md5(
+            F.concat(
+                F.lit("payload-"), (F.col("url_id") % 40).cast("string")
+            ).cast("binary")
+        ).alias("digest"),
+        F.concat(F.lit("surt-"), (F.col("url_id") % 40).cast("string")).alias(
+            "surt"
+        ),
+    )
+    return cdx_revisits(caps)
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

@@ -355,6 +355,12 @@ SOFT404_MIN_CHARS = 120
 DOMAIN_LOW_KEPT_PERMILLE = 550
 DOMAIN_REVIEW_PERMILLE = 500
 
+# --- frontier politeness scheduler ------------------------------------------
+# At most FRONTIER_PER_WAVE URLs of one host fetch in the same wave; a
+# crawler runs wave 0 everywhere, then wave 1, ... so cross-host
+# parallelism stays maximal while per-host concurrency is bounded.
+FRONTIER_PER_WAVE = 2
+
 # --- declared-language metadata screen --------------------------------------
 # The <html lang="..."> attribute is self-reported metadata; pipelines
 # route documents by it, so a mismatch against the catalog/detected

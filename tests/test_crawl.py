@@ -446,3 +446,54 @@ def test_cdx_index_order_matches_python_replica(spark):
     md = {(r["url"], r["ts"]): r["digest"] for r in got}
     for url, ts, pay in rows[:5] + rows[-1:]:
         assert md[(url, ts)] == hashlib.md5(pay.encode()).hexdigest()
+
+
+def test_frontier_schedule_politeness_invariants(spark):
+    from kneaddata_spark import rules
+    from kneaddata_spark.operators.crawl import frontier_schedule
+
+    urls = [
+        f"https://h{i % 3}.example.org/p/{i:03d}" for i in range(20)
+    ] + ["https://solo.example.net/only"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = frontier_schedule(df).collect()
+    assert len(got) == len(urls)
+    by_host: dict[str, list] = {}
+    for r in got:
+        by_host.setdefault(r["host"], []).append(r)
+    for host, rs in by_host.items():
+        rs = sorted(rs, key=lambda r: r["slot"])
+        # slots are 1..n in URL order; waves cap per-host concurrency
+        assert [r["slot"] for r in rs] == list(range(1, len(rs) + 1))
+        assert [r["url"] for r in rs] == sorted(r["url"] for r in rs)
+        for r in rs:
+            assert r["wave"] == (r["slot"] - 1) // rules.FRONTIER_PER_WAVE
+        from collections import Counter
+
+        per_wave = Counter(r["wave"] for r in rs)
+        assert all(c <= rules.FRONTIER_PER_WAVE for c in per_wave.values())
+    assert by_host["solo.example.net"][0]["wave"] == 0
+
+
+def test_cdx_revisits_chains(spark):
+    from kneaddata_spark.operators.crawl import cdx_revisits
+
+    rows = [
+        # digest A captured 3 times, B once; ties on ts broken by url
+        ("s-a", 100, "https://a/1", "dA"),
+        ("s-a", 300, "https://a/1", "dA"),
+        ("s-a", 200, "https://a/2", "dA"),
+        ("s-b", 100, "https://b/1", "dB"),
+        ("s-c", 100, "https://c/2", "dC"),
+        ("s-c", 100, "https://c/1", "dC"),
+    ]
+    df = spark.createDataFrame(rows, "surt string, ts long, url string, digest string")
+    got = {(r["digest"], r["ts"], r["url"]): (r["capture_seq"], r["verdict"])
+           for r in cdx_revisits(df).collect()}
+    assert got[("dA", 100, "https://a/1")] == (1, "original")
+    assert got[("dA", 200, "https://a/2")] == (2, "revisit")
+    assert got[("dA", 300, "https://a/1")] == (3, "revisit")
+    assert got[("dB", 100, "https://b/1")] == (1, "original")
+    # equal ts: url breaks the tie deterministically
+    assert got[("dC", 100, "https://c/1")] == (1, "original")
+    assert got[("dC", 100, "https://c/2")] == (2, "revisit")
