@@ -173,14 +173,12 @@ def parse_warc_bytes(path: str, raw: bytes) -> Iterator[dict]:
         idx += 1
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC shards -> one row per record. binaryFile scan (one file per
-    task — the member-gzip parallelism unit) + mapInPandas walking each
-    file; for response records http_status / http_content_type / payload
-    carry the parsed HTTP body so html_extract composes directly."""
+def records_from_files(files: DataFrame) -> DataFrame:
+    """(path, content) binary-file rows -> WARC record rows: the ONE
+    mapInPandas walking each shard. Shared by the batch reader and the
+    streaming ingest (the walk is stateless per file, so the same plan
+    runs under readStream unchanged — the stream==batch contract)."""
     import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def walk(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in RECORD_SCHEMA.fields]
@@ -192,7 +190,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         {c: [r.get(c) for r in rows] for c in cols}
                     )
 
-    return files.mapInPandas(walk, RECORD_SCHEMA)
+    return files.select("path", "content").mapInPandas(walk, RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards -> one row per record. binaryFile scan (one file per
+    task — the member-gzip parallelism unit) + mapInPandas walking each
+    file; for response records http_status / http_content_type / payload
+    carry the parsed HTTP body so html_extract composes directly."""
+    files = spark.read.format("binaryFile").load(path)
+    return records_from_files(files)
 
 
 # ------------------------------------------------------------------ writer --

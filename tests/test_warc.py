@@ -239,3 +239,44 @@ def test_warc_audio_qc_transport_is_lossless(spark):
     assert len(trans) == _WARC_AUDIO_N
     for cid, raw in zip(direct_pdf["clip_id"], direct_pdf["bytes"]):
         assert trans[cid] == bytes(raw), cid
+
+
+def test_stream_warc_matches_batch_and_idempotent(spark, tmp_path):
+    """The record walk is stateless per shard, so the SAME plan under
+    readStream must emit exactly the batch rows — binary payloads
+    byte-equal — and re-triggering on the same checkpoint appends
+    nothing (exactly-once)."""
+    from kneaddata_spark.sources.warc import build_warc_bytes, read_warc
+    from kneaddata_spark.streaming import stream_warc_records
+
+    src = tmp_path / "warc_in"
+    src.mkdir()
+    recs = _records()
+    (src / "a.warc").write_bytes(build_warc_bytes(recs))
+    (src / "b.warc.gz").write_bytes(build_warc_bytes(recs, member_gzip=True))
+    # a torn shard flows through the stream with the same soft contract
+    (src / "c.warc").write_bytes(build_warc_bytes(recs)[:-9])
+
+    def key(r):
+        return (r["path"].rsplit("/", 1)[-1], r["record_idx"])
+
+    batch = {
+        key(r): (r["warc_type"], r["target_uri"], r["http_status"],
+                 None if r["payload"] is None else bytes(r["payload"]), r["reason"])
+        for r in read_warc(spark, str(src) + "/*.warc*").collect()
+    }
+
+    out, ckpt = str(tmp_path / "warc_out"), str(tmp_path / "warc_ckpt")
+    q = stream_warc_records(spark, str(src), out, ckpt)
+    q.awaitTermination(300)
+    got = {
+        key(r): (r["warc_type"], r["target_uri"], r["http_status"],
+                 None if r["payload"] is None else bytes(r["payload"]), r["reason"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == batch and len(batch) == 15  # 5 + 5 + (4 good + 1 invalid)
+
+    n_before = spark.read.parquet(out).count()
+    q2 = stream_warc_records(spark, str(src), out, ckpt)  # same checkpoint
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
