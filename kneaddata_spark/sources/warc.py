@@ -242,6 +242,77 @@ def build_warc_bytes(records: list[dict], member_gzip: bool = False) -> bytes:
     return out.getvalue()
 
 
+def write_warc_shards(
+    records: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    member_gzip: bool = True,
+) -> DataFrame:
+    """Distributed WARC SINK: record rows -> one .warc(.gz) shard file
+    per `shard_col` value, written FROM THE EXECUTORS (the archive
+    hand-off format; the emission twin of read_warc, as the FASTQ sink
+    S9b is to the FASTQ scan). Returns the receipt frame (shard, path,
+    n_records, n_bytes) — an action on it performs the write.
+
+    Shape at 100 TB: repartitionByRange on the shard id (each output
+    file is built by exactly ONE task — WARC members must be
+    contiguous), records ordered (shard, record_idx) within the
+    partition so shard content is DETERMINISTIC, one applyInPandas per
+    shard group writing via the byte-deterministic build_warc_bytes
+    (mtime=0 gzip members). Executors write to the shared filesystem
+    directly — the flacarchive.reencode_trimmed sink pattern: bytes
+    staying worker-side is the point, never a driver collect."""
+    import os
+
+    import pandas as pd
+
+    receipt_schema = T.StructType(
+        [
+            T.StructField("shard", T.LongType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("n_records", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if member_gzip else ".warc"
+
+    def emit(key, pdf):  # untyped on purpose: partial hints break
+        # applyInPandas eval-type inference (it warns and falls back)
+        shard = int(key[0])
+        pdf = pdf.sort_values("record_idx")
+        recs = []
+        for r in pdf.itertuples(index=False):
+            recs.append(
+                {
+                    "warc_type": r.warc_type,
+                    "target_uri": r.target_uri,
+                    "warc_record_id": r.warc_record_id,
+                    "warc_date": r.warc_date,
+                    "http_status": None if pd.isna(r.http_status) else int(r.http_status),
+                    "http_content_type": r.http_content_type,
+                    "content_type": r.content_type,
+                    "payload": b"" if r.payload is None else bytes(r.payload),
+                }
+            )
+        raw = build_warc_bytes(recs, member_gzip=member_gzip)
+        path = os.path.join(out_dir, f"shard-{shard:05d}{ext}")
+        with open(path, "wb") as f:
+            f.write(raw)
+        return pd.DataFrame(
+            {"shard": [shard], "path": [path], "n_records": [len(recs)],
+             "n_bytes": [len(raw)]}
+        )
+
+    cols = [
+        shard_col, "record_idx", "warc_type", "warc_record_id", "target_uri",
+        "warc_date", "content_type", "http_status", "http_content_type",
+        "payload",
+    ]
+    part = records.select(*cols).repartitionByRange(F.col(shard_col))
+    return part.groupBy(shard_col).applyInPandas(emit, receipt_schema)
+
+
 def warc_manifest(records: DataFrame) -> DataFrame:
     """Per-shard accounting card over read_warc output: records by type,
     response share, ok-status share, total payload bytes — the shard
