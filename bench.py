@@ -188,6 +188,7 @@ HEADLINE = R3_SET + [
     "cdx_index",
     "frontier_schedule",
     "cdx_revisits",
+    "web_corpus_build",
 ]
 
 

@@ -7292,6 +7292,104 @@ def cdx_revisits_q(spark, sf):
     return cdx_revisits(caps)
 
 
+@q(
+    "web_corpus_build",
+    "WITH h AS (" + _HTML_SYNTH_SQL + "),\n"
+    "x AS (SELECT doc_id, html, " + _HTML_EXTRACT_SQL + " AS text FROM h),\n"
+    "f AS (SELECT doc_id,\n"
+    "  length(text)::BIGINT AS n_chars,\n"
+    "  (CASE WHEN length(html) > 0 THEN"
+    " ((length(text)::BIGINT * 1000) // length(html)::BIGINT) END)::BIGINT"
+    " AS kept_permille,\n"
+    "  CASE WHEN doc_id % 17 = 0 THEN '404 Not Found'"
+    " ELSE trim(regexp_extract(html,"
+    " '(?is)<title[^>]*>(.*?)</title>', 1)) END AS title,\n"
+    "  md5(text) AS k FROM x),\n"
+    "g AS (SELECT *,\n"
+    f"  regexp_matches(title, '{_rules.SOFT404_TITLE_RE}') AS f404,\n"
+    f"  n_chars < {_rules.WEBCORPUS_MIN_CHARS} AS fshort,\n"
+    f"  kept_permille < {_rules.DOMAIN_LOW_KEPT_PERMILLE} AS flow FROM f),\n"
+    "d AS (SELECT *, min(CASE WHEN NOT f404 AND NOT fshort AND NOT flow"
+    " THEN doc_id END) OVER (PARTITION BY k) AS first_doc FROM g)\n"
+    "SELECT doc_id, title, n_chars, kept_permille,\n"
+    "  CASE WHEN f404 THEN 'soft404'\n"
+    "       WHEN fshort THEN 'short'\n"
+    "       WHEN flow THEN 'low_yield'\n"
+    "       WHEN doc_id <> first_doc THEN 'dup'\n"
+    "       ELSE 'kept' END AS verdict\n"
+    "FROM d",
+)
+def web_corpus_build_q(spark, sf):
+    """End-to-end web corpus build — the whole stage-zero gate chain in
+    ONE plan: extraction (htmlextract.extract_text_col), soft-404 title
+    screen (planted at doc_id%17 so the verdict is live), minimum-size
+    and extraction-yield gates (rules.WEBCORPUS_MIN_CHARS /
+    DOMAIN_LOW_KEPT_PERMILLE), then keep-first exact dedup of the
+    SURVIVORS (md5 text key, min-survivor window). First-failing verdict
+    taxonomy, every page labeled, the corpus_build pattern applied to
+    the web front. Shape at 100 TB: every gate is row-local Column
+    algebra, so the chain FUSES into one codegen projection over one
+    scan; the only shuffle is the dedup window's hash partition on the
+    text digest. Reference analog: the full serial QC cascade labeling
+    every read with its first failing rule (run.py:372-450,
+    pipeline.drop_rule)."""
+    from ..operators.htmlextract import extract_text_col
+
+    pages = _html_corpus(spark, sf)
+    text = extract_text_col(F.col("html"))
+    # single projection: text length, yield, title (with the planted
+    # soft-404 slice), digest — computed once from the scan
+    f = pages.select(
+        "doc_id",
+        F.length(text).cast("long").alias("n_chars"),
+        F.length("html").cast("long").alias("n_html"),
+        F.when(
+            F.col("doc_id") % 17 == 0, F.lit("404 Not Found")
+        )
+        .otherwise(
+            F.trim(F.regexp_extract("html", r"(?is)<title[^>]*>(.*?)</title>", 1))
+        )
+        .alias("title"),
+        F.md5(text.cast("binary")).alias("k"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.when(
+            F.col("n_html") > 0, F.expr("(n_chars * 1000) div n_html")
+        )
+        .cast("long")
+        .alias("kept_permille"),
+        "title",
+        "k",
+    )
+    f404 = F.col("title").rlike(_rules.SOFT404_TITLE_RE)
+    fshort = F.col("n_chars") < _rules.WEBCORPUS_MIN_CHARS
+    flow = F.col("kept_permille") < _rules.DOMAIN_LOW_KEPT_PERMILLE
+    g = f.select("*", f404.alias("f404"), fshort.alias("fshort"), flow.alias("flow"))
+    w = Window.partitionBy("k")
+    d = g.withColumn(
+        "first_doc",
+        F.min(
+            F.when(
+                ~F.col("f404") & ~F.col("fshort") & ~F.col("flow"),
+                F.col("doc_id"),
+            )
+        ).over(w),
+    )
+    return d.select(
+        "doc_id",
+        "title",
+        "n_chars",
+        "kept_permille",
+        F.when(F.col("f404"), F.lit("soft404"))
+        .when(F.col("fshort"), F.lit("short"))
+        .when(F.col("flow"), F.lit("low_yield"))
+        .when(F.col("doc_id") != F.col("first_doc"), F.lit("dup"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

@@ -355,6 +355,11 @@ SOFT404_MIN_CHARS = 120
 DOMAIN_LOW_KEPT_PERMILLE = 550
 DOMAIN_REVIEW_PERMILLE = 500
 
+# --- end-to-end web corpus build --------------------------------------------
+# Minimum extracted chars for a page to enter the corpus (C4 drops
+# sub-paragraph pages before any scoring pays to run).
+WEBCORPUS_MIN_CHARS = 200
+
 # --- frontier politeness scheduler ------------------------------------------
 # At most FRONTIER_PER_WAVE URLs of one host fetch in the same wave; a
 # crawler runs wave 0 everywhere, then wave 1, ... so cross-host

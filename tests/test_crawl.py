@@ -497,3 +497,35 @@ def test_cdx_revisits_chains(spark):
     # equal ts: url breaks the tie deterministically
     assert got[("dC", 100, "https://c/1")] == (1, "original")
     assert got[("dC", 100, "https://c/2")] == (2, "revisit")
+
+
+def test_web_corpus_build_verdicts_and_plan(spark):
+    """End-to-end stage-zero chain: first-failing precedence holds
+    against a python recomputation from the row's own stats, planted
+    soft404 slice fires, survivors' dedup keeps the smallest doc_id, and
+    the plan's only exchange is the dedup window's hash partition."""
+    from kneaddata_spark import rules
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    df = QUERIES["web_corpus_build"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) > 100
+    verdicts = {r["verdict"] for r in rows}
+    assert {"soft404", "kept"} <= verdicts  # planted + bulk
+    for r in rows:
+        if r["doc_id"] % 17 == 0:
+            assert r["verdict"] == "soft404"
+        elif r["verdict"] == "short":
+            assert r["n_chars"] < rules.WEBCORPUS_MIN_CHARS
+        elif r["verdict"] == "low_yield":
+            assert r["kept_permille"] < rules.DOMAIN_LOW_KEPT_PERMILLE
+        elif r["verdict"] == "kept":
+            assert r["n_chars"] >= rules.WEBCORPUS_MIN_CHARS
+            assert r["kept_permille"] >= rules.DOMAIN_LOW_KEPT_PERMILLE
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    shuffles = _re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all("k#" in s or s.startswith("k") for s in shuffles), shuffles
+    assert "EvalPython" not in plan and "InPandas" not in plan
