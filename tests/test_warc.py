@@ -333,3 +333,35 @@ def test_write_warc_shards_roundtrip_and_deterministic(spark, tmp_path):
         for r in back
     }
     assert got == want and all(r["reason"] is None for r in back)
+
+
+def test_stream_warc_audio_qc_matches_batch(spark, tmp_path):
+    """Streaming crawled-audio QC == the batch composition on the same
+    shards: per-status counts identical, kept clip ids identical;
+    re-trigger on the same checkpoint appends nothing."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.plans.entry_queries import QUERIES, _warc_audio_dir
+    from kneaddata_spark.streaming import stream_warc_audio_qc
+
+    d = _warc_audio_dir()
+    catalog = spark.read.parquet(d + "/catalog.parquet")
+    batch = {
+        r["status"]: r["n"]
+        for r in QUERIES["warc_audio_qc"](spark, SF_DIR).collect()
+    }
+
+    out, ckpt = str(tmp_path / "aqc_out"), str(tmp_path / "aqc_ckpt")
+    q = stream_warc_audio_qc(spark, d + "/*.warc.gz", catalog, out, ckpt)
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out)
+    got = {
+        r["status"]: r["n"]
+        for r in streamed.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == batch and sum(got.values()) == 240
+
+    n_before = streamed.count()
+    q2 = stream_warc_audio_qc(spark, d + "/*.warc.gz", catalog, out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_before
