@@ -110,7 +110,10 @@ def parse_warc_bytes(path: str, raw: bytes) -> Iterator[dict]:
     if raw[:2] == b"\x1f\x8b":
         try:
             raw = gzip.decompress(raw)
-        except (OSError, EOFError) as e:  # EOFError: truncated final member
+        # OSError covers BadGzipFile (bad magic/CRC), EOFError a truncated
+        # final member, zlib.error a corrupt deflate stream mid-member —
+        # all three reachable from torn/bit-flipped shards (fuzz-tested)
+        except (OSError, EOFError, gzip.zlib.error) as e:
             yield {"path": path, "record_idx": 0, "warc_type": "invalid",
                    "reason": f"gzip: {e}"}
             return

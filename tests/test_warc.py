@@ -365,3 +365,38 @@ def test_stream_warc_audio_qc_matches_batch(spark, tmp_path):
     q2 = stream_warc_audio_qc(spark, d + "/*.warc.gz", catalog, out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_parse_warc_bytes_fuzz_never_raises():
+    """1,000 seeded byte-level mutations (flips, deletions, insertions)
+    of valid plain AND member-gzip shards: the parser must always
+    return rows (possibly 'invalid' with a reason), NEVER raise — the
+    soft-failure contract under genuinely hostile bytes. Catches the
+    exception-type gaps a hand-written malformation matrix misses
+    (BadGzipFile vs EOFError vs zlib.error)."""
+    import random
+
+    from kneaddata_spark.sources.warc import build_warc_bytes, parse_warc_bytes
+
+    plain = build_warc_bytes(_records())
+    gz = build_warc_bytes(_records(), member_gzip=True)
+    rng = random.Random(20260820)
+    for trial in range(1000):
+        base = plain if trial % 2 == 0 else gz
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            pos = rng.randrange(len(b))
+            if op < 0.5:
+                b[pos] = rng.randrange(256)
+            elif op < 0.75:
+                del b[pos : pos + rng.randint(1, 24)]
+            else:
+                b[pos:pos] = bytes(
+                    rng.randrange(256) for _ in range(rng.randint(1, 24))
+                )
+        rows = list(parse_warc_bytes(f"fuzz{trial}", bytes(b)))
+        for r in rows:
+            assert r["path"] == f"fuzz{trial}" and r["record_idx"] >= 0
+            if r["warc_type"] == "invalid":
+                assert r["reason"]
