@@ -189,6 +189,7 @@ HEADLINE = R3_SET + [
     "frontier_schedule",
     "cdx_revisits",
     "web_corpus_build",
+    "sitemap_parse",
 ]
 
 

@@ -251,6 +251,53 @@ def robots_parse(
     )
 
 
+SITEMAP_URL_BLOCK_RE = r"(?is)<url>(.*?)</url>"
+SITEMAP_SM_BLOCK_RE = r"(?is)<sitemap>(.*?)</sitemap>"
+SITEMAP_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
+SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+SITEMAP_CHANGEFREQ_RE = r"(?is)<changefreq>\s*(.*?)\s*</changefreq>"
+SITEMAP_PRIORITY_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
+
+
+def sitemap_parse(df: DataFrame, id_col: str, xml_col: str) -> DataFrame:
+    """Sitemap XML -> URL rows: the DISCOVERY half of the crawl-policy
+    pair (robots_parse rules what may fetch; sitemaps declare what
+    exists). Parses both document shapes of sitemaps.org: `<urlset>`
+    entries emit kind='url' rows (loc entity-decoded — `&amp;` in query
+    strings is the XML-required spelling — plus lastmod / changefreq /
+    priority verbatim strings, '' when absent), and `<sitemapindex>`
+    child pointers emit kind='sitemap' rows — the recursion frontier a
+    crawler feeds back into fetch. Regex field extraction, not a DOM:
+    the subset real sitemaps use, shared Java/RE2 syntax so the DuckDB
+    oracle runs the same patterns verbatim. One posexplode per kind over
+    row-local regex — zero shuffles beyond the union, any corpus size."""
+    x = F.col(xml_col)
+
+    def blocks(pat: str, kind: str) -> DataFrame:
+        b = df.select(
+            F.col(id_col),
+            F.posexplode(F.regexp_extract_all(x, F.lit(pat), 1)).alias(
+                "seq", "block"
+            ),
+        )
+        blk = F.col("block")
+        return b.select(
+            id_col,
+            F.lit(kind).alias("kind"),
+            F.col("seq").cast("long").alias("seq"),
+            _decode_entities(F.regexp_extract(blk, SITEMAP_LOC_RE, 1)).alias(
+                "loc"
+            ),
+            F.regexp_extract(blk, SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
+            F.regexp_extract(blk, SITEMAP_CHANGEFREQ_RE, 1).alias("changefreq"),
+            F.regexp_extract(blk, SITEMAP_PRIORITY_RE, 1).alias("priority"),
+        )
+
+    return blocks(SITEMAP_URL_BLOCK_RE, "url").unionByName(
+        blocks(SITEMAP_SM_BLOCK_RE, "sitemap")
+    )
+
+
 def surt_key(url: Column) -> Column:
     """SURT (Sort-friendly URI Reordering Transform) key — the CDX index
     key CommonCrawl orders its URL lookup index by: canonicalize

@@ -7390,6 +7390,97 @@ def web_corpus_build_q(spark, sf):
     )
 
 
+# sitemap corpus shared by engine and oracle: doc_id%4==0 rows are
+# sitemapindex DOCS (child pointers, the recursion frontier), the rest
+# urlset docs with one fully-attributed entry (entity-encoded query in
+# loc — the XML-required spelling) and one loc-only entry
+_SITEMAP_SYNTH_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN"
+    " '<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>https://ex'"
+    " || (doc_id % 7)::VARCHAR || '.example.org/sitemap-'"
+    " || doc_id::VARCHAR || '.xml</loc><lastmod>2026-02-01</lastmod>"
+    "</sitemap></sitemapindex>'"
+    " ELSE"
+    " '<?xml version=\"1.0\"?><urlset><url><loc>https://ex'"
+    " || (doc_id % 7)::VARCHAR || '.example.org/p/' || doc_id::VARCHAR"
+    " || '?a=1&amp;b=2</loc><lastmod>2026-01-'"
+    " || lpad(((doc_id % 27) + 1)::VARCHAR, 2, '0')"
+    " || '</lastmod><changefreq>daily</changefreq><priority>0.'"
+    " || (doc_id % 10)::VARCHAR || '</priority></url><url><loc>https://ex'"
+    " || (doc_id % 7)::VARCHAR || '.example.org/q/' || doc_id::VARCHAR"
+    " || '</loc></url></urlset>'"
+    " END AS xml FROM documents"
+)
+
+
+@q(
+    "sitemap_parse",
+    "WITH b AS (" + _SITEMAP_SYNTH_SQL + "),\n"
+    "u AS (SELECT doc_id, 'url' AS kind, i::BIGINT AS seq, arr[i+1] AS block"
+    " FROM (SELECT doc_id, regexp_extract_all(xml,"
+    " '(?is)<url>(.*?)</url>', 1) AS arr FROM b),"
+    " LATERAL (SELECT unnest(range(len(arr))) AS i)\n"
+    " UNION ALL\n"
+    " SELECT doc_id, 'sitemap', i::BIGINT, arr[i+1]"
+    " FROM (SELECT doc_id, regexp_extract_all(xml,"
+    " '(?is)<sitemap>(.*?)</sitemap>', 1) AS arr FROM b),"
+    " LATERAL (SELECT unnest(range(len(arr))) AS i))\n"
+    "SELECT doc_id, kind, seq,\n"
+    "  " + _decode_sql(
+        "regexp_extract(block, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1)"
+    ) + " AS loc,\n"
+    "  regexp_extract(block, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)"
+    " AS lastmod,\n"
+    "  regexp_extract(block,"
+    " '(?is)<changefreq>\\s*(.*?)\\s*</changefreq>', 1) AS changefreq,\n"
+    "  regexp_extract(block, '(?is)<priority>\\s*(.*?)\\s*</priority>', 1)"
+    " AS priority\n"
+    "FROM u",
+)
+def sitemap_parse_q(spark, sf):
+    """Sitemap XML parsing (operators/crawl.sitemap_parse): the DISCOVERY
+    half of the crawl-policy pair — urlset entries to kind='url' rows
+    (loc entity-decoded, lastmod/changefreq/priority verbatim),
+    sitemapindex child pointers to kind='sitemap' rows (the recursion
+    frontier). Regex field extraction in the shared Java/RE2 subset so
+    the oracle runs the same patterns verbatim; one posexplode per kind
+    over row-local regex — zero shuffles beyond the union at any corpus
+    size. Reference analog: the per-read container->rows splitting moves
+    (sources/fastq.py S5/S6) applied to a discovery manifest."""
+    from ..operators.crawl import sitemap_parse
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    did = F.col("doc_id").cast("string")
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://ex'),
+        m7,
+        F.lit(".example.org/p/"),
+        did,
+        F.lit("?a=1&amp;b=2</loc><lastmod>2026-01-"),
+        F.lpad(((F.col("doc_id") % 27) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://ex"),
+        m7,
+        F.lit(".example.org/q/"),
+        did,
+        F.lit("</loc></url></urlset>"),
+    )
+    index = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex><sitemap><loc>https://ex'),
+        m7,
+        F.lit(".example.org/sitemap-"),
+        did,
+        F.lit(".xml</loc><lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"),
+    )
+    b = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, index).otherwise(urlset).alias("xml"),
+    )
+    return sitemap_parse(b, "doc_id", "xml")
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

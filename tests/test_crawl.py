@@ -529,3 +529,56 @@ def test_web_corpus_build_verdicts_and_plan(spark):
     shuffles = _re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert all("k#" in s or s.startswith("k") for s in shuffles), shuffles
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_sitemap_parse_hand_fixture(spark):
+    from kneaddata_spark.operators.crawl import sitemap_parse
+
+    urlset = (
+        '<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> https://a.example.org/p?x=1&amp;y=2 </loc>"
+        "<lastmod>2026-03-04</lastmod><changefreq>weekly</changefreq>"
+        "<priority>0.8</priority></url>"
+        "<url><loc>https://a.example.org/only-loc</loc></url>"
+        "<URL><LOC>https://a.example.org/case</LOC></URL>"  # case-insensitive
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.example.org/sm1.xml</loc>"
+        "<lastmod>2026-01-01</lastmod></sitemap>"
+        "<sitemap><loc>https://b.example.org/sm2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("u", urlset), ("i", index)], "sm_id string, xml string"
+    )
+    rows = {(r["sm_id"], r["kind"], r["seq"]): r
+            for r in sitemap_parse(df, "sm_id", "xml").collect()}
+    r0 = rows[("u", "url", 0)]
+    # whitespace trimmed, entity decoded
+    assert r0["loc"] == "https://a.example.org/p?x=1&y=2"
+    assert (r0["lastmod"], r0["changefreq"], r0["priority"]) == (
+        "2026-03-04", "weekly", "0.8",
+    )
+    r1 = rows[("u", "url", 1)]
+    assert r1["loc"] == "https://a.example.org/only-loc"
+    assert (r1["lastmod"], r1["changefreq"], r1["priority"]) == ("", "", "")
+    assert rows[("u", "url", 2)]["loc"] == "https://a.example.org/case"
+    assert rows[("i", "sitemap", 0)]["loc"] == "https://b.example.org/sm1.xml"
+    assert rows[("i", "sitemap", 0)]["lastmod"] == "2026-01-01"
+    assert rows[("i", "sitemap", 1)]["loc"] == "https://b.example.org/sm2.xml"
+    assert len(rows) == 5  # no cross-kind leakage between doc shapes
+
+
+def test_sitemap_driver_query_shape(spark):
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["sitemap_parse"](spark, SF_DIR).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    n_docs = len({r["doc_id"] for r in rows})
+    n_index = len({r["doc_id"] for r in by_kind["sitemap"]})
+    assert len(by_kind["url"]) == 2 * (n_docs - n_index)
+    assert all("&b=2" in r["loc"] for r in by_kind["url"] if r["seq"] == 0)
+    assert all(r["loc"].endswith(".xml") for r in by_kind["sitemap"])
