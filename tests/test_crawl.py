@@ -582,3 +582,53 @@ def test_sitemap_driver_query_shape(spark):
     assert len(by_kind["url"]) == 2 * (n_docs - n_index)
     assert all("&b=2" in r["loc"] for r in by_kind["url"] if r["seq"] == 0)
     assert all(r["loc"].endswith(".xml") for r in by_kind["sitemap"])
+
+
+def test_robots_parse_fuzz_matches_replica(spark):
+    """400 seeded random robots.txt bodies — directive soups with case
+    noise, comments, blank lines, wildcard rules, orphan rules,
+    multi-agent header runs, unknown directives — engine == the
+    independent python replica on the emitted rule set. Guards the
+    group-attribution window logic where hand fixtures can't enumerate
+    (header runs split by blanks/comments, empty values, etc.)."""
+    import random
+
+    from kneaddata_spark.operators.crawl import robots_parse
+
+    rng = random.Random(20260820)
+    agents = ["*", "GoodBot", "BadBot", "OtherBot", "gOoDbOt"]
+    paths = ["/", "/a", "/a/", "/a/b", "/q?x=1", "/w*", "/end$", "", "/z z"]
+    directives = ["User-agent", "USER-AGENT", "user-agent", "Disallow",
+                  "disallow", "Allow", "ALLOW", "Crawl-delay", "Sitemap"]
+
+    def rand_body() -> str:
+        lines = []
+        for _ in range(rng.randint(1, 25)):
+            roll = rng.random()
+            if roll < 0.12:
+                lines.append("")
+            elif roll < 0.2:
+                lines.append("# " + rng.choice(paths))
+            else:
+                d = rng.choice(directives)
+                if d.lower() == "user-agent":
+                    v = rng.choice(agents)
+                elif d.lower() in ("disallow", "allow"):
+                    v = rng.choice(paths)
+                else:
+                    v = str(rng.randint(0, 9))
+                sep = rng.choice([": ", ":", " : ", ":\t"])
+                comment = "  # c" if rng.random() < 0.15 else ""
+                lines.append(f"{d}{sep}{v}{comment}")
+        return "\n".join(lines)
+
+    bodies = {f"h{i}": rand_body() for i in range(400)}
+    df = spark.createDataFrame(
+        list(bodies.items()), "host string, body string"
+    )
+    got: dict[str, set] = {}
+    for r in robots_parse(df, "host", "body", agent="GoodBot").collect():
+        got.setdefault(r["host"], set()).add((r["prefix"], r["allow"]))
+    for h, body in bodies.items():
+        want = _robots_parse_replica(body, agent="GoodBot")
+        assert got.get(h, set()) == want, (h, body, got.get(h), want)
