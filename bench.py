@@ -190,6 +190,7 @@ HEADLINE = R3_SET + [
     "cdx_revisits",
     "web_corpus_build",
     "sitemap_parse",
+    "perplexity_tiers",
 ]
 
 

@@ -673,3 +673,44 @@ def truncation_report(
             F.expr(f"(toks_beyond_{L} * 1000) div n_toks").cast("long"),
         )
     return out
+
+
+def perplexity_tiers(
+    df: DataFrame,
+    lang_col: str,
+    score_col: str,
+    id_col: str,
+    n_tiers: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality terciles: within each language,
+    rank documents by a quality score ASCENDING (lower = better, the
+    perplexity convention) and cut into `n_tiers` equal NTILE buckets —
+    tier 1 is labeled 'head', the last 'tail', everything between
+    'middle' (CCNet trains on head+middle, audits tail). The tie-break
+    on the id makes the cut DETERMINISTIC, so the same corpus always
+    tiers identically (resumable curation).
+
+    The score column is pluggable: the production deployment feeds the
+    broadcast n-gram model's perplexity (models/perplexity via the QC
+    annotate pass); any monotone quality proxy tiers identically in
+    shape. One keyed window per language — never global; languages are
+    the natural partition of a multilingual corpus, and skewed language
+    sizes are exactly what per-language (not global) tiering is FOR: a
+    small language's head is judged against itself, not against the
+    English distribution. Reference analog: the per-database verdict
+    tiers of the contaminant cascade (run.py:53-185) — per-group, not
+    global, thresholds."""
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    tier = F.ntile(n_tiers).over(w)
+    return df.select(
+        id_col,
+        lang_col,
+        score_col,
+        tier.cast("long").alias("tier"),
+        F.when(tier == 1, F.lit("head"))
+        .when(tier == n_tiers, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("tier_label"),
+    )

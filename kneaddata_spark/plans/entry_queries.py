@@ -7481,6 +7481,38 @@ def sitemap_parse_q(spark, sf):
     return sitemap_parse(b, "doc_id", "xml")
 
 
+@q(
+    "perplexity_tiers",
+    "WITH b AS (SELECT doc_id, lang, length(text)::BIGINT AS score"
+    " FROM documents),\n"
+    "t AS (SELECT doc_id, lang, score,"
+    " ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id)::BIGINT"
+    " AS tier FROM b)\n"
+    "SELECT doc_id, lang, score, tier,\n"
+    "  CASE WHEN tier = 1 THEN 'head' WHEN tier = 3 THEN 'tail'"
+    " ELSE 'middle' END AS tier_label\n"
+    "FROM t",
+)
+def perplexity_tiers_q(spark, sf):
+    """CCNet-style per-language quality terciles
+    (operators/corpus.perplexity_tiers): within each language, rank by
+    a quality score ascending and NTILE into head/middle/tail — CCNet
+    trains on head+middle and audits tail, judged per language so a
+    small language's head is measured against itself, never against the
+    English distribution. Deterministic cut (id tie-break). The driver
+    query feeds an oracle-expressible proxy score (text length); the
+    production deployment feeds the broadcast n-gram perplexity the QC
+    pass computes — pytest tiers 200 clips with the REAL model against
+    a python ntile replica. One keyed window per language, never
+    global."""
+    from ..operators.corpus import perplexity_tiers
+
+    b = _t(spark, sf, "documents").select(
+        "doc_id", "lang", F.length("text").cast("long").alias("score")
+    )
+    return perplexity_tiers(b, "lang", "score", "doc_id")
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

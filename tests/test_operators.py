@@ -5354,3 +5354,41 @@ def test_dedup_eval_confusion_counts(spark):
     tp = len(pred & truth)
     assert tp == 4  # every planted twin found
     assert (tp * 1000) // len(truth) == 1000
+
+
+def test_perplexity_tiers_with_real_model_matches_python_ntile(spark):
+    """CCNet tiers driven by the REAL broadcast n-gram perplexity model
+    over 200 synth clips: engine NTILE == a python replica (equal cuts,
+    remainder to the first tiers, (score, id) order), per language."""
+    from kneaddata_spark.models.perplexity import train_perplexity
+    from kneaddata_spark.operators.corpus import perplexity_tiers
+    from kneaddata_spark.synth import gen_clip
+
+    clips = [gen_clip(i) for i in range(200)]
+    model = train_perplexity()
+    rows = [
+        (c["clip_id"], c["_lang"],
+         int(model.ppl_one(c["transcript"]) * 1000))  # integer milli-ppl:
+        for c in clips                                 # float order, exact cmp
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, lang string, score long")
+    got = {
+        r["clip_id"]: (r["tier"], r["tier_label"])
+        for r in perplexity_tiers(df, "lang", "score", "clip_id").collect()
+    }
+
+    by_lang: dict[str, list] = {}
+    for cid, lang, score in rows:
+        by_lang.setdefault(lang, []).append((score, cid))
+    for lang, items in by_lang.items():
+        items.sort()
+        n = len(items)
+        base, rem = divmod(n, 3)
+        sizes = [base + (1 if t < rem else 0) for t in range(3)]
+        pos = 0
+        for t, sz in enumerate(sizes, start=1):
+            for _ in range(sz):
+                cid = items[pos][1]
+                want_label = {1: "head", 3: "tail"}.get(t, "middle")
+                assert got[cid] == (t, want_label), (lang, cid, got[cid], t)
+                pos += 1
