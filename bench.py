@@ -191,6 +191,7 @@ HEADLINE = R3_SET + [
     "web_corpus_build",
     "sitemap_parse",
     "perplexity_tiers",
+    "url_quality_screen",
 ]
 
 

@@ -349,6 +349,56 @@ def cdx_index(
     return global_rank(slim, ["surt", "ts", "url"], rank_col="idx")
 
 
+def url_quality_screen(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """RefinedWeb-style URL-shape screen — the cheapest gate in the whole
+    pipeline, applied BEFORE paying to fetch: path depth (segment
+    count), query-parameter count, digit share of the path (integer
+    permille), and path length, with a first-failing verdict
+    (rules.URLQ_*: deep calendar trees, parameter farms, digit-heavy
+    session/spam paths). Pure row-local regex/arithmetic — one codegen
+    projection, zero Python, zero shuffles at any frontier size."""
+    host, path = parse_url(F.col(url_col))
+    qs = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        host.alias("host"),
+        path.alias("path"),
+        qs.alias("qs"),
+    )
+    depth = (
+        F.size(F.regexp_extract_all(F.col("path"), F.lit("/"), 0)).cast("long")
+    )
+    n_params = F.when(F.col("qs") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("qs"), "&")).cast("long")
+    ).cast("long")
+    plen = F.length("path").cast("long")
+    digit_pm = F.expr(
+        "CASE WHEN length(path) > 0 THEN"
+        " (size(regexp_extract_all(path, '[0-9]', 0)) * 1000) div length(path)"
+        " END"
+    ).cast("long")
+    f = u.select(
+        "url",
+        "host",
+        depth.alias("depth"),
+        n_params.alias("n_params"),
+        plen.alias("path_len"),
+        digit_pm.alias("digit_permille"),
+    )
+    return f.select(
+        "*",
+        F.when(F.col("depth") > rules.URLQ_MAX_DEPTH, F.lit("deep_path"))
+        .when(F.col("n_params") > rules.URLQ_MAX_PARAMS, F.lit("param_farm"))
+        .when(
+            F.col("digit_permille") > rules.URLQ_MAX_DIGIT_PERMILLE,
+            F.lit("digit_heavy"),
+        )
+        .when(F.col("path_len") > rules.URLQ_MAX_PATH_LEN, F.lit("long_path"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
+
+
 def frontier_schedule(
     urls: DataFrame, url_col: str = "url", per_wave: int | None = None
 ) -> DataFrame:

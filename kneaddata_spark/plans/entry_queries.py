@@ -7513,6 +7513,88 @@ def perplexity_tiers_q(spark, sf):
     return perplexity_tiers(b, "lang", "score", "doc_id")
 
 
+# URL-quality basis: every verdict class planted (precedence order:
+# %11 deep, %13 param farm, %17 long path, %7 digit-heavy, else alpha ok)
+_URLQ_SYNTH_SQL = (
+    "SELECT doc_id, 'https://ex' || (doc_id % 7)::VARCHAR || '.example.org'"
+    " || CASE"
+    " WHEN doc_id % 11 = 0 THEN '/a/b/c/d/e/f/g/h/i/' || lang"
+    " WHEN doc_id % 13 = 0 THEN '/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7'"
+    " WHEN doc_id % 17 = 0 THEN '/' || repeat('x', 170)"
+    " WHEN doc_id % 7 = 0 THEN '/p/' || doc_id::VARCHAR || '00'"
+    " ELSE '/articles/' || lang END AS url"
+    " FROM documents"
+)
+
+
+@q(
+    "url_quality_screen",
+    "WITH u AS (" + _URLQ_SYNTH_SQL + "),\n"
+    "p AS (SELECT url,"
+    " lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1))"
+    " AS host,\n"
+    "  CASE WHEN regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'\n"
+    "       ELSE regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1) END AS path,\n"
+    "  regexp_extract(url, '\\?([^#]*)', 1) AS qs FROM u),\n"
+    "f AS (SELECT url, host,\n"
+    "  len(regexp_extract_all(path, '/'))::BIGINT AS depth,\n"
+    "  (CASE WHEN qs = '' THEN 0 ELSE len(string_split(qs, '&')) END)::BIGINT"
+    " AS n_params,\n"
+    "  length(path)::BIGINT AS path_len,\n"
+    "  (CASE WHEN length(path) > 0 THEN"
+    " (len(regexp_extract_all(path, '[0-9]'))::BIGINT * 1000)"
+    " // length(path)::BIGINT END)::BIGINT AS digit_permille\n"
+    "FROM p)\n"
+    "SELECT url, host, depth, n_params, path_len, digit_permille,\n"
+    f"  CASE WHEN depth > {_rules.URLQ_MAX_DEPTH} THEN 'deep_path'\n"
+    f"       WHEN n_params > {_rules.URLQ_MAX_PARAMS} THEN 'param_farm'\n"
+    f"       WHEN digit_permille > {_rules.URLQ_MAX_DIGIT_PERMILLE}"
+    " THEN 'digit_heavy'\n"
+    f"       WHEN path_len > {_rules.URLQ_MAX_PATH_LEN} THEN 'long_path'\n"
+    "       ELSE 'ok' END AS verdict\n"
+    "FROM f",
+)
+def url_quality_screen_q(spark, sf):
+    """RefinedWeb-style URL-shape screen (crawl.url_quality_screen): the
+    cheapest gate in the pipeline, applied BEFORE paying to fetch —
+    path depth, query-parameter count, digit share of the path, path
+    length, first-failing verdict (rules.URLQ_*: calendar trees,
+    parameter farms, session/spam paths). Pure row-local
+    regex/arithmetic, one codegen projection, zero shuffles at any
+    frontier size. Planted URL classes keep every verdict live in
+    driver data. Reference analog: the format-validity drop gates that
+    reject reads before any alignment pays to run
+    (utilities.py:537-574)."""
+    from ..operators.crawl import url_quality_screen
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    m7 = (F.col("doc_id") % 7).cast("string")
+    tail = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("/a/b/c/d/e/f/g/h/i/"), F.col("lang")),
+        )
+        .when(F.col("doc_id") % 13 == 0, F.lit("/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7"))
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.lit("/"), F.repeat(F.lit("x"), 170)),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("/p/"), F.col("doc_id").cast("string"), F.lit("00")),
+        )
+        .otherwise(F.concat(F.lit("/articles/"), F.col("lang")))
+    )
+    urls = d.select(
+        F.concat(F.lit("https://ex"), m7, F.lit(".example.org"), tail).alias(
+            "url"
+        )
+    )
+    return url_quality_screen(urls)
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

@@ -355,6 +355,15 @@ SOFT404_MIN_CHARS = 120
 DOMAIN_LOW_KEPT_PERMILLE = 550
 DOMAIN_REVIEW_PERMILLE = 500
 
+# --- URL quality screen (RefinedWeb-style fetch-time features) --------------
+# Cheap URL-shape heuristics a crawler applies BEFORE paying to fetch:
+# deep paths, parameter farms, and digit-heavy paths correlate with
+# calendar/session/spam pages. First-failing verdict taxonomy.
+URLQ_MAX_DEPTH = 8
+URLQ_MAX_PARAMS = 6
+URLQ_MAX_DIGIT_PERMILLE = 400
+URLQ_MAX_PATH_LEN = 160
+
 # --- end-to-end web corpus build --------------------------------------------
 # Minimum extracted chars for a page to enter the corpus (C4 drops
 # sub-paragraph pages before any scoring pays to run).

@@ -632,3 +632,34 @@ def test_robots_parse_fuzz_matches_replica(spark):
     for h, body in bodies.items():
         want = _robots_parse_replica(body, agent="GoodBot")
         assert got.get(h, set()) == want, (h, body, got.get(h), want)
+
+
+def test_url_quality_screen_hand_cases(spark):
+    from kneaddata_spark.operators.crawl import url_quality_screen
+
+    cases = [
+        ("https://h.example.org/articles/history", "ok"),
+        ("https://h.example.org/a/b/c/d/e/f/g/h/i/x", "deep_path"),
+        ("https://h.example.org/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7", "param_farm"),
+        ("https://h.example.org/p/1234567890", "digit_heavy"),
+        ("https://h.example.org/" + "x" * 170, "long_path"),
+        # precedence: deep beats digit-heavy when both apply
+        ("https://h.example.org/1/2/3/4/5/6/7/8/9/0", "deep_path"),
+        ("https://h.example.org", "ok"),  # empty path -> '/', depth 1
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {r["url"]: r for r in url_quality_screen(df).collect()}
+    for u, want in cases:
+        assert got[u]["verdict"] == want, (u, got[u])
+    r = got["https://h.example.org/p/1234567890"]
+    assert r["digit_permille"] == (10 * 1000) // len("/p/1234567890")
+    assert got["https://h.example.org"]["depth"] == 1
+
+
+def test_url_quality_driver_all_verdicts_live(spark):
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["url_quality_screen"](spark, SF_DIR).collect()
+    verdicts = {r["verdict"] for r in rows}
+    assert verdicts == {"ok", "deep_path", "param_farm", "digit_heavy",
+                        "long_path"}
