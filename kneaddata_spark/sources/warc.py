@@ -316,6 +316,46 @@ def write_warc_shards(
     return part.groupBy(shard_col).applyInPandas(emit, receipt_schema)
 
 
+def wet_from_responses(records: DataFrame) -> DataFrame:
+    """WET conversion rows from WARC response records: CommonCrawl's
+    extracted-text sibling product (the .wet.gz files) holds one
+    `conversion` record per successfully-extracted html response —
+    text/plain payload, the source URI carried over. Composition:
+    html gate (200 + text/html) -> htmlextract.html_extract -> UTF-8
+    text payload; feed the result to write_warc_shards (with a shard
+    column) to emit real .wet.gz shards — WARC + CDX + WET is the full
+    archive product trio, all from the same record frame. The
+    extraction fuses INLINE (extract_text_col — the Column form, not a
+    join-back), so this is one shuffle-free codegen projection over the
+    records; text bytes are built JVM-side (encode — no Python)."""
+    from ..operators.htmlextract import extract_text_col
+
+    j = records.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").startswith("text/html")
+    ).select(
+        "path",
+        "record_idx",
+        "warc_record_id",
+        "warc_date",
+        "target_uri",
+        extract_text_col(F.col("payload").cast("string")).alias("text"),
+    )
+    return j.select(
+        "path",
+        "record_idx",
+        F.lit("conversion").alias("warc_type"),
+        "warc_record_id",
+        "target_uri",
+        "warc_date",
+        F.lit("text/plain").alias("content_type"),
+        F.lit(None).cast("int").alias("http_status"),
+        F.lit(None).cast("string").alias("http_content_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
 def warc_manifest(records: DataFrame) -> DataFrame:
     """Per-shard accounting card over read_warc output: records by type,
     response share, ok-status share, total payload bytes — the shard

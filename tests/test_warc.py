@@ -400,3 +400,52 @@ def test_parse_warc_bytes_fuzz_never_raises():
             assert r["path"] == f"fuzz{trial}" and r["record_idx"] >= 0
             if r["warc_type"] == "invalid":
                 assert r["reason"]
+
+
+def test_wet_from_responses_roundtrip(spark, tmp_path):
+    """The third archive product: WET conversion records carry the
+    html_extract text of ok html responses; written via the shard sink
+    they re-read as a valid WARC container whose payloads equal the
+    extractor's output; plan is one shuffle-free projection."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.htmlextract import html_extract
+    from kneaddata_spark.sources.warc import (
+        build_warc_bytes,
+        read_warc,
+        wet_from_responses,
+        write_warc_shards,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "x.warc.gz").write_bytes(build_warc_bytes(_records(), member_gzip=True))
+    recs = read_warc(spark, str(src) + "/*.warc.gz")
+    wet = wet_from_responses(recs)
+
+    plan = wet._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+    rows = wet.collect()
+    # of the 5 fixture records: only the 200 text/html response qualifies
+    assert [r["warc_type"] for r in rows] == ["conversion"]
+    assert rows[0]["content_type"] == "text/plain"
+    want_text = {
+        r["target_uri"]: r["text"]
+        for r in html_extract(
+            recs.where(F.col("http_content_type").startswith("text/html")
+                       & (F.col("http_status") == 200))
+            .select("target_uri", F.col("payload").cast("string").alias("html")),
+            "target_uri", "html",
+        ).collect()
+    }
+    assert bytes(rows[0]["payload"]).decode() == want_text[rows[0]["target_uri"]]
+
+    out = str(tmp_path / "wet_out")
+    receipts = write_warc_shards(
+        wet.withColumn("shard", F.lit(0)), out
+    ).collect()
+    assert receipts[0]["n_records"] == 1
+    back = read_warc(spark, out + "/*.warc.gz").collect()
+    assert back[0]["warc_type"] == "conversion"
+    assert bytes(back[0]["payload"]).decode() == want_text[rows[0]["target_uri"]]
