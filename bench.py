@@ -192,6 +192,7 @@ HEADLINE = R3_SET + [
     "sitemap_parse",
     "perplexity_tiers",
     "url_quality_screen",
+    "anchor_text_harvest",
 ]
 
 

@@ -298,6 +298,51 @@ def sitemap_parse(df: DataFrame, id_col: str, xml_col: str) -> DataFrame:
     )
 
 
+ANCHOR_ELEM_RE = r'(?is)<a[^>]*href="[^"]*"[^>]*>.*?</a>'
+ANCHOR_HREF_RE = r'(?i)href="([^"]*)"'
+ANCHOR_TEXT_RE = r"(?is)>(.*?)</a>"
+
+
+def anchor_text_harvest(
+    df: DataFrame, id_col: str, html_col: str
+) -> DataFrame:
+    """Anchor-text harvest — the classic web-corpus retrieval signal
+    (how OTHER pages describe a target): explode every href-carrying
+    `<a>` element, split it into target href and entity-decoded inner
+    text (inline markup stripped), tokenize, and count (href, token)
+    pairs across the corpus. The harvested terms index the TARGET
+    document for retrieval even when its own text never says them.
+
+    Shape at 100 TB: one posexplode per page (anchors stay with their
+    task), token explode row-local, then ONE combinable groupBy on
+    (href, token) — the reduced term card shuffles, never pages. Pure
+    shared-subset regex, so the DuckDB oracle runs the same patterns."""
+    anchors = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_ELEM_RE), 0)
+        ).alias("a"),
+    )
+    text = _decode_entities(
+        F.regexp_replace(
+            F.regexp_extract("a", ANCHOR_TEXT_RE, 1),
+            r"(?s)</?[a-zA-Z!?][^>]*>",
+            "",
+        )
+    )
+    toks = anchors.select(
+        "_doc",
+        F.regexp_extract("a", ANCHOR_HREF_RE, 1).alias("href"),
+        F.explode(
+            F.split(F.lower(F.trim(text)), r"\s+")
+        ).alias("token"),
+    ).where((F.col("token") != "") & (F.col("href") != ""))
+    return toks.groupBy("href", "token").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("_doc").cast("long").alias("n_docs"),
+    )
+
+
 def surt_key(url: Column) -> Column:
     """SURT (Sort-friendly URI Reordering Transform) key — the CDX index
     key CommonCrawl orders its URL lookup index by: canonicalize

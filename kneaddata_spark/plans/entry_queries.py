@@ -7595,6 +7595,40 @@ def url_quality_screen_q(spark, sf):
     return url_quality_screen(urls)
 
 
+@q(
+    "anchor_text_harvest",
+    "WITH h AS (" + _HTML_SYNTH_SQL + "),\n"
+    "a0 AS (SELECT doc_id, a FROM h, LATERAL (SELECT"
+    " unnest(regexp_extract_all(html,"
+    " '(?is)<a[^>]*href=\"[^\"]*\"[^>]*>.*?</a>', 0)) AS a)),\n"
+    "t0 AS (SELECT doc_id, regexp_extract(a, '(?i)href=\"([^\"]*)\"', 1)"
+    " AS href,\n"
+    "  " + _decode_sql(
+        "regexp_replace(regexp_extract(a, '(?is)>(.*?)</a>', 1),"
+        " '(?s)</?[a-zA-Z!?][^>]*>', '', 'g')"
+    ) + " AS txt FROM a0),\n"
+    "tok AS (SELECT doc_id, href, token FROM t0, LATERAL (SELECT"
+    " unnest(string_split_regex(lower(trim(txt)), '\\s+')) AS token))\n"
+    "SELECT href, token, count(*)::BIGINT AS n,"
+    " count(DISTINCT doc_id)::BIGINT AS n_docs\n"
+    "FROM tok WHERE token <> '' AND href <> ''\n"
+    "GROUP BY href, token",
+)
+def anchor_text_harvest_q(spark, sf):
+    """Anchor-text harvest (crawl.anchor_text_harvest): how OTHER pages
+    describe a target — every href-carrying <a> element explodes into
+    (href, entity-decoded inner-text tokens), counted per (href, token)
+    with distinct-source-doc counts. The harvested terms index the
+    TARGET document for retrieval even when its own text never says
+    them (the classic web-corpus signal BM25 indexes alongside body
+    text). hrefs stay AS WRITTEN (&amp; intact) — canonicalization is
+    url_canonical's job downstream. One posexplode per page + one
+    combinable groupBy; the reduced term card shuffles, never pages."""
+    from ..operators.crawl import anchor_text_harvest
+
+    return anchor_text_harvest(_html_corpus(spark, sf), "doc_id", "html")
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

@@ -663,3 +663,27 @@ def test_url_quality_driver_all_verdicts_live(spark):
     verdicts = {r["verdict"] for r in rows}
     assert verdicts == {"ok", "deep_path", "param_farm", "digit_heavy",
                         "long_path"}
+
+
+def test_anchor_text_harvest_hand_fixture(spark):
+    from kneaddata_spark.operators.crawl import anchor_text_harvest
+
+    docs = [
+        (1, '<p>x</p><a href="https://t.example.org/a">Good  Intro</a>'
+            '<a href="https://t.example.org/a"><b>good</b> guide</a>'),
+        (2, '<a href="https://t.example.org/a">good&amp;fast</a>'
+            '<a href="https://t.example.org/b">  </a>'      # empty text
+            '<a name="x">no href</a>'),                       # no href attr
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, html string")
+    got = {(r["href"], r["token"]): (r["n"], r["n_docs"])
+           for r in anchor_text_harvest(df, "doc_id", "html").collect()}
+    a = "https://t.example.org/a"
+    # lowercased, inline markup stripped, entities decoded, whitespace split
+    assert got[(a, "good")] == (2, 1)          # both from doc 1
+    assert got[(a, "intro")] == (1, 1)
+    assert got[(a, "guide")] == (1, 1)
+    assert got[(a, "good&fast")] == (2 - 1, 1)  # decoded &amp; -> one token
+    # empty-text and href-less anchors contribute nothing
+    assert all(h != "https://t.example.org/b" for h, _ in got)
+    assert len(got) == 4
