@@ -193,6 +193,7 @@ HEADLINE = R3_SET + [
     "perplexity_tiers",
     "url_quality_screen",
     "anchor_text_harvest",
+    "template_lines",
 ]
 
 

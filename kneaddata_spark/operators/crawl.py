@@ -394,6 +394,75 @@ def cdx_index(
     return global_rank(slim, ["surt", "ts", "url"], rank_col="idx")
 
 
+def template_lines(
+    pages: DataFrame,
+    id_col: str,
+    domain_col: str,
+    text_col: str,
+    df_permille: int | None = None,
+    min_docs: int | None = None,
+) -> DataFrame:
+    """CCNet-style per-domain template-line removal: a LINE appearing on
+    >= `df_permille` of its domain's pages (and >= `min_docs` pages) is
+    chrome — nav, footer, cookie banner — and is removed from EVERY
+    page, including the first seen (unlike paragraph_dedup's keep-first:
+    boilerplate has no canonical copy worth keeping). Judged per domain,
+    so one site's footer never convicts another site's content. Emits
+    (id, domain, n_lines, n_dropped, text) with the kept lines rejoined
+    in original order.
+
+    Shape at 100 TB: line explode is row-local; the line-frequency count
+    is ONE combinable groupBy on (domain, line); the drop decision joins
+    back on the same (domain, line) key — co-partitioned with the count,
+    no extra exchange under AQE; re-assembly is one doc-keyed groupBy.
+    Every shuffle keyed, nothing global."""
+    df_permille = rules.TEMPLATE_DF_PERMILLE if df_permille is None else df_permille
+    min_docs = rules.TEMPLATE_MIN_DOCS if min_docs is None else min_docs
+    lines = pages.select(
+        F.col(id_col).alias("_doc"),
+        F.col(domain_col).alias("_dom"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line"),
+    )
+    n_pages = pages.groupBy(F.col(domain_col).alias("_dom")).agg(
+        F.count("*").cast("long").alias("n_pages")
+    )
+    line_df = (
+        lines.select("_dom", "line", "_doc")
+        .distinct()
+        .groupBy("_dom", "line")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .join(n_pages, "_dom")
+    )
+    droplist = line_df.where(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("n_docs") * 1000 >= F.lit(df_permille) * F.col("n_pages"))
+    ).select("_dom", "line", F.lit(1).alias("_drop"))
+    flagged = lines.join(droplist, ["_dom", "line"], "left")
+    # collect_list skips the NULL structs of dropped lines; array_sort on
+    # (idx, line) structs restores original order
+    flagged = flagged.withColumn(
+        "s",
+        F.when(F.col("_drop").isNull(), F.struct(F.col("idx"), F.col("line"))),
+    )
+    agg = flagged.groupBy("_doc", "_dom").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.coalesce(F.col("_drop").cast("long"), F.lit(0)))
+        .cast("long")
+        .alias("n_dropped"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(s)), e -> e.line)"),
+            "\n",
+        ).alias("text"),
+    )
+    return agg.select(
+        F.col("_doc").alias(id_col),
+        F.col("_dom").alias(domain_col),
+        "n_lines",
+        "n_dropped",
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+
+
 def url_quality_screen(urls: DataFrame, url_col: str = "url") -> DataFrame:
     """RefinedWeb-style URL-shape screen — the cheapest gate in the whole
     pipeline, applied BEFORE paying to fetch: path depth (segment

@@ -7629,6 +7629,59 @@ def anchor_text_harvest_q(spark, sf):
     return anchor_text_harvest(_html_corpus(spark, sf), "doc_id", "html")
 
 
+@q(
+    "template_lines",
+    "WITH h AS (" + _HTML_SYNTH_SQL + "),\n"
+    "x AS (SELECT doc_id, 'ex' || (doc_id % 7)::VARCHAR AS dom, "
+    + _HTML_EXTRACT_SQL
+    + " || chr(10) || 'Footer ex' || (doc_id % 7)::VARCHAR AS text FROM h),\n"
+    "l AS (SELECT doc_id, dom, i::BIGINT AS idx, arr[i+1] AS line FROM"
+    " (SELECT doc_id, dom, string_split(text, chr(10)) AS arr FROM x),"
+    " LATERAL (SELECT unnest(range(len(arr))) AS i)),\n"
+    "np AS (SELECT dom, count(*)::BIGINT AS n_pages FROM x GROUP BY dom),\n"
+    "df0 AS (SELECT dom, line, count(DISTINCT doc_id)::BIGINT AS n_docs"
+    " FROM l GROUP BY dom, line),\n"
+    "dl AS (SELECT df0.dom, df0.line FROM df0 JOIN np USING (dom)"
+    f" WHERE n_docs >= {_rules.TEMPLATE_MIN_DOCS}"
+    f" AND n_docs * 1000 >= {_rules.TEMPLATE_DF_PERMILLE} * n_pages),\n"
+    "f AS (SELECT l.doc_id, l.dom, l.idx, l.line,"
+    " (CASE WHEN dl.line IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS drp"
+    " FROM l LEFT JOIN dl ON l.dom = dl.dom AND l.line = dl.line)\n"
+    "SELECT doc_id, dom, count(*)::BIGINT AS n_lines,"
+    " sum(drp)::BIGINT AS n_dropped,\n"
+    "  coalesce(string_agg(CASE WHEN drp = 0 THEN line END,"
+    " chr(10) ORDER BY idx), '') AS text\n"
+    "FROM f GROUP BY doc_id, dom",
+)
+def template_lines_q(spark, sf):
+    """Per-domain template-line removal (crawl.template_lines): CCNet's
+    boilerplate move — a line on >= half a domain's pages (min 3) is
+    chrome and is removed from EVERY page including the first seen,
+    unlike paragraph_dedup's keep-first. Judged per domain, so one
+    site's footer never convicts another site's content. The planted
+    per-domain footer plus the synth's shared h1 language lines keep
+    the drop class live; kept lines rejoin in original order
+    (deterministic: string_agg ORDER BY idx == array_sort on (idx,
+    line) structs). Line explode row-local; frequency count ONE
+    combinable groupBy on (domain, line); drop-join co-partitioned with
+    it; re-assembly one doc-keyed groupBy — every shuffle keyed."""
+    from ..operators.crawl import template_lines
+    from ..operators.htmlextract import extract_text_col
+
+    h = _html_corpus(spark, sf)
+    dom = F.concat(F.lit("ex"), (F.col("doc_id") % 7).cast("string"))
+    x = h.select(
+        "doc_id",
+        dom.alias("dom"),
+        F.concat(
+            extract_text_col(F.col("html")),
+            F.lit("\nFooter ex"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return template_lines(x, "doc_id", "dom", "text")
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

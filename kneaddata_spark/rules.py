@@ -355,6 +355,15 @@ SOFT404_MIN_CHARS = 120
 DOMAIN_LOW_KEPT_PERMILLE = 550
 DOMAIN_REVIEW_PERMILLE = 500
 
+# --- per-domain template-line removal ---------------------------------------
+# A LINE appearing on >= TEMPLATE_DF_PERMILLE of a domain's pages (and on
+# at least TEMPLATE_MIN_DOCS pages) is chrome/template (nav, footer,
+# cookie banner) — removed from EVERY page, including the first seen
+# (unlike paragraph_dedup's keep-first: boilerplate has no canonical copy
+# worth keeping).
+TEMPLATE_DF_PERMILLE = 500
+TEMPLATE_MIN_DOCS = 3
+
 # --- URL quality screen (RefinedWeb-style fetch-time features) --------------
 # Cheap URL-shape heuristics a crawler applies BEFORE paying to fetch:
 # deep paths, parameter farms, and digit-heavy paths correlate with

@@ -687,3 +687,54 @@ def test_anchor_text_harvest_hand_fixture(spark):
     # empty-text and href-less anchors contribute nothing
     assert all(h != "https://t.example.org/b" for h, _ in got)
     assert len(got) == 4
+
+
+def test_template_lines_semantics(spark):
+    """Footer dropped from EVERY page (no keep-first), per-domain
+    judgment (other domain's identical footer untouched below
+    threshold), original line order preserved, accounting exact."""
+    from kneaddata_spark.operators.crawl import template_lines
+
+    docs = [
+        # domain A: 6 pages, universal footer; 'shared' on 3/6 pages —
+        # 3*1000 >= 500*6 holds with equality AND n_docs hits min_docs,
+        # so it drops at exactly both fences; 'rare' on 2/6 survives the
+        # min_docs fence
+        (0, "A", "alpha\nFooter A"),
+        (1, "A", "beta\nshared\nFooter A"),
+        (2, "A", "gamma\nshared\nFooter A"),
+        (3, "A", "delta\nshared\nFooter A"),
+        (6, "A", "eps\nrare\nFooter A"),
+        (7, "A", "zeta\nrare\nFooter A"),
+        # domain B: 2 pages with the same footer TEXT — n_docs 2 <
+        # min_docs 3, so B keeps it (per-domain judgment)
+        (4, "B", "x\nFooter A"),
+        (5, "B", "y\nFooter A"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, dom string, text string")
+    got = {r["doc_id"]: r for r in
+           template_lines(df, "doc_id", "dom", "text").collect()}
+    assert got[0]["text"] == "alpha" and got[0]["n_dropped"] == 1
+    assert got[1]["text"] == "beta" and got[1]["n_dropped"] == 2
+    assert got[2]["text"] == "gamma"
+    assert got[3]["text"] == "delta"
+    # below min_docs: 'rare' survives even though 2/6 < the df gate too
+    assert got[6]["text"] == "eps\nrare" and got[6]["n_dropped"] == 1
+    assert got[7]["text"] == "zeta\nrare"
+    # domain B: per-domain judgment keeps the identical footer text
+    assert got[4]["text"] == "x\nFooter A" and got[4]["n_dropped"] == 0
+    assert got[5]["text"] == "y\nFooter A"
+    assert got[1]["n_lines"] == 3
+
+
+def test_template_lines_order_preserved(spark):
+    from kneaddata_spark.operators.crawl import template_lines
+
+    docs = [(i, "D", f"first {i}\nchrome\nmiddle {i}\nchrome\nlast {i}")
+            for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, dom string, text string")
+    got = {r["doc_id"]: r for r in
+           template_lines(df, "doc_id", "dom", "text").collect()}
+    for i in range(4):
+        assert got[i]["text"] == f"first {i}\nmiddle {i}\nlast {i}"
+        assert got[i]["n_dropped"] == 2 and got[i]["n_lines"] == 5
