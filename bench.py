@@ -194,6 +194,7 @@ HEADLINE = R3_SET + [
     "url_quality_screen",
     "anchor_text_harvest",
     "template_lines",
+    "wet_shards",
 ]
 
 

@@ -7127,6 +7127,36 @@ def _warc_fixture_dir() -> str:
     return _WARC_FIXTURE_DIR
 
 
+@q("wet_shards")
+def wet_shards_q(spark, sf):
+    """The WET product end to end as a driver row: read the WARC fixture
+    shards, derive WET conversion records (sources/warc.wet_from_responses
+    — inline html extraction, one shuffle-free projection), write REAL
+    .wet.gz shards from the executors (write_warc_shards, byte-
+    deterministic: mtime=0 members, fixed header order, crc32-pmod shard
+    routing) and return the receipt frame — the write executes when the
+    driver actions the receipts. Rows-only: binary container basis; the
+    read-back-equals-receipts proof is pytest-gated (test_warc WET
+    round-trip). WARC + CDX + WET: the complete CommonCrawl product
+    trio, all driver-visible."""
+    from ..sources.warc import read_warc, wet_from_responses, write_warc_shards
+
+    recs = read_warc(spark, _warc_fixture_dir() + "/*.warc*")
+    wet = wet_from_responses(recs).withColumn(
+        "shard",
+        F.pmod(F.crc32(F.col("target_uri").cast("binary")), F.lit(4)).cast(
+            "long"
+        ),
+    )
+    receipts = write_warc_shards(wet, "/tmp/kneaddata_bench/wet_out_v1")
+    return receipts.select(
+        "shard",
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("path"),
+        "n_records",
+        "n_bytes",
+    )
+
+
 @q("warc_manifest")
 def warc_manifest_q(spark, sf):
     """WARC (ISO 28500) container ingest + per-shard accounting card
