@@ -195,6 +195,7 @@ HEADLINE = R3_SET + [
     "anchor_text_harvest",
     "template_lines",
     "wet_shards",
+    "crawl_funnel",
 ]
 
 

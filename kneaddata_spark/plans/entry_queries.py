@@ -7712,6 +7712,201 @@ def template_lines_q(spark, sf):
     return template_lines(x, "doc_id", "dom", "text")
 
 
+# crawl-funnel robots rules: ex1 blocks the articles tree outright;
+# ex2 blocks it but re-allows the current-language subtree
+_FUNNEL_RULES = [
+    ("ex1.example.org", "/articles/", 0),
+    ("ex2.example.org", "/articles/", 0),
+    ("ex2.example.org", "/articles/en", 1),
+]
+
+_FUNNEL_RULES_SQL = ", ".join(f"('{h}', '{p}', {a})" for h, p, a in _FUNNEL_RULES)
+
+
+@q(
+    "crawl_funnel",
+    "WITH h AS (" + _HTML_SYNTH_SQL + "),\n"
+    "x AS (SELECT doc_id, html, " + _HTML_EXTRACT_SQL + " AS text FROM h),\n"
+    "d0 AS (SELECT x.doc_id, x.html, x.text, d.lang,\n"
+    "  'ex' || (x.doc_id % 7)::VARCHAR || '.example.org' AS host,\n"
+    "  '/articles/' || d.lang || '/' || x.doc_id::VARCHAR AS path\n"
+    " FROM x JOIN documents d ON d.doc_id = x.doc_id),\n"
+    "r(r_host, prefix, allow) AS (VALUES " + _FUNNEL_RULES_SQL + "),\n"
+    "rb AS (SELECT d0.doc_id, max(CASE WHEN r.prefix IS NOT NULL THEN"
+    " (length(r.prefix)::BIGINT * 2 + r.allow::BIGINT) END) AS bk\n"
+    " FROM d0 LEFT JOIN r ON d0.host = r.r_host"
+    " AND substr(d0.path, 1, length(r.prefix)) = r.prefix GROUP BY d0.doc_id),\n"
+    "f AS (SELECT d0.doc_id,\n"
+    "  (CASE WHEN (CASE WHEN length(d0.path) > 0 THEN"
+    " (len(regexp_extract_all(d0.path, '[0-9]'))::BIGINT * 1000)"
+    f" // length(d0.path)::BIGINT END) <= {_rules.URLQ_MAX_DIGIT_PERMILLE}"
+    f" AND len(regexp_extract_all(d0.path, '/')) <= {_rules.URLQ_MAX_DEPTH}"
+    f" AND length(d0.path) <= {_rules.URLQ_MAX_PATH_LEN}"
+    " THEN 1 ELSE 0 END)::BIGINT AS url_ok,\n"
+    "  (CASE WHEN rb.bk IS NULL OR rb.bk % 2 = 1 THEN 1 ELSE 0 END)::BIGINT"
+    " AS robot_ok,\n"
+    "  (CASE WHEN d0.doc_id % 17 = 0 OR regexp_matches("
+    "CASE WHEN d0.doc_id % 17 = 0 THEN '404 Not Found'"
+    " ELSE trim(regexp_extract(d0.html,"
+    " '(?is)<title[^>]*>(.*?)</title>', 1)) END,"
+    f" '{_rules.SOFT404_TITLE_RE}') THEN 0 ELSE 1 END)::BIGINT AS s404_ok,\n"
+    f"  (CASE WHEN length(d0.text) >= {_rules.WEBCORPUS_MIN_CHARS}"
+    " THEN 1 ELSE 0 END)::BIGINT AS size_ok,\n"
+    "  (CASE WHEN ((length(d0.text)::BIGINT * 1000)"
+    f" // length(d0.html)::BIGINT) >= {_rules.DOMAIN_LOW_KEPT_PERMILLE}"
+    " THEN 1 ELSE 0 END)::BIGINT AS yield_ok,\n"
+    "  md5(d0.text) AS k\n"
+    " FROM d0 JOIN rb ON rb.doc_id = d0.doc_id),\n"
+    "g AS (SELECT *, url_ok * robot_ok AS p1, url_ok * robot_ok * s404_ok"
+    " AS p2, url_ok * robot_ok * s404_ok * size_ok AS p3,"
+    " url_ok * robot_ok * s404_ok * size_ok * yield_ok AS p4 FROM f),\n"
+    "dd AS (SELECT *, (CASE WHEN p4 = 1 AND doc_id ="
+    " min(CASE WHEN p4 = 1 THEN doc_id END) OVER (PARTITION BY k)"
+    " THEN 1 ELSE 0 END)::BIGINT AS p5 FROM g),\n"
+    "agg AS (SELECT count(*)::BIGINT AS n0, sum(url_ok)::BIGINT AS a1,"
+    " sum(p1)::BIGINT AS a2, sum(p2)::BIGINT AS a3, sum(p3)::BIGINT AS a4,"
+    " sum(p4)::BIGINT AS a5, sum(p5)::BIGINT AS a6 FROM dd)\n"
+    "SELECT 1::BIGINT AS stage_no, 'url_shape' AS stage, n0 AS n_in,"
+    " a1 AS n_pass FROM agg\n"
+    "UNION ALL SELECT 2, 'robots', a1, a2 FROM agg\n"
+    "UNION ALL SELECT 3, 'soft404', a2, a3 FROM agg\n"
+    "UNION ALL SELECT 4, 'min_size', a3, a4 FROM agg\n"
+    "UNION ALL SELECT 5, 'yield', a4, a5 FROM agg\n"
+    "UNION ALL SELECT 6, 'dedup', a5, a6 FROM agg",
+)
+def crawl_funnel_q(spark, sf):
+    """The WHOLE web front as one funnel card: URL-shape gate ->
+    robots.txt policy -> soft-404 screen -> minimum extracted size ->
+    extraction yield -> keep-first survivor dedup, each stage reporting
+    (entered, passed) — the per-stage accounting a crawl operator
+    watches to see WHERE the corpus shrinks (the reference's per-stage
+    read-count table, run.py log-as-table S11, applied to the crawl
+    cascade). Built from the SAME operators the individual queries use
+    (url_quality_screen features, robots_filter integer-max, soft-404
+    title rule, web_corpus_build gates); flags compute in one
+    projection, dedup adds the one digest-keyed window, and the staged
+    counts are ONE aggregate stacked into six rows — at 100 TB this
+    whole funnel costs a scan plus one window shuffle."""
+    from ..operators.crawl import robots_filter, soft404_screen, url_quality_screen
+    from ..operators.htmlextract import extract_text_col
+
+    h = _html_corpus(spark, sf)
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    d0 = h.join(d, "doc_id").select(
+        "doc_id",
+        "html",
+        extract_text_col(F.col("html")).alias("text"),
+        F.concat(
+            F.lit("https://ex"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/articles/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    uq = url_quality_screen(d0.select("url")).select(
+        "url", (F.col("verdict") == "ok").cast("long").alias("url_ok")
+    )
+    rules_df = spark.createDataFrame(
+        _FUNNEL_RULES, "host string, prefix string, allow int"
+    )
+    rb = robots_filter(d0.select("url"), rules_df).select(
+        "url", F.col("allowed").alias("robot_ok")
+    )
+    s4 = soft404_screen(
+        d0.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 17 == 0, F.lit("404 Not Found"))
+            .otherwise(
+                F.trim(
+                    F.regexp_extract(
+                        "html", r"(?is)<title[^>]*>(.*?)</title>", 1
+                    )
+                )
+            )
+            .alias("title"),
+            F.col("text"),
+        ),
+        "doc_id",
+        "title",
+        "text",
+    ).select(
+        "doc_id", (F.col("flag_title") == 0).cast("long").alias("s404_ok")
+    )
+    f = (
+        d0.join(F.broadcast(uq.groupBy("url").agg(F.min("url_ok").alias("url_ok"))), "url")
+        .join(rb, "url")
+        .join(s4, "doc_id")
+        .select(
+            "doc_id",
+            "url_ok",
+            "robot_ok",
+            "s404_ok",
+            (F.length("text") >= _rules.WEBCORPUS_MIN_CHARS)
+            .cast("long")
+            .alias("size_ok"),
+            (
+                F.expr("(length(text) * 1000) div length(html)")
+                >= _rules.DOMAIN_LOW_KEPT_PERMILLE
+            )
+            .cast("long")
+            .alias("yield_ok"),
+            F.md5(F.col("text").cast("binary")).alias("k"),
+        )
+    )
+    g = f.select(
+        "*",
+        (F.col("url_ok") * F.col("robot_ok")).alias("p1"),
+        (F.col("url_ok") * F.col("robot_ok") * F.col("s404_ok")).alias("p2"),
+        (
+            F.col("url_ok")
+            * F.col("robot_ok")
+            * F.col("s404_ok")
+            * F.col("size_ok")
+        ).alias("p3"),
+        (
+            F.col("url_ok")
+            * F.col("robot_ok")
+            * F.col("s404_ok")
+            * F.col("size_ok")
+            * F.col("yield_ok")
+        ).alias("p4"),
+    )
+    w = Window.partitionBy("k")
+    dd = g.withColumn(
+        "p5",
+        F.when(
+            (F.col("p4") == 1)
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("p4") == 1, F.col("doc_id"))).over(w)
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    agg = dd.agg(
+        F.count("*").cast("long").alias("n0"),
+        F.sum("url_ok").cast("long").alias("a1"),
+        F.sum("p1").cast("long").alias("a2"),
+        F.sum("p2").cast("long").alias("a3"),
+        F.sum("p3").cast("long").alias("a4"),
+        F.sum("p4").cast("long").alias("a5"),
+        F.sum("p5").cast("long").alias("a6"),
+    )
+    return agg.selectExpr(
+        "stack(6,"
+        " 1L, 'url_shape', n0, a1,"
+        " 2L, 'robots', a1, a2,"
+        " 3L, 'soft404', a2, a3,"
+        " 4L, 'min_size', a3, a4,"
+        " 5L, 'yield', a4, a5,"
+        " 6L, 'dedup', a5, a6) AS (stage_no, stage, n_in, n_pass)"
+    )
+
+
 _WARC_AUDIO_DIR = "/tmp/kneaddata_bench/warc_audio_v1"
 _WARC_AUDIO_N = 240
 

@@ -738,3 +738,46 @@ def test_template_lines_order_preserved(spark):
     for i in range(4):
         assert got[i]["text"] == f"first {i}\nmiddle {i}\nlast {i}"
         assert got[i]["n_dropped"] == 2 and got[i]["n_lines"] == 5
+
+
+def test_crawl_funnel_invariants(spark):
+    """Stage counts chain (stage k's n_in == stage k-1's n_pass),
+    monotone shrink, robots/soft404/size/yield stages live on driver
+    data, and the robots stage agrees with a direct robots_filter run
+    over the same rules."""
+    from pyspark.sql import functions as F
+
+    from kneaddata_spark.operators.crawl import robots_filter
+    from kneaddata_spark.plans.entry_queries import _FUNNEL_RULES, QUERIES
+
+    rows = sorted(
+        QUERIES["crawl_funnel"](spark, SF_DIR).collect(),
+        key=lambda r: r["stage_no"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "url_shape", "robots", "soft404", "min_size", "yield", "dedup",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_pass"]
+    for r in rows:
+        assert 0 <= r["n_pass"] <= r["n_in"]
+    assert rows[1]["n_pass"] < rows[1]["n_in"]  # robots blocks ex1 + most ex2
+    assert rows[2]["n_pass"] < rows[2]["n_in"]  # planted soft404 slice
+
+    # robots stage cross-check: direct filter over the same urls+rules
+    from kneaddata_spark.plans.entry_queries import _html_corpus, _t
+
+    h = _html_corpus(spark, SF_DIR).select("doc_id")
+    d = _t(spark, SF_DIR, "documents").select("doc_id", "lang")
+    urls = h.join(d, "doc_id").select(
+        F.concat(
+            F.lit("https://ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/articles/"), F.col("lang"), F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    table = spark.createDataFrame(
+        _FUNNEL_RULES, "host string, prefix string, allow int"
+    )
+    n_allowed = robots_filter(urls, table).agg(F.sum("allowed")).collect()[0][0]
+    assert rows[1]["n_pass"] == n_allowed
