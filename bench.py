@@ -196,6 +196,7 @@ HEADLINE = R3_SET + [
     "template_lines",
     "wet_shards",
     "crawl_funnel",
+    "outlink_profile",
 ]
 
 

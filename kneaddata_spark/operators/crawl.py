@@ -394,6 +394,63 @@ def cdx_index(
     return global_rank(slim, ["surt", "ts", "url"], rank_col="idx")
 
 
+def outlink_profile(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    own_prefix_col: str,
+    min_links: int | None = None,
+    ext_permille: int | None = None,
+) -> DataFrame:
+    """Per-page outlink profile + link-farm screen: internal vs external
+    href counts (internal = href starts with the page's own authority
+    prefix, `own_prefix_col`), external share in integer permille, and
+    the link-farm verdict (rules.LINKFARM_*: mostly-external pages with
+    enough links for the ratio to mean anything are SEO chrome, not
+    content). Counting is occurrence ARITHMETIC — (len(html) -
+    len(replace(html, needle))) / len(needle) — not regex-with-
+    computed-pattern, so the per-row own-domain needle stays portable
+    to the SQL oracle verbatim. One codegen projection, zero Python,
+    zero shuffles at any corpus size."""
+    min_links = rules.LINKFARM_MIN_LINKS if min_links is None else min_links
+    ext_permille = (
+        rules.LINKFARM_EXT_PERMILLE if ext_permille is None else ext_permille
+    )
+    h = F.col(html_col)
+    all_needle = F.lit('href="')
+    own_needle = F.concat(F.lit('href="'), F.col(own_prefix_col))
+
+    def occurrences(needle: Column) -> Column:
+        return (
+            (F.length(h) - F.length(F.replace(h, needle, F.lit(""))))
+            / F.length(needle)
+        ).cast("long")
+
+    n_links = occurrences(all_needle)
+    n_internal = occurrences(own_needle)
+    f = df.select(
+        F.col(id_col),
+        n_links.alias("n_links"),
+        n_internal.alias("n_internal"),
+        (n_links - n_internal).alias("n_external"),
+    )
+    ext_pm = F.when(
+        F.col("n_links") > 0,
+        F.expr("(n_external * 1000) div n_links"),
+    ).cast("long")
+    return f.select(
+        "*",
+        ext_pm.alias("external_permille"),
+        F.when(
+            (F.col("n_links") >= min_links)
+            & (F.col("n_external") * 1000 >= F.lit(ext_permille) * F.col("n_links")),
+            F.lit("link_farm"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
+
+
 def template_lines(
     pages: DataFrame,
     id_col: str,

@@ -7712,6 +7712,59 @@ def template_lines_q(spark, sf):
     return template_lines(x, "doc_id", "dom", "text")
 
 
+@q(
+    "outlink_profile",
+    "WITH h0 AS (" + _HTML_SYNTH_SQL + "),\n"
+    "h AS (SELECT doc_id, html || CASE WHEN doc_id % 19 = 0 THEN"
+    " repeat('<a href=\"https://spam.example.net/x\">z</a>', 5)"
+    " ELSE '' END AS html FROM h0),\n"
+    "b AS (SELECT doc_id, html, 'href=\"https://ex' || (doc_id % 7)::VARCHAR"
+    " || '.example.org' AS own FROM h),\n"
+    "f AS (SELECT doc_id,\n"
+    "  ((length(html) - length(replace(html, 'href=\"', ''))) // 6)::BIGINT"
+    " AS n_links,\n"
+    "  ((length(html) - length(replace(html, own, ''))) // length(own))::BIGINT"
+    " AS n_internal FROM b),\n"
+    "g AS (SELECT doc_id, n_links, n_internal,"
+    " (n_links - n_internal)::BIGINT AS n_external FROM f)\n"
+    "SELECT doc_id, n_links, n_internal, n_external,\n"
+    "  (CASE WHEN n_links > 0 THEN (n_external * 1000) // n_links END)::BIGINT"
+    " AS external_permille,\n"
+    f"  CASE WHEN n_links >= {_rules.LINKFARM_MIN_LINKS}"
+    f" AND n_external * 1000 >= {_rules.LINKFARM_EXT_PERMILLE} * n_links"
+    " THEN 'link_farm' ELSE 'ok' END AS verdict\n"
+    "FROM g",
+)
+def outlink_profile_q(spark, sf):
+    """Per-page outlink profile + link-farm screen
+    (crawl.outlink_profile): internal vs external href counts, external
+    share in integer permille, link-farm verdict (rules.LINKFARM_* —
+    mostly-external pages with enough links are SEO chrome). Counting is
+    occurrence ARITHMETIC ((len - len(replace))/len(needle)) so the
+    per-row own-domain needle ports to the oracle verbatim — no
+    regex-with-computed-pattern. Planted spam-link blocks (doc_id%19)
+    keep the link-farm verdict live. One codegen projection, zero
+    shuffles at any corpus size."""
+    from ..operators.crawl import outlink_profile
+
+    h0 = _html_corpus(spark, sf)
+    m7 = (F.col("doc_id") % 7).cast("string")
+    h = h0.select(
+        "doc_id",
+        F.concat(
+            F.col("html"),
+            F.when(
+                F.col("doc_id") % 19 == 0,
+                F.repeat(
+                    F.lit('<a href="https://spam.example.net/x">z</a>'), 5
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("html"),
+        F.concat(F.lit("https://ex"), m7, F.lit(".example.org")).alias("own"),
+    )
+    return outlink_profile(h, "doc_id", "html", "own")
+
+
 # crawl-funnel robots rules: ex1 blocks the articles tree outright;
 # ex2 blocks it but re-allows the current-language subtree
 _FUNNEL_RULES = [

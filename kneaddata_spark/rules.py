@@ -355,6 +355,12 @@ SOFT404_MIN_CHARS = 120
 DOMAIN_LOW_KEPT_PERMILLE = 550
 DOMAIN_REVIEW_PERMILLE = 500
 
+# --- outlink profile / link-farm screen -------------------------------------
+# A page that is mostly EXTERNAL links (and has enough links for the
+# ratio to mean anything) is link-farm shaped — SEO chrome, not content.
+LINKFARM_MIN_LINKS = 4
+LINKFARM_EXT_PERMILLE = 700
+
 # --- per-domain template-line removal ---------------------------------------
 # A LINE appearing on >= TEMPLATE_DF_PERMILLE of a domain's pages (and on
 # at least TEMPLATE_MIN_DOCS pages) is chrome/template (nav, footer,

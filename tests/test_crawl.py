@@ -781,3 +781,38 @@ def test_crawl_funnel_invariants(spark):
     )
     n_allowed = robots_filter(urls, table).agg(F.sum("allowed")).collect()[0][0]
     assert rows[1]["n_pass"] == n_allowed
+
+
+def test_outlink_profile_hand_cases(spark):
+    from kneaddata_spark.operators.crawl import outlink_profile
+
+    own = "https://me.example.org"
+    docs = [
+        (0, f'<a href="{own}/a">i</a><a href="{own}/b">i</a>'),       # all internal
+        (1, '<a href="https://x.net/1">e</a>' * 5),                   # pure farm
+        (2, f'<a href="{own}/a">i</a>' + '<a href="https://x.net/1">e</a>' * 3,),
+        (3, "<p>no links at all</p>"),
+        (4, '<a href="https://x.net/1">e</a>'),                       # 1 ext < min
+    ]
+    df = spark.createDataFrame(
+        [(i, h, own) for i, h in docs], "doc_id long, html string, own string"
+    )
+    got = {r["doc_id"]: r for r in
+           outlink_profile(df, "doc_id", "html", "own").collect()}
+    assert (got[0]["n_links"], got[0]["n_internal"], got[0]["verdict"]) == (2, 2, "ok")
+    assert (got[1]["n_external"], got[1]["external_permille"], got[1]["verdict"]) == (5, 1000, "link_farm")
+    assert (got[2]["n_links"], got[2]["n_external"], got[2]["verdict"]) == (4, 3, "link_farm")
+    assert (got[3]["n_links"], got[3]["external_permille"]) == (0, None)
+    assert got[3]["verdict"] == "ok"
+    assert got[4]["verdict"] == "ok"  # min-links fence
+
+
+def test_outlink_profile_driver_verdicts_live(spark):
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["outlink_profile"](spark, SF_DIR).collect()
+    v = {r["verdict"] for r in rows}
+    assert v == {"ok", "link_farm"}
+    for r in rows:
+        if r["doc_id"] % 19 == 0:
+            assert r["n_external"] >= 5
