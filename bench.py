@@ -197,6 +197,7 @@ HEADLINE = R3_SET + [
     "wet_shards",
     "crawl_funnel",
     "outlink_profile",
+    "meta_robots_screen",
 ]
 
 

@@ -172,6 +172,46 @@ def robots_filter(
     )
 
 
+META_ROBOTS_RE = r'(?is)<meta[^>]*name="robots"[^>]*content="([^"]*)"'
+
+
+def meta_robots_screen(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Page-level robots directives — the in-document half of the
+    robots.txt policy (RFC 9309 §2.5 / robots meta): extract the
+    `<meta name="robots" content="...">` value, flag `noindex` (the
+    page must not enter the corpus — consent-respecting pipelines
+    honor it like a disallow) and `nofollow` (its outlinks must not
+    feed the frontier), with a first-failing verdict. Token-boundary
+    matching ('noindex' inside 'no-noindexing' does not count): the
+    content value is comma/space-separated tokens per the standard.
+    Pure row-local regex — one codegen projection, zero shuffles."""
+    content = F.lower(
+        F.regexp_extract(F.col(html_col), META_ROBOTS_RE, 1)
+    )
+    padded = F.concat(F.lit(","), F.regexp_replace(content, r"[,\s]+", ","), F.lit(","))
+    noindex = padded.contains(",noindex,").cast("long")
+    nofollow = (
+        padded.contains(",nofollow,") | padded.contains(",none,")
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        content.alias("robots_content"),
+        F.when(padded.contains(",none,"), F.lit(1)).otherwise(noindex)
+        .cast("long")
+        .alias("noindex"),
+        nofollow.alias("nofollow"),
+    ).select(
+        id_col,
+        "robots_content",
+        "noindex",
+        "nofollow",
+        F.when(F.col("noindex") == 1, F.lit("drop"))
+        .when(F.col("nofollow") == 1, F.lit("no_frontier"))
+        .otherwise(F.lit("ok"))
+        .alias("verdict"),
+    )
+
+
 UA_LINE_RE = r"(?i)^user-agent\s*:\s*(\S+)"
 RULE_LINE_RE = r"(?i)^(disallow|allow)\s*:\s*(\S*)"
 

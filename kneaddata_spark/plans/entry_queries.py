@@ -7713,6 +7713,72 @@ def template_lines_q(spark, sf):
 
 
 @q(
+    "meta_robots_screen",
+    "WITH h0 AS (" + _HTML_SYNTH_SQL + "),\n"
+    "h AS (SELECT doc_id, replace(html, '<head>', '<head>' || CASE\n"
+    "  WHEN doc_id % 9 = 1 THEN '<meta name=\"robots\" content=\"noindex\">'\n"
+    "  WHEN doc_id % 9 = 2 THEN"
+    " '<meta name=\"robots\" content=\"nofollow, noarchive\">'\n"
+    "  WHEN doc_id % 9 = 3 THEN '<meta name=\"robots\" content=\"none\">'\n"
+    "  WHEN doc_id % 9 = 4 THEN"
+    " '<meta name=\"robots\" content=\"index, follow\">'\n"
+    "  ELSE '' END) AS html FROM h0),\n"
+    "c AS (SELECT doc_id,"
+    " lower(regexp_extract(html,"
+    " '(?is)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"', 1))"
+    " AS robots_content FROM h),\n"
+    "p AS (SELECT doc_id, robots_content,"
+    " ',' || regexp_replace(robots_content, '[,\\s]+', ',', 'g') || ','"
+    " AS pad FROM c),\n"
+    "f AS (SELECT doc_id, robots_content,\n"
+    "  (CASE WHEN position(',noindex,' IN pad) > 0"
+    " OR position(',none,' IN pad) > 0 THEN 1 ELSE 0 END)::BIGINT AS noindex,\n"
+    "  (CASE WHEN position(',nofollow,' IN pad) > 0"
+    " OR position(',none,' IN pad) > 0 THEN 1 ELSE 0 END)::BIGINT"
+    " AS nofollow FROM p)\n"
+    "SELECT doc_id, robots_content, noindex, nofollow,\n"
+    "  CASE WHEN noindex = 1 THEN 'drop'"
+    " WHEN nofollow = 1 THEN 'no_frontier' ELSE 'ok' END AS verdict\n"
+    "FROM f",
+)
+def meta_robots_screen_q(spark, sf):
+    """Page-level robots directives (crawl.meta_robots_screen): the
+    in-document half of robots policy — noindex means the page must
+    not enter the corpus (consent-respecting pipelines honor it like a
+    disallow), nofollow/none fence its outlinks out of the frontier.
+    Token-boundary matching over the comma/space-separated content
+    value ('noindex' inside another token never counts). The planted
+    doc_id%9 classes keep every verdict live. Row-local regex, one
+    codegen projection, zero shuffles."""
+    from ..operators.crawl import meta_robots_screen
+
+    h0 = _html_corpus(spark, sf)
+    tag = (
+        F.when(
+            F.col("doc_id") % 9 == 1,
+            F.lit('<meta name="robots" content="noindex">'),
+        )
+        .when(
+            F.col("doc_id") % 9 == 2,
+            F.lit('<meta name="robots" content="nofollow, noarchive">'),
+        )
+        .when(F.col("doc_id") % 9 == 3, F.lit('<meta name="robots" content="none">'))
+        .when(
+            F.col("doc_id") % 9 == 4,
+            F.lit('<meta name="robots" content="index, follow">'),
+        )
+        .otherwise(F.lit(""))
+    )
+    h = h0.select(
+        "doc_id",
+        F.replace(
+            F.col("html"), F.lit("<head>"), F.concat(F.lit("<head>"), tag)
+        ).alias("html"),
+    )
+    return meta_robots_screen(h, "doc_id", "html")
+
+
+@q(
     "outlink_profile",
     "WITH h0 AS (" + _HTML_SYNTH_SQL + "),\n"
     "h AS (SELECT doc_id, html || CASE WHEN doc_id % 19 = 0 THEN"

@@ -816,3 +816,45 @@ def test_outlink_profile_driver_verdicts_live(spark):
     for r in rows:
         if r["doc_id"] % 19 == 0:
             assert r["n_external"] >= 5
+
+
+def test_meta_robots_screen_hand_cases(spark):
+    from kneaddata_spark.operators.crawl import meta_robots_screen
+
+    cases = [
+        (0, '<head><meta name="robots" content="noindex">', (1, 0, "drop")),
+        (1, '<head><meta name="robots" content="NOFOLLOW, noarchive">',
+         (0, 1, "no_frontier")),
+        (2, '<head><meta name="robots" content="none">', (1, 1, "drop")),
+        (3, '<head><meta name="robots" content="index, follow">', (0, 0, "ok")),
+        (4, "<head><title>t</title>", (0, 0, "ok")),  # no tag at all
+        # token boundary: 'nonoindexing' must NOT trip noindex
+        (5, '<head><meta name="robots" content="nonoindexing">', (0, 0, "ok")),
+        # whitespace-separated tokens are valid per the standard
+        (6, '<head><meta name="robots" content="noindex nofollow">',
+         (1, 1, "drop")),
+    ]
+    df = spark.createDataFrame(
+        [(i, h + "<body></body>") for i, h, _ in cases],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in
+           meta_robots_screen(df, "doc_id", "html").collect()}
+    for i, _, (ni, nf, v) in cases:
+        r = got[i]
+        assert (r["noindex"], r["nofollow"], r["verdict"]) == (ni, nf, v), (i, r)
+
+
+def test_meta_robots_driver_all_verdicts_live(spark):
+    from kneaddata_spark.plans.entry_queries import QUERIES
+
+    rows = QUERIES["meta_robots_screen"](spark, SF_DIR).collect()
+    assert {r["verdict"] for r in rows} == {"drop", "no_frontier", "ok"}
+    for r in rows:
+        m = r["doc_id"] % 9
+        if m == 1 or m == 3:
+            assert r["verdict"] == "drop"
+        elif m == 2:
+            assert r["verdict"] == "no_frontier"
+        elif m == 4:
+            assert r["verdict"] == "ok" and r["robots_content"] == "index, follow"
