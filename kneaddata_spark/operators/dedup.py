@@ -80,48 +80,111 @@ def word_shingles(
     """Distinct (id, shingle) word n-grams with the stop-shingle skew guard
     ON by default: max_df='auto' drops shingles whose document frequency
     exceeds max(AUTO_DF_MIN, n_docs div AUTO_DF_DIV); an int caps df
-    absolutely; None disables the guard (tests/micro corpora only)."""
+    absolutely; None disables the guard (tests/micro corpora only).
+
+    Precondition: `id_col` is unique per row (true of every caller —
+    doc_id/clip_id are primary keys). Distinctness is enforced per-row
+    via array_distinct, which equals the old global distinct exactly
+    under that precondition while costing zero shuffles."""
     toks = F.split(F.lower(F.col(text_col)), "\\s+")
     # guard short docs: sequence(1, 0) in Spark is the DESCENDING [1, 0]
     # (unlike SQL generate_series, which is empty) and slice(.., 0, ..)
-    # throws — a < n-token document must yield zero shingles, not an error
+    # throws — a < n-token document must yield zero shingles, not an error.
+    # array_distinct() dedups WITHIN the row (ids are unique, so per-row
+    # distinct == the old global .distinct()) — r6: this removes a full
+    # corpus-scale shuffle that the old global distinct paid, and paid
+    # TWICE (the df-count pass and the probe pass each re-evaluated it).
     grams = F.expr(
         f"CASE WHEN size(tokens) >= {n} THEN "
-        f"transform(sequence(1, size(tokens) - {n - 1}), "
-        f"i -> array_join(slice(tokens, i, {n}), ' ')) "
+        f"array_distinct(transform(sequence(1, size(tokens) - {n - 1}), "
+        f"i -> array_join(slice(tokens, i, {n}), ' '))) "
         f"ELSE array() END"
     )
-    sh = (
-        df.select(F.col(id_col).alias("id"), toks.alias("tokens"))
-        .select("id", F.explode(grams).alias("shingle"))
-        .distinct()
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col))
+    # r6: shingle construction is CPU-bound string work; a compact
+    # single-row-group parquet source plans as ONE scan task, so the
+    # whole tokenize+explode ran single-threaded (measured 9.9 s of a
+    # 15 s query at sf1.0). Repartition by id ONLY when the source has
+    # fewer splits than the session's shuffle width — at real scale the
+    # scan already yields thousands of splits and this branch never
+    # fires (getNumPartitions is plan-time, job-free).
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    if src.rdd.getNumPartitions() < n_parts:
+        src = src.repartition(n_parts, F.col("id"))
+    sh = src.select("id", toks.alias("tokens")).select(
+        "id", F.explode(grams).alias("shingle")
     )
     if max_df is None:
         return sh
-    # Guard via a SALTED two-phase df count + broadcast hot-list anti-join
-    # (VERDICT r2 #4). The previous Window.partitionBy(shingle) count was a
-    # single pass but routed a corpus-scale stop-shingle's every (id, row)
-    # through ONE task to be counted — a straggler at 10^9 docs. Here:
-    #  phase 1 counts per (shingle, salt) — the hot shingle's rows split
-    #  across n_salts tasks with map-side combine; phase 2 sums the
-    #  <= n_salts partials per shingle (bounded fan-in). The hot list is
-    #  provably broadcastable: |hot| <= total (id,shingle) pairs / ceiling
-    #  <= avg_shingles_per_doc * AUTO_DF_DIV rows, INDEPENDENT of corpus
-    #  size. The probe is then a broadcast anti-join — no extra shuffle of
-    #  the shingle frame. The explode subtree is evaluated twice (count
-    #  pass + probe pass); at corpus scale recompute beats caching a
-    #  corpus-sized intermediate, and every caller caches the guarded
-    #  OUTPUT, so downstream actions pay neither pass again.
-    n_salts = 16
-    part = (
-        sh.groupBy("shingle", F.pmod(F.xxhash64("id"), F.lit(n_salts)).alias("__salt"))
-        .agg(F.count("*").alias("__n"))
-    )
-    dfc = part.groupBy("shingle").agg(F.sum("__n").alias("__df"))
+    # Guard: document-frequency count + broadcast hot-list anti-join.
+    # The count is a plain groupBy(shingle) — hash-aggregate partial
+    # (map-side) combine already bounds a corpus-scale stop-shingle's
+    # reduce-side fan-in at one partial row PER MAP TASK, so the r2
+    # salted two-phase count was an extra shuffle for skew that partial
+    # aggregation already absorbs (guide §2.3 "aggregate before you
+    # shuffle"); r6 drops it. The hot list is provably broadcastable:
+    # |hot| <= total (id,shingle) pairs / ceiling <= avg_shingles_per_doc
+    # * AUTO_DF_DIV rows, INDEPENDENT of corpus size. The probe is a
+    # broadcast anti-join — no shuffle of the shingle frame anywhere in
+    # this function now (the explode subtree is map-only and evaluated
+    # twice: count pass + probe pass; at corpus scale recompute of a
+    # map-only projection beats caching a corpus-sized intermediate, and
+    # every caller caches the guarded OUTPUT).
+    dfc = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     hot = _hot_fingerprints(dfc, df, max_df)
     return sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti").select(
         "id", "shingle"
     )
+
+
+def _hashed_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | str | None,
+    part_col: str,
+) -> DataFrame:
+    """Shared r6 basis of the three pair screens: the (id, h) shingle
+    frame with h = xxhash64(shingle), persisted hash-partitioned on
+    `part_col` ("h" for shingle self-joins, "id" for signature/verify
+    paths), df-guard applied FROM the same cache.
+
+    Why hashes: the pair screens never need shingle text — only equality
+    and counts — and a 16-byte (id, h) row beats a ~25-byte string row
+    across every join/aggregate (guide §2.3 narrower types). Counts
+    change only if two DISTINCT shingles of the SAME doc pair collide in
+    xxhash64 — P < 1e-12 per corpus, the same primitive and argument as
+    the MinHash signature/band hashing this module already trusts.
+
+    Why one cache: the explode is evaluated ONCE (the old shape paid it
+    twice — df-count pass + probe pass); the df-guard's count and the
+    hot-list anti-join both read the cache. The partition count is
+    EXPLICIT (session shuffle.partitions, the global_rank convention):
+    downstream join-output work is quadratic in per-key df, which AQE's
+    byte-based coalescing under-counts — and a narrow frame that slips
+    under the broadcast threshold must never collapse the self-join into
+    a single-partition probe (measured 166 s at sf1.0 when it did).
+    The guard ceiling is df-count over HASHES == over shingles (same
+    collision argument)."""
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    raw = persist_tracked(
+        word_shingles(df, id_col, text_col, n, max_df=None)
+        .select("id", F.xxhash64("shingle").alias("h"))
+        .repartition(n_parts, F.col(part_col))
+    )
+    if max_df is None:
+        return raw
+    dfc = raw.groupBy("h").agg(F.count("*").alias("__df"))
+    hot = _hot_fingerprints(
+        dfc.withColumnRenamed("h", "shingle"), df, max_df
+    ).select(F.col("shingle").alias("h"))
+    # broadcast anti-join: preserves the cache's partitioning, no shuffle
+    return raw.join(F.broadcast(hot), "h", "left_anti")
 
 
 def ngram_jaccard_pairs(
@@ -140,12 +203,14 @@ def ngram_jaccard_pairs(
     self-join and the size aggregate — persist_tracked (MEMORY_AND_DISK +
     released when the next tracked-cache query is built,
     operators/caching.py)."""
-    sh = persist_tracked(word_shingles(df, id_col, text_col, n, max_df))
+    # r6: hashed-long shingle basis, one cache partitioned on h so the
+    # self-join needs no further exchange — see _hashed_shingles.
+    sh = _hashed_shingles(df, id_col, text_col, n, max_df, part_col="h")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "h")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
@@ -183,12 +248,14 @@ def containment_pairs(
     contained'). Same machinery and scale shape as ngram_jaccard_pairs:
     one shingle self-join (df-guard bounded), sizes joined back keyed
     (AQE broadcasts when small), persist_tracked shingle frame."""
-    sh = persist_tracked(word_shingles(df, id_col, text_col, n, max_df))
+    # r6: hashed-long join/aggregate keys + h-partitioned cache +
+    # shuffled-hash self-join — see _hashed_shingles (identical here).
+    sh = _hashed_shingles(df, id_col, text_col, n, max_df, part_col="h")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "h")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
@@ -227,7 +294,7 @@ def _perm_coeffs(num_hashes: int, seed: int = 7):
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 64, seed: int = 7
+    sh: DataFrame, num_hashes: int = 64, seed: int = 7, hash_col: str | None = None
 ) -> DataFrame:
     """(id, sig array<long>) MinHash signatures over a (id, shingle) frame.
 
@@ -240,7 +307,14 @@ def minhash_signatures(
     would re-evaluate it num_hashes times per row (codegen duplicates
     subtrees per use — measured 64x hash work without this)."""
     a, b = _perm_coeffs(num_hashes, seed)
-    hashed = sh.select("id", F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("__x"))
+    # hash_col: caller already materialized xxhash64(shingle) (r6 — the
+    # pair-join path shares one hashed frame); values are identical.
+    base = (
+        F.pmod(F.col(hash_col), F.lit(_P))
+        if hash_col
+        else F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    )
+    hashed = sh.select("id", base.alias("__x"))
     x = F.col("__x")
     mins = [
         F.min((x * F.lit(int(a[i])) + F.lit(int(b[i]))) % F.lit(_P)).alias(f"h{i}")
@@ -290,24 +364,39 @@ def minhash_dedup_pairs(
     verification join touches only the candidate pair set, not all pairs.
     Shingles persist MEMORY_AND_DISK, released at the next tracked-cache
     query build (operators/caching.py)."""
-    sh = persist_tracked(word_shingles(df, id_col, text_col, n, max_df))
-    sigs = minhash_signatures(sh, num_hashes)
+    # r6: one hashed-long shingle frame (see _hashed_shingles) feeds
+    # signatures, sizes and verification alike. Partitioned on id: the
+    # signature groupBy(id), the size aggregate and both verification
+    # joins all key on an id — one exchange at cache build serves all.
+    sh = _hashed_shingles(df, id_col, text_col, n, max_df, part_col="id")
+    sigs = minhash_signatures(sh, num_hashes, hash_col="h")
     cand = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.withColumnRenamed("id", "id_a")
-    b = sh.withColumnRenamed("id", "id_b")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b.withColumnRenamed("shingle", "shingle_b"), "id_b")
-        .where(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    # per-doc sizes joined by key (no forced broadcast; see ngram_jaccard_pairs)
+    # r6 verification: per-doc shingle-hash ARRAYS + array_intersect,
+    # replacing the old candidate⋈shingle⋈shingle join chain. The band
+    # screen is recall-oriented — at (bands=32, r=2) a template-heavy
+    # corpus yields ~150x more candidates than final pairs (measured
+    # 405k cand -> 2.6k pairs at sf1.0), so the old verify shuffled
+    # |cand| x avg_doc_size (~21M) rows; here the doc array table is
+    # |docs| rows (bounded by doc length), built WITHOUT an exchange
+    # (the cache is already id-partitioned), and each candidate pair is
+    # verified row-locally. Exact: arrays hold the distinct per-doc hash
+    # set, so size(array_intersect) == the old equi-join inter count and
+    # size(hs) == the old per-doc size aggregate. A band-collision pair
+    # sharing ZERO shingles now scores jaccard 0 instead of vanishing
+    # from the inner join — identical output for any threshold > 0
+    # (every caller uses 0.5-0.7).
+    arrs = sh.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    aa = arrs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
+    bb = arrs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
+    paired = cand.join(aa, "id_a").join(bb, "id_b")
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    sz_a, sz_b = F.size("hs_a"), F.size("hs_b")
     return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        paired.select(
+            "id_a",
+            "id_b",
+            (inter / (sz_a + sz_b - inter)).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -439,18 +528,27 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (ADVICE r2: silently returning unmerged clusters would make a
     keep-one-per-cluster policy retain extra near-dups with no signal).
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # materialize the (possibly expensive) upstream pair plan ONCE — every
     # iteration joins against sym, and without this each round would
-    # re-execute the whole candidate-generation pipeline
+    # re-execute the whole candidate-generation pipeline. r6: checkpoint
+    # the DIRECTED edges BEFORE symmetrizing — a union of two instances
+    # of the pair plan executes that plan TWICE (exchange reuse shares
+    # the shuffle, not the downstream pair aggregate; measured 19 s vs
+    # 10.6 s on the sf1.0 jaccard screen). The symmetric view is then a
+    # trivial union over the checkpointed rows.
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    )
+    # r6: lazy checkpoint — materializes inside round 1's convergence
+    # count instead of as its own job (one fewer action; same blocks)
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("cluster_id", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = -1
     for _ in range(max_iter):
@@ -486,7 +584,12 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("cluster_id"), F.coalesce("__plabel", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
+            # r6: eager=False — the convergence count below is the action
+            # that materializes this round's blocks, so each round costs
+            # ONE job (join+jump+persist+count fused) instead of two
+            # (checkpoint job, then count job). Lineage truncation is
+            # identical once the blocks exist.
+            .localCheckpoint(eager=False)
         )
         changed = new.where(F.col("cluster_id") != F.col("__old")).count()
         labels = new.select("id", "cluster_id")

@@ -377,21 +377,28 @@ def importance_weights(
     norm = F.split(
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
     )
-    n1 = F.greatest(F.size(norm) - 1, F.lit(0))
-    buckets = F.zip_with(
-        F.slice(norm, F.lit(1), n1),
-        F.slice(norm, F.lit(2), n1),
-        lambda t1, t2: (
-            (portable_token_hash64(t1) % DSIR_HM) * DSIR_K
-            + portable_token_hash64(t2) % DSIR_HM
-        )
-        % n_buckets,
+    # r6: hash every token ONCE via transform() in a materialized
+    # projection, then combine adjacent hashes. The old shape called
+    # portable_token_hash64 inside the zip_with lambda on both slices —
+    # each token's ~15-expression hash was evaluated twice (as t1 and as
+    # t2), and `norm` itself (split+lower+regexp) was inlined into both
+    # slice() arguments (guide §4: duplicated expression subtrees).
+    hashed = F.transform(
+        norm, lambda t: portable_token_hash64(t) % F.lit(DSIR_HM)
     )
-    ex = df.select(
+    pre = df.select(
         F.col(id_col).alias("id"),
         F.col(target_col).cast("long").alias("tgt"),
-        F.explode(buckets).alias("b"),
+        hashed.alias("__h"),
     )
+    harr = F.col("__h")
+    n1 = F.greatest(F.size(harr) - 1, F.lit(0))
+    buckets = F.zip_with(
+        F.slice(harr, F.lit(1), n1),
+        F.slice(harr, F.lit(2), n1),
+        lambda h1, h2: (h1 * DSIR_K + h2) % n_buckets,
+    )
+    ex = pre.select("id", "tgt", F.explode(buckets).alias("b"))
     # per-(doc, bucket) partials — the one corpus-scale aggregation; the
     # bucket table and the final per-doc scores both re-aggregate it
     partials = persist_tracked(

@@ -6071,12 +6071,22 @@ def dedup_eval_q(spark, sf):
             )
         )
     )
-    tp = pred.join(F.broadcast(truth), ["id_a", "id_b"]).agg(
-        F.count("*").cast("long").alias("tp")
+    # r6: ONE pass over pred for both counts — the old shape aggregated
+    # pred twice (tp subtree + n_pred subtree), re-executing the whole
+    # MinHash screen downstream of the cached shingle frame. A broadcast
+    # LEFT join against truth marks hits; one aggregate yields n_pred and
+    # tp together (guide §2.4 duplicated subtrees).
+    marked = pred.join(
+        F.broadcast(truth.withColumn("__hit", F.lit(1))), ["id_a", "id_b"], "left"
     )
-    np_ = pred.agg(F.count("*").cast("long").alias("n_pred"))
+    counts = marked.agg(
+        F.count("*").cast("long").alias("n_pred"),
+        F.coalesce(F.sum(F.coalesce(F.col("__hit"), F.lit(0))), F.lit(0))
+        .cast("long")
+        .alias("tp"),
+    )
     nt = truth.agg(F.count("*").cast("long").alias("n_truth"))
-    j = nt.crossJoin(np_).crossJoin(tp)
+    j = nt.crossJoin(counts)
     return j.select(
         "n_truth",
         "n_pred",
@@ -8154,6 +8164,7 @@ def _rotation_order(names: list[str]) -> list[str]:
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     ever: set[str] = set()
     latest: set[str] = set()
+    last_red: dict[str, bool] = {}
     for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         # the records are DRIVER-written — their shape is not under this
         # repo's control, and a parse failure at module import would brick
@@ -8166,12 +8177,31 @@ def _rotation_order(names: list[str]) -> list[str]:
             if not isinstance(data, dict):
                 continue
             keys = set(data)
+            for n, row in data.items():
+                # r6 (VERDICT r5 #1): remember whether each query's MOST
+                # RECENT driver row was red — a failed match or a real
+                # error (rows-only "no_oracle" rows are by-design green).
+                # Fixed-then-unconfirmed queries must re-enter rotation
+                # ahead of merely-never-checked ones so the fix gets its
+                # confirming row next sweep.
+                try:
+                    err = row.get("err")
+                    red = bool(err) and err != "no_oracle"
+                    for k in ("rows_match", "schema_match", "hash_match"):
+                        if row.get(k) is False:
+                            red = True
+                    last_red[n] = red
+                except Exception:
+                    pass
         except Exception:
             continue
         ever |= keys
         latest = keys
     idx = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (n in ever, n in latest, idx[n]))
+    return sorted(
+        names,
+        key=lambda n: (n in ever, not last_red.get(n, False), n in latest, idx[n]),
+    )
 
 
 QUERIES = {k: QUERIES[k] for k in _rotation_order(list(QUERIES))}

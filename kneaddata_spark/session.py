@@ -50,6 +50,29 @@ def get_spark(app: str = "kneaddata_spark", master: str | None = None, cores: in
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
         )
         .config("spark.ui.enabled", "false")
+        .config(
+            # r6 sweep-churn fix (guide §5): a 150+-query sweep in ONE
+            # session accumulates unreferenced localCheckpoint blocks
+            # (dup_clusters rounds), broadcast relations and shuffle
+            # files until a driver GC lets ContextCleaner reap them —
+            # the default 30min periodic GC means they pile up for the
+            # whole sweep, inflating storage/execution memory pressure
+            # for every later query. 2min bounds the backlog at any
+            # scale (long-running production drivers want this too).
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "2min"),
+        )
+        # r6: bound the in-memory status store (kept even with the UI
+        # off). Defaults retain 1000 SQL executions with full plan-graph
+        # strings + 100k task rows; this repo's generated plans are huge
+        # (64-aggregate SimHash, unrolled PageRank), so a long sweep
+        # holds hundreds of MB of dead metadata in old-gen. Caps are
+        # scale-independent driver hygiene.
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "400")
+        .config("spark.ui.retainedTasks", "20000")
+        .config("spark.ui.retainedDeadExecutors", "10")
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

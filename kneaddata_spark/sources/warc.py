@@ -312,8 +312,11 @@ def write_warc_shards(
         "warc_date", "content_type", "http_status", "http_content_type",
         "payload",
     ]
-    part = records.select(*cols).repartitionByRange(F.col(shard_col))
-    return part.groupBy(shard_col).applyInPandas(emit, receipt_schema)
+    # r6 (ADVICE): no repartitionByRange here — groupBy().applyInPandas
+    # introduces its own hash partitioning on the group key, so a range
+    # exchange immediately before it was a second, discarded shuffle of
+    # the full payload bytes (guide §2.4).
+    return records.select(*cols).groupBy(shard_col).applyInPandas(emit, receipt_schema)
 
 
 def wet_from_responses(records: DataFrame) -> DataFrame:

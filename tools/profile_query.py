@@ -47,11 +47,15 @@ def main() -> None:
         fn = QUERIES[name]
         if plans_dir:
             os.makedirs(plans_dir, exist_ok=True)
+            import contextlib
+            import io
+
             df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
             with open(os.path.join(plans_dir, f"{name}.txt"), "w") as f:
-                f.write(df._jdf.queryExecution().explainString(
-                    spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-                ))
+                f.write(buf.getvalue())
             spark.catalog.clearCache()
         walls = []
         for _ in range(reps):
