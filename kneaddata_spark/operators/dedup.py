@@ -100,19 +100,15 @@ def word_shingles(
         f"i -> array_join(slice(tokens, i, {n}), ' '))) "
         f"ELSE array() END"
     )
-    src = df.select(F.col(id_col).alias("id"), F.col(text_col))
     # r6: shingle construction is CPU-bound string work; a compact
     # single-row-group parquet source plans as ONE scan task, so the
     # whole tokenize+explode ran single-threaded (measured 9.9 s of a
-    # 15 s query at sf1.0). Repartition by id ONLY when the source has
-    # fewer splits than the session's shuffle width — at real scale the
-    # scan already yields thousands of splits and this branch never
-    # fires (getNumPartitions is plan-time, job-free).
-    n_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    if src.rdd.getNumPartitions() < n_parts:
-        src = src.repartition(n_parts, F.col("id"))
+    # 15 s query at sf1.0). widen() repartitions by id ONLY when the
+    # source has fewer splits than the session's shuffle width — a no-op
+    # at real scale (operators/partitioning.py).
+    from .partitioning import widen
+
+    src = widen(df.select(F.col(id_col).alias("id"), F.col(text_col)), "id")
     sh = src.select("id", toks.alias("tokens")).select(
         "id", F.explode(grams).alias("shingle")
     )
@@ -443,7 +439,11 @@ def simhash_signatures(
     SQL-oracle-reproducible variant), per-bit +/-1 sums via 64 conditional
     aggregates (map-side combined), sign -> bit. One shuffle of
     |ids| x 64 longs."""
-    toks = df.select(
+    from .partitioning import widen
+
+    # r6: widen a degenerate single-split source before the tokenize +
+    # per-token hash (CPU-heavy row-local stage; no-op at real scale)
+    toks = widen(df, id_col).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
     ).where(F.col("tok") != "")
@@ -1073,6 +1073,11 @@ def paragraph_dedup(
     Reference lineage: the first-occurrence dedup policy of SAM->FASTQ
     conversion (utilities.py:63-106) applied at sub-document granularity.
     """
+    from .partitioning import widen
+
+    # r6: widen a degenerate single-split source before the CPU-heavy
+    # paragraph split/chunk explode (no-op at real scale)
+    df = widen(df, id_col)
     if delim is not None:
         paras = df.select(
             F.col(id_col).alias("id"),

@@ -47,7 +47,13 @@ def _with_norm(
     vectors is mathematically equal but divides before summing — a
     last-ulp difference that flips round(cos, 4) at a rounding boundary;
     observed at sf0.001.)"""
-    return df.select(
+    from .partitioning import widen
+
+    # r6: vector scoring runs through interpreted higher-order lambdas
+    # (dot/fold per element) — widen a degenerate single-split source so
+    # the corpus side streams sweep-wide (no-op at real scale; a tiny
+    # query frame widening is harmless)
+    return widen(df, id_col).select(
         F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
     ).withColumn(n_alias, _norm(vec_alias))
 
@@ -70,10 +76,16 @@ def _collect_fit_sample(
     sample when the frame is larger than cap (deterministic for a fixed
     input layout; the ANN oracles are codebook-independent by design, so
     layout-sensitivity of the sample cannot flip a result)."""
+    # r6: one evaluation in the common under-cap case — limit(cap+1)
+    # returns EVERY row (in the same partition-major order a bare
+    # collect() yields) when the frame fits, so the separate count()
+    # pass (a second full evaluation of the upstream plan) only runs
+    # when the corpus is actually larger than the cap.
+    probe = df.select(vec_col).limit(cap + 1).collect()
+    if len(probe) <= cap:
+        return np.asarray([np.asarray(r[0], dtype=np.float64) for r in probe])
     n = df.count()
-    if n > cap:
-        df = df.sample(False, cap / n, seed)
-    rows = df.select(vec_col).collect()
+    rows = df.sample(False, cap / n, seed).select(vec_col).collect()
     return np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
 
 
@@ -111,11 +123,31 @@ def _np_kmeans(
         for _ in range(max_iter):
             d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
             assign = d.argmin(axis=1)
+            # r6: when dim <= k (the PQ subspace case: dim 8, k 16),
+            # per-dimension bincount sums replace the k-way masked
+            # fancy-index mean loop (k full passes over X per iteration
+            # -> dim C-loop passes; the PQ fit was 4.5 s of the sf1.0
+            # query wall). Summation order changes (sequential vs numpy
+            # pairwise) — codebooks may drift by ulps, which the ANN
+            # contracts absorb by design: oracles are planted-dup
+            # codebook-INDEPENDENT and the recall gate has wide margin.
+            # When dim > k (IVF: dim 64, k 16 lists) the masked loop is
+            # the cheaper direction and keeps its exact arithmetic.
             newC = C.copy()
-            for j in range(k):
-                mask = assign == j
-                if mask.any():
-                    newC[j] = X[mask].mean(axis=0)
+            if X.shape[1] <= k:
+                counts = np.bincount(assign, minlength=k).astype(np.float64)
+                sums = np.empty_like(C)
+                for dim_i in range(X.shape[1]):
+                    sums[:, dim_i] = np.bincount(
+                        assign, weights=X[:, dim_i], minlength=k
+                    )
+                nz = counts > 0
+                newC[nz] = sums[nz] / counts[nz, None]
+            else:
+                for j in range(k):
+                    mask = assign == j
+                    if mask.any():
+                        newC[j] = X[mask].mean(axis=0)
             if np.allclose(newC, C):
                 break
             C = newC
@@ -511,9 +543,13 @@ def quantize_embeddings(
     Elements pass through double so engine and SQL oracle see
     bit-identical products. Zero vectors drop (no direction to
     preserve). Pure Column algebra, zero Python."""
+    from .partitioning import widen
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     s = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x)))
-    out = vectors.select(
+    # r6: widen a degenerate single-split source — quantization + the
+    # downstream integer-dot scoring are interpreted per-element lambdas
+    out = widen(vectors, id_col).select(
         F.col(id_col).alias("id"), v.alias("__v"), s.alias("scale")
     )
     qvec = F.transform(

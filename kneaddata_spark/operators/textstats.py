@@ -289,7 +289,11 @@ def winnowing_fingerprints(
     norm = F.split(
         F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")), " "
     )
-    toks = df.select(
+    from .partitioning import widen
+
+    # r6: widen a degenerate single-split source before the tokenize +
+    # per-token hash stage (no-op at real scale)
+    toks = widen(df, id_col).select(
         F.col(id_col).alias("id"), F.posexplode(norm).alias("pos", "tok")
     ).where(
         # enforce the MAXPOS precondition instead of trusting it: beyond
@@ -386,7 +390,11 @@ def importance_weights(
     hashed = F.transform(
         norm, lambda t: portable_token_hash64(t) % F.lit(DSIR_HM)
     )
-    pre = df.select(
+    from .partitioning import widen
+
+    # r6: widen a degenerate single-split source — the per-token hash
+    # transform is the query's heaviest stage (no-op at real scale)
+    pre = widen(df, id_col).select(
         F.col(id_col).alias("id"),
         F.col(target_col).cast("long").alias("tgt"),
         hashed.alias("__h"),
