@@ -98,8 +98,12 @@ def overrepresented_ngrams(
         f"i -> array_join(slice(tokens, i, {n}), ' ')) "
         f"ELSE array() END"
     )
+    from .partitioning import widen
+
+    # r6: widen a degenerate single-split source before the n-gram
+    # construction explode (no-op at real scale)
     return (
-        df.select(toks.alias("tokens"))
+        widen(df.select(toks.alias("tokens")))
         .select(F.explode(grams).alias("ngram"))
         .where(F.col("ngram") != "")
         .groupBy("ngram")
@@ -601,7 +605,11 @@ def pmi_collocations(
     nothing Python.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
-    t = df.select(toks.alias("toks"))
+    from .partitioning import widen
+
+    # r6: widen a degenerate single-split source before the two token
+    # explodes (no-op at real scale)
+    t = widen(df.select(toks.alias("toks")))
     uni = (
         t.select(F.explode("toks").alias("tok"))
         .where(F.col("tok") != "")
@@ -678,8 +686,12 @@ def distinctive_terms(
     from .caching import persist_tracked
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    from .partitioning import widen
+
+    # r6: widen a degenerate single-split source before the token explode
     st = persist_tracked(
-        df.select(F.col(group_col).alias("grp"), F.explode(toks).alias("token"))
+        widen(df.select(F.col(group_col).alias("grp"), toks.alias("__t")))
+        .select("grp", F.explode("__t").alias("token"))
         .where(F.col("token") != "")
         .groupBy("grp", "token")
         .agg(F.count("*").cast("long").alias("n_in"))

@@ -4134,9 +4134,12 @@ def cms_heavy_hitters_q(spark, sf):
     DuckDB oracle reproduce every counter exactly."""
     from ..operators.caching import persist_tracked
     from ..operators.dedup import portable_token_hash64
+    from ..operators.partitioning import widen
     from ..operators.sketches import cms_build, cms_estimate
 
-    d = _t(spark, sf, "documents")
+    # r6: widen the single-split scan — per-token portable hash + the
+    # d-row CMS cell explode are the query's heaviest stage
+    d = widen(_t(spark, sf, "documents"), "doc_id")
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok")
     ).where(F.col("tok") != "")
@@ -6211,8 +6214,18 @@ _HTML_EXTRACT_SQL = (
 
 
 def _html_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    """(doc_id, html) — Spark twin of _HTML_SYNTH_SQL, byte-identical."""
-    d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    """(doc_id, html) — Spark twin of _HTML_SYNTH_SQL, byte-identical.
+
+    r6: widen() the single-split documents scan — every consumer runs
+    regex-heavy extraction over the html column, and the compact parquet
+    source would otherwise plan that work as ONE task (no-op at real
+    scale; operators/partitioning.py)."""
+    from ..operators.partitioning import widen
+
+    d = widen(
+        _t(spark, sf, "documents").select("doc_id", "text", "lang", "source"),
+        "doc_id",
+    )
     did = F.col("doc_id").cast("string")
     body = (
         F.when(
@@ -6418,8 +6431,13 @@ _URL_SYNTH_SQL = (
 
 
 def _url_corpus(spark: SparkSession, sf: str) -> DataFrame:
-    """(url_id, url) — Spark twin of _URL_SYNTH_SQL, byte-identical."""
-    d = _t(spark, sf, "documents").select("doc_id")
+    """(url_id, url) — Spark twin of _URL_SYNTH_SQL, byte-identical.
+
+    r6: widen() the single-split scan — consumers (canonicalize/SURT/
+    frontier) run deep regex chains per url (no-op at real scale)."""
+    from ..operators.partitioning import widen
+
+    d = widen(_t(spark, sf, "documents").select("doc_id"), "doc_id")
     m7 = (F.col("doc_id") % 7).cast("string")
     d3 = F.expr("doc_id div 3").cast("string")
     a = d.select(

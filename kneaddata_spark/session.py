@@ -74,6 +74,16 @@ def get_spark(app: str = "kneaddata_spark", master: str | None = None, cores: in
         .config("spark.ui.retainedTasks", "20000")
         .config("spark.ui.retainedDeadExecutors", "10")
     )
+    # r6 (guide §2.1): shuffle files / spills / broadcast temp default to
+    # /tmp, which on this box is the one spinning-rust-class root volume
+    # (70% full) — while a 126 GB tmpfs sits idle. Prefer shm when it
+    # exists; a cluster deployment overrides with its fast local disks
+    # (SPARK_GRAFT_LOCAL_DIR), the standard spark.local.dir practice.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/kneaddata_spark_local"
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
