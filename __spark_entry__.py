@@ -3,17 +3,16 @@
 ``entry(spark)`` — flagship document-QC query on sf0.001.
 ``queries()`` / ``oracle_sql()`` — operator surface from SURVEY.md §2 plus
 the training-data-pipeline extensions (dedup / similarity / text analysis /
-retrieval / corpus assembly), implemented in
+retrieval / corpus assembly / web ingest), implemented in
 kneaddata_spark.plans.entry_queries; DuckDB oracles attached for every
-SQL-expressible operator — 62 of 64, including the LSH/ANN family
-(exact-Jaccard-equal MinHash, portable-hash SimHash, planted-dup ANN top-1),
-the r3 additions (BM25 top-k, sequence packing, mixture resampling,
-as-of join, range join) and the r4 additions (Gopher-style repetition
-screen, winnowing fingerprints, substring-level decontamination) —
-with only the streaming query and the binary-audio domain pipeline
-rows-only by design. Query registration order rotates from recorded
-driver evidence (never-checked queries first) so the driver's budgeted
-sweep reaches every query across rounds.
+SQL-expressible operator — ``len(oracle_sql())`` of ``len(queries())``,
+counts DERIVED from the registries (r6: no hand-written totals here) —
+including the LSH/ANN family (exact-Jaccard-equal MinHash, portable-hash
+SimHash, planted-dup ANN top-1); the streaming query and the binary
+decode families are rows-only by design. Query registration order
+rotates from recorded driver evidence (never-checked queries first,
+then previously-red fixes awaiting confirmation) so the driver's
+budgeted sweep reaches every query across rounds.
 """
 
 from __future__ import annotations

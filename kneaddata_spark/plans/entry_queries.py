@@ -6213,19 +6213,20 @@ _HTML_EXTRACT_SQL = (
 )
 
 
-def _html_corpus(spark: SparkSession, sf: str) -> DataFrame:
+def _html_corpus(spark: SparkSession, sf: str, wide: bool = True) -> DataFrame:
     """(doc_id, html) — Spark twin of _HTML_SYNTH_SQL, byte-identical.
 
-    r6: widen() the single-split documents scan — every consumer runs
-    regex-heavy extraction over the html column, and the compact parquet
-    source would otherwise plan that work as ONE task (no-op at real
-    scale; operators/partitioning.py)."""
-    from ..operators.partitioning import widen
+    r6: widen() the single-split documents scan — most consumers run
+    regex-heavy extraction over the html column into an AGGREGATE, and
+    the compact parquet source would otherwise plan that work as ONE
+    task (no-op at real scale; operators/partitioning.py). Pass
+    wide=False for bases feeding the row-local map-only screens, whose
+    zero-exchange plan shape is itself a pytest-audited invariant."""
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang", "source")
+    if wide:
+        from ..operators.partitioning import widen
 
-    d = widen(
-        _t(spark, sf, "documents").select("doc_id", "text", "lang", "source"),
-        "doc_id",
-    )
+        d = widen(d, "doc_id")
     did = F.col("doc_id").cast("string")
     body = (
         F.when(
@@ -6709,8 +6710,10 @@ _CRAWL_SYNTH_SQL = (
 
 def _crawl_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, html) with the planted lang attribute — Spark twin of
-    _CRAWL_SYNTH_SQL (which assumes a CTE `h0 AS (_HTML_SYNTH_SQL)`)."""
-    h = _html_corpus(spark, sf)
+    _CRAWL_SYNTH_SQL (which assumes a CTE `h0 AS (_HTML_SYNTH_SQL)`).
+    wide=False: this basis feeds the row-local screens whose
+    zero-exchange plan is pytest-audited (test_crawl plan audits)."""
+    h = _html_corpus(spark, sf, wide=False)
     d = _t(spark, sf, "documents").select("doc_id", "lang")
     j = h.join(d, "doc_id")
     html = (
@@ -7300,9 +7303,10 @@ def frontier_schedule_q(spark, sf):
     cross-host parallelism maximal. ONE keyed window partitioned by
     host (never global); the frontier shuffles once on host, the same
     partitioning a per-host fetch executor wants. The URL-variant corpus
-    (uppercase-authority spellings hash to DIFFERENT hosts here —
-    scheduling is by literal authority, pre-canonicalization, exactly
-    when politeness applies). Reference analog: the serial per-database
+    (case-variant authority spellings LOWERCASE to the same host —
+    crawl.parse_url lowercases, so the variants share one wave budget,
+    matching the oracle; ADVICE r5 docstring fix). Reference analog:
+    the serial per-database
     cascade order (run.py D7) — bounded concurrency against one
     resource."""
     from ..operators.crawl import frontier_schedule

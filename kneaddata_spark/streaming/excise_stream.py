@@ -51,9 +51,18 @@ def stream_excise(
     toks, cut). Returns the StreamingQuery."""
     from ..operators.dedup import benchmark_fingerprints, excise_substrings
 
-    # benchmark fingerprints: computed once, pinned for the life of the
-    # query (the benchmark is frozen; every micro-batch probes this frame)
-    bfp = benchmark_fingerprints(benchmark, "doc_id", "text", k, window).persist()
+    # benchmark fingerprints: computed once, pinned for the LIFE OF THE
+    # STREAM (the benchmark is frozen; every micro-batch probes this
+    # frame). Deliberately exempt from operators/caching.persist_tracked:
+    # its release-at-next-query-build contract would drop a live
+    # stream's cache mid-run. Storage level spelled out per the
+    # caching.py rule (corpus-scale frames must spill, not OOM); the
+    # pin is released when the stream's session ends.
+    from pyspark import StorageLevel
+
+    bfp = benchmark_fingerprints(benchmark, "doc_id", "text", k, window).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bfp.count()  # materialize before the first trigger
 
     src = spark.readStream.schema(DOC_DDL)

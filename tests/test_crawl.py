@@ -527,7 +527,13 @@ def test_web_corpus_build_verdicts_and_plan(spark):
     import re as _re
 
     shuffles = _re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
-    assert all("k#" in s or s.startswith("k") for s in shuffles), shuffles
+    # r6: the html-corpus basis widen() adds ONE doc_id repartition on
+    # this single-split local fixture (a no-op at real scale where the
+    # scan yields many splits — operators/partitioning.py); the dedup
+    # window's k-partition remains the only corpus-semantics shuffle.
+    assert all(
+        "k#" in s or s.startswith("k") or "doc_id#" in s for s in shuffles
+    ), shuffles
     assert "EvalPython" not in plan and "InPandas" not in plan
 
 
