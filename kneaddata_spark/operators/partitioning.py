@@ -25,6 +25,10 @@ def widen(df: DataFrame, key_col: str | None = None) -> DataFrame:
     plan yields fewer partitions; otherwise return it unchanged. Pass
     `key_col` (a unique id) for deterministic hash placement without the
     local sort a round-robin repartition pays."""
+    if df.isStreaming:
+        # .rdd is illegal on a streaming frame; micro-batch parallelism
+        # is the trigger's concern, not this guard's
+        return df
     n_parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )

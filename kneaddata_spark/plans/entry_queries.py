@@ -7938,12 +7938,17 @@ def crawl_funnel_q(spark, sf):
     projection, dedup adds the one digest-keyed window, and the staged
     counts are ONE aggregate stacked into six rows — at 100 TB this
     whole funnel costs a scan plus one window shuffle."""
+    from ..operators.caching import persist_tracked
     from ..operators.crawl import robots_filter, soft404_screen, url_quality_screen
     from ..operators.htmlextract import extract_text_col
 
     h = _html_corpus(spark, sf)
     d = _t(spark, sf, "documents").select("doc_id", "lang")
-    d0 = h.join(d, "doc_id").select(
+    # r6: persist the shared (html, extracted text, url) projection — the
+    # soft-404 branch and the size/yield/dedup branch each referenced it,
+    # re-running the extraction regex chain per branch (guide §7.2
+    # duplicated subtrees); one cached evaluation serves all branches.
+    d0 = persist_tracked(h.join(d, "doc_id").select(
         "doc_id",
         "html",
         extract_text_col(F.col("html")).alias("text"),
@@ -7955,7 +7960,7 @@ def crawl_funnel_q(spark, sf):
             F.lit("/"),
             F.col("doc_id").cast("string"),
         ).alias("url"),
-    )
+    ))
     uq = url_quality_screen(d0.select("url")).select(
         "url", (F.col("verdict") == "ok").cast("long").alias("url_ok")
     )

@@ -64,8 +64,10 @@ AUDIT = [
     ("audio_dup_pairs", {"max_exchanges": 2, "arrow_only": True}),
     # r4c: paragraph keep-first dedup — min(struct) per paragraph (map-side
     # combinable, no join-back), reassembly + totals co-partitioned on id:
-    # 3 data distributions total, zero Python
-    ("paragraph_dedup", {"max_exchanges": 3, "no_python": True}),
+    # 3 data distributions total, zero Python. +1 (r6): the conditional
+    # widen() repartition of the single-split local source — a no-op at
+    # real scale (operators/partitioning.py)
+    ("paragraph_dedup", {"max_exchanges": 4, "no_python": True}),
     # r4c: VAD — one Arrow decode stage, ZERO shuffles (embarrassingly
     # parallel segment explode); same nondeterministic-UDF pin as audiodup
     ("vad_segments", {"max_exchanges": 0, "arrow_only": True}),
