@@ -5331,7 +5331,11 @@ def embedding_pca_q(spark, sf):
     (sum of floor(|proj|*1000)) that ties the distributed projection to
     the fitted basis. pytest gates bit-exactness vs an in-order float64
     replica."""
-    e = _t(spark, sf, "embeddings").select("embedding")
+    from ..operators.partitioning import widen
+
+    # r6: widen the single-split scan — the Gram pass and the zip_with
+    # projection folds are per-row lambda work (no-op at real scale)
+    e = widen(_t(spark, sf, "embeddings").select("embedding"))
     comps, eigvals, mean, n, total_var = similarity.embedding_pca_fit(e, k=8)
     proj = similarity.pca_project(e, comps, mean)
     wit = (
