@@ -283,7 +283,14 @@ def write_warc_shards(
     def emit(key, pdf):  # untyped on purpose: partial hints break
         # applyInPandas eval-type inference (it warns and falls back)
         shard = int(key[0])
-        pdf = pdf.sort_values("record_idx")
+        # r6 (ADVICE): record_idx alone is not unique when several source
+        # files feed one output shard, and pandas' default quicksort is
+        # unstable — sort on a total key (warc_record_id is unique per
+        # record) with a stable algorithm so shard bytes are
+        # run-to-run deterministic, as the docstring promises.
+        pdf = pdf.sort_values(
+            ["record_idx", "target_uri", "warc_record_id"], kind="mergesort"
+        )
         recs = []
         for r in pdf.itertuples(index=False):
             recs.append(

@@ -238,6 +238,37 @@ def test_fit_sample_cap_and_np_kmeans(spark):
         assert np.abs(C1 - c).sum(axis=1).min() < 1.0
 
 
+def test_np_kmeans_pq_matches_per_subspace_fits():
+    """r6 batched PQ fit: _np_kmeans_pq over (n, m, sub) blocks equals m
+    independent _np_kmeans(block_s, k, seed + s) fits on well-separated
+    data (where float32-distance argmin cannot flip an assignment), is
+    deterministic, and handles the all-points-identical degenerate
+    branch. Random-data fixtures measured bit-identical too; the test
+    pins the separable case so a BLAS rounding change can't flake it."""
+    import numpy as np
+
+    from kneaddata_spark.operators.similarity import _np_kmeans, _np_kmeans_pq
+
+    rng = np.random.default_rng(11)
+    # 3 planted centers per 2-d subspace, wide separation vs noise
+    centers = np.array([[0.0, 0.0], [50.0, 0.0], [0.0, 50.0]])
+    cols = []
+    for s in range(4):
+        lab = rng.integers(0, 3, 600)
+        cols.append(centers[lab] + rng.normal(0, 0.3, size=(600, 2)))
+    blocks = np.stack(cols, axis=1)  # (600, 4, 2)
+    got = _np_kmeans_pq(blocks, 3, seed=9, max_iter=25)
+    got2 = _np_kmeans_pq(blocks, 3, seed=9, max_iter=25)
+    assert np.array_equal(got, got2) and got.shape == (4, 3, 2)
+    for s in range(4):
+        want = _np_kmeans(blocks[:, s, :], 3, seed=9 + s, max_iter=25)
+        assert np.allclose(got[s], want), s
+
+    flat = np.ones((40, 8))
+    d = _np_kmeans_pq(flat.reshape(40, 2, 4), 4, seed=5, max_iter=10)
+    assert d.shape == (2, 4, 4) and np.allclose(d, 1.0)
+
+
 def test_ann_variants_recall(spark):
     """LSH and IVF ANN must recover most of the brute-force top-k for a
     clustered corpus (planted structure -> high recall expected)."""

@@ -334,6 +334,33 @@ def test_write_warc_shards_roundtrip_and_deterministic(spark, tmp_path):
     }
     assert got == want and all(r["reason"] is None for r in back)
 
+    # multi-source-file case (ADVICE r5): two source files feed ONE output
+    # shard, so record_idx values collide across files — shard bytes must
+    # still be run-to-run deterministic (the sink sorts on a TOTAL key
+    # with a stable sort, not on record_idx alone)
+    y_recs = [dict(r) for r in _records()]
+    for r in y_recs:
+        if r.get("target_uri"):
+            r["target_uri"] = r["target_uri"].replace("example.org", "example.net")
+    (src / "y.warc").write_bytes(build_warc_bytes(y_recs))
+    both = read_warc(spark, str(src) + "/*.warc").withColumn(
+        "shard", F.lit(0).cast("long")
+    )
+
+    def run_multi(d):
+        out = str(tmp_path / d)
+        receipts = write_warc_shards(both, out).collect()
+        assert [r["shard"] for r in receipts] == [0]
+        assert receipts[0]["n_records"] == 10
+        return out
+
+    m1, m2 = run_multi("m1"), run_multi("m2")
+    mh1 = [hashlib.md5(p.read_bytes()).hexdigest()
+           for p in sorted((tmp_path / "m1").iterdir())]
+    mh2 = [hashlib.md5(p.read_bytes()).hexdigest()
+           for p in sorted((tmp_path / "m2").iterdir())]
+    assert mh1 == mh2 and len(mh1) == 1
+
 
 def test_stream_warc_audio_qc_matches_batch(spark, tmp_path):
     """Streaming crawled-audio QC == the batch composition on the same
