@@ -13,7 +13,16 @@ Spark shape, audited for 100 TB:
 - Records stream OUT of the parser as they are walked; the html/http
   payload bytes never cross back to the JVM except as the output binary
   column the downstream screens decode (same contract as the audio
-  sources).
+  sources). Member-gzip shards are decompressed WHOLE before the walk
+  (r6, ADVICE): the task's memory envelope is compressed + decompressed
+  shard (~5 GB peak for a 1 GB CommonCrawl shard), a deliberate trade —
+  the all-or-nothing gzip-failure contract (one invalid row per torn
+  shard, pinned by the malformation tests) needs the full stream
+  validated before records are emitted, and one-file-per-task
+  parallelism bounds concurrent envelopes per executor. A
+  member-by-member zlib.decompressobj(31) walk would cap the envelope
+  at one record but emit pre-tear records before failing — a different
+  contract, not a free optimization.
 - Malformed records fail SOFT per record (warc_type='invalid' rows with
   a reason), never per file — one torn record in a 1 GB shard must not
   sink the other ~50k records (the audio_opus/audio_mp3 malformation
