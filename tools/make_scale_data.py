@@ -4,7 +4,10 @@ for (the driver's round-end bench escalated to sf1.0 — BENCH_r05 "sf": 1.0
 — but /root/testdata only carries sf0.001/0.01/0.1).
 
 Usage: python tools/make_scale_data.py <sf> [<out_dir>]
-       (default out_dir /root/testdata/sf<sf>)
+       (default out_dir /root/testdata_replica/sf<sf> — NEVER inside
+       /root/testdata, which is the driver's own read-only data root: a
+       replica dir there could collide with, or be silently picked up
+       in place of, driver-generated data)
 
 Distributions were measured from the driver's sf0.1 tables (row counts,
 value ranges, categorical sets, doc vocabulary/length, unit-norm random
@@ -47,7 +50,11 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
 
 def main() -> None:
     sf = float(sys.argv[1])
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else f"/root/testdata/sf{sys.argv[1]}"
+    out_dir = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else f"/root/testdata_replica/sf{sys.argv[1]}"
+    )
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(42)
 
