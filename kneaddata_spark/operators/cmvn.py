@@ -71,30 +71,49 @@ def cmvn_over(frames_df: DataFrame) -> DataFrame:
             acc, fr["mel"], lambda a, m: a + m.cast("double") * m.cast("double")
         ),
     )
-    e = frames_df.withColumn("mean", F.transform(sums, lambda s: s / nf))
+    # Divisor guarded with greatest(nf, 1): bit-identical for every real
+    # row (nf >= 1 after the size>0 filter, and greatest(nf,1)==nf), but
+    # keeps an EMPTY frames row well-defined (mean 0 over zeros) now that
+    # the let-binding below evaluates mean/std eagerly per row — the old
+    # inlined form simply never evaluated them when `frames` was empty,
+    # and ANSI mode turns 0/0 into an error, not a NULL.
+    nfs = F.greatest(nf, F.lit(1.0))
+    e = frames_df.withColumn("mean", F.transform(sums, lambda s: s / nfs))
     e = e.withColumn(
         "std",
         F.zip_with(
             sumsq,
             F.col("mean"),
             lambda q, mu: F.sqrt(
-                F.greatest(q / nf - mu * mu, F.lit(float(rules.CMVN_VAR_FLOOR)))
+                F.greatest(q / nfs - mu * mu, F.lit(float(rules.CMVN_VAR_FLOOR)))
             ),
         ),
     )
+    # r6 (guide §4.4 duplicated-expression class): referencing the mean/std
+    # COLUMNS inside the per-frame lambda let the optimizer inline their
+    # whole O(frames x mels) aggregate expressions into the lambda body,
+    # re-evaluating both PER FRAME — O(frames^2 x mels) per clip, measured
+    # 151 s for the 400-clip witness panel. Binding them through a
+    # single-element array transform makes them lambda VARIABLES (evaluated
+    # once per row, immune to projection collapse): same operations, same
+    # IEEE fold order, same values — 151 s -> ~2 s. The [0] unwraps the
+    # 1-element binding array.
     normalized = F.transform(
-        F.col("frames"),
-        lambda fr: F.struct(
-            fr["frame_idx"].alias("frame_idx"),
-            F.zip_with(
+        F.array(F.struct(F.col("mean").alias("mu"), F.col("std").alias("sd"))),
+        lambda b: F.transform(
+            F.col("frames"),
+            lambda fr: F.struct(
+                fr["frame_idx"].alias("frame_idx"),
                 F.zip_with(
-                    fr["mel"], F.col("mean"), lambda m, mu: m.cast("double") - mu
-                ),
-                F.col("std"),
-                lambda d, s: d / s,
-            ).alias("mel"),
+                    F.zip_with(
+                        fr["mel"], b["mu"], lambda m, mu: m.cast("double") - mu
+                    ),
+                    b["sd"],
+                    lambda d, s: d / s,
+                ).alias("mel"),
+            ),
         ),
-    )
+    )[0]
     return e.withColumn("normalized", normalized)
 
 

@@ -78,7 +78,27 @@ _EMB_DUPS_SQL = """
 """
 
 
-def _synth_clips(spark: SparkSession, n: int, n_partitions: int) -> DataFrame:
+def _clip_parts(spark: SparkSession) -> int:
+    """File count for the shared clip fixtures: one file per core
+    (defaultParallelism, floor 8 — bench.py's ensure_clips convention).
+
+    r6 (guide §1/§6): the audio queries' dominant stage is the Python
+    decode kernel, which runs on the SCAN's splits — there is no exchange
+    before it (the audited zero-shuffle shape). With 4-8 fixture files the
+    decode planned <=10 tasks on 32 cores (measured: audio_flac 6.7 s ->
+    2.6 s isolated after widening the fixture). One ~1 MB file per core
+    guarantees a split per file (file bytes + the 4 MB openCost close
+    each split at the session's 32 MB maxPartitionBytes) WITHOUT adding a
+    repartition to any audited plan. Scale shape unchanged: a real corpus
+    scan already yields thousands of splits; this sizes a 32 MB bench
+    fixture only. Values are a pure function of the row id, so the
+    partition count never changes any query's result rows."""
+    return max(int(spark.sparkContext.defaultParallelism), 8)
+
+
+def _synth_clips(
+    spark: SparkSession, n: int, n_partitions: int | None = None
+) -> DataFrame:
     """Deterministic synth clip table, generated ONCE per (n, partitions)
     into /tmp/kneaddata_bench and read as parquet afterwards: ~14 audio
     driver queries share the same basis, so a budgeted driver sweep pays
@@ -88,6 +108,8 @@ def _synth_clips(spark: SparkSession, n: int, n_partitions: int) -> DataFrame:
     ensure_clips (delete after changing synth.py)."""
     import os as _os
 
+    if n_partitions is None:
+        n_partitions = _clip_parts(spark)
     path = f"/tmp/kneaddata_bench/clips_q_{n}_{n_partitions}.parquet"
     if not _os.path.exists(path + "/_SUCCESS"):
         from ..synth import clips_spark_df
@@ -98,9 +120,10 @@ def _synth_clips(spark: SparkSession, n: int, n_partitions: int) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# Every (n, n_partitions) shape the query builders request — keep in sync
-# with the _synth_clips call sites below (grep "_synth_clips(spark").
-CLIP_CACHE_SHAPES = [(300, 8), (400, 4), (400, 8)]
+# Every clip count the query builders request — keep in sync with the
+# _synth_clips call sites below (grep "_synth_clips(spark"). The partition
+# count is derived per session (_clip_parts), not enumerated here.
+CLIP_CACHE_SIZES = [300, 400]
 
 
 def prewarm_clip_cache(spark: SparkSession) -> None:
@@ -109,8 +132,8 @@ def prewarm_clip_cache(spark: SparkSession) -> None:
     first audio builder run a one-time synthesis write. Tools that build
     plans without executing them (tools/audit_plans.py) call this first
     so the build phase itself stays job-free."""
-    for n, p in CLIP_CACHE_SHAPES:
-        _synth_clips(spark, n, p)
+    for n in CLIP_CACHE_SIZES:
+        _synth_clips(spark, n)
 
 
 # ------------------------------------------------------------ queries ----
@@ -2811,7 +2834,7 @@ def qc_pipeline_clips(spark, sf):
     driver's per-query gate; bench.py exercises the 40k-clip version)."""
     from ..pipeline import annotate
 
-    clips = _synth_clips(spark, 400, 4)
+    clips = _synth_clips(spark, 400)
     ann = annotate(clips, *_cached_models(spark))
     return (
         ann.select(F.coalesce(F.col("drop_rule"), F.lit("kept")).alias("status"))
@@ -3014,7 +3037,7 @@ def audio_dup_pairs_q(spark, sf):
     # so the mapInPandas generator (the dominant cost — sine synthesis of
     # up-to-40 s payloads) appears exactly ONCE in the plan; a union's dup
     # branch would re-run it (and racing branches defeat a cache)
-    clips = _synth_clips(spark, 300, 8).select(
+    clips = _synth_clips(spark, 300).select(
         F.explode(
             F.when(
                 F.crc32(F.col("clip_id")) % 7 == 0,
@@ -3124,7 +3147,7 @@ def vad_segments_q(spark, sf):
     shuffles — the audit-enforced embarrassingly-parallel shape."""
     from ..operators.vad import vad_segments
 
-    return vad_segments(_synth_clips(spark, 400, 8))
+    return vad_segments(_synth_clips(spark, 400))
 
 
 @q("crossmodal_dup_pairs")
@@ -3143,7 +3166,7 @@ def crossmodal_dup_pairs_q(spark, sf):
     from ..operators.audiodup import audio_dup_pairs
     from ..operators.caching import persist_tracked
 
-    clips = _synth_clips(spark, 300, 8).select(
+    clips = _synth_clips(spark, 300).select(
         F.explode(
             F.when(
                 F.crc32(F.col("clip_id")) % 7 == 0,
@@ -3190,7 +3213,7 @@ def speech_only_trim_q(spark, sf):
     accounting). Zero shuffles."""
     from ..operators.vad import speech_only_clips
 
-    out = speech_only_clips(_synth_clips(spark, 400, 8))
+    out = speech_only_clips(_synth_clips(spark, 400))
     return out.select(
         "clip_id",
         "codec",
@@ -3212,7 +3235,7 @@ def speed_perturb_q(spark, sf):
     zero shuffles."""
     from ..operators.resample import speed_perturb
 
-    return speed_perturb(_synth_clips(spark, 400, 8))
+    return speed_perturb(_synth_clips(spark, 400))
 
 
 @q("noise_mix")
@@ -3226,7 +3249,7 @@ def noise_mix_q(spark, sf):
     shuffles."""
     from ..operators.resample import noise_mix
 
-    return noise_mix(_synth_clips(spark, 400, 8))
+    return noise_mix(_synth_clips(spark, 400))
 
 
 @q("audio_windows")
@@ -3243,7 +3266,7 @@ def audio_windows_q(spark, sf):
     table); pytest gates bit-exact window bytes vs a python replica."""
     from ..operators.clipwindows import clip_windows
 
-    out = clip_windows(_synth_clips(spark, 400, 8), 1500, 700)
+    out = clip_windows(_synth_clips(spark, 400), 1500, 700)
     return out.select(
         "clip_id",
         "win_idx",
@@ -3264,7 +3287,7 @@ def audio_prep_q(spark, sf):
     zero shuffles."""
     from ..operators.audioprep import prep_audio
 
-    return prep_audio(_synth_clips(spark, 400, 8))
+    return prep_audio(_synth_clips(spark, 400))
 
 
 @q("audio_loudnorm")
@@ -3278,7 +3301,7 @@ def audio_loudnorm_q(spark, sf):
     shuffles."""
     from ..operators.resample import loudness_normalize
 
-    return loudness_normalize(_synth_clips(spark, 400, 8))
+    return loudness_normalize(_synth_clips(spark, 400))
 
 
 @q("audio_resample")
@@ -3292,7 +3315,7 @@ def audio_resample_q(spark, sf):
     replica over the independent oracle.decode_pcm. Zero shuffles."""
     from ..operators.resample import resample_audio
 
-    return resample_audio(_synth_clips(spark, 400, 8))
+    return resample_audio(_synth_clips(spark, 400))
 
 
 @q(
@@ -3540,7 +3563,7 @@ def specaugment_q(spark, sf):
     cells bit-identical to fbank_frames, counts and digest replayed."""
     from ..operators.specaugment import specaugment
 
-    return specaugment(_synth_clips(spark, 400, 8), seed=5)
+    return specaugment(_synth_clips(spark, 400), seed=5)
 
 
 @q("fbank_stats")
@@ -3557,7 +3580,7 @@ def fbank_stats_q(spark, sf):
     (pytest-enforced)."""
     from ..operators.fbank import fbank_stats
 
-    return fbank_stats(_synth_clips(spark, 400, 8))
+    return fbank_stats(_synth_clips(spark, 400))
 
 
 @q("mfcc_stats")
@@ -3574,7 +3597,7 @@ def mfcc_stats_q(spark, sf):
     c0 = v*sqrt(N), c_{k>0} = 0; W orthonormal), witnesses replayed."""
     from ..operators.mfcc import mfcc_stats
 
-    return mfcc_stats(_synth_clips(spark, 400, 8))
+    return mfcc_stats(_synth_clips(spark, 400))
 
 
 @q("cmvn_stats")
@@ -3591,7 +3614,7 @@ def cmvn_stats_q(spark, sf):
     replica bit-for-bit, constant band floors to exactly 0."""
     from ..operators.cmvn import cmvn_stats
 
-    return cmvn_stats(_synth_clips(spark, 400, 8))
+    return cmvn_stats(_synth_clips(spark, 400))
 
 
 @q("pitch_screen")
@@ -3607,7 +3630,7 @@ def pitch_screen_q(spark, sf):
     (pytest-enforced)."""
     from ..operators.pitch import pitch_screen
 
-    return pitch_screen(_synth_clips(spark, 400, 8))
+    return pitch_screen(_synth_clips(spark, 400))
 
 
 @q("hum_screen")
@@ -3623,7 +3646,7 @@ def hum_screen_q(spark, sf):
     Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
     from ..operators.hum import hum_screen
 
-    return hum_screen(_synth_clips(spark, 400, 8))
+    return hum_screen(_synth_clips(spark, 400))
 
 
 @q("dropout_screen")
@@ -3641,7 +3664,7 @@ def dropout_screen_q(spark, sf):
     ArrowEvalPython, 0 exchanges (pytest-enforced)."""
     from ..operators.dropout import dropout_screen
 
-    return dropout_screen(_synth_clips(spark, 400, 8))
+    return dropout_screen(_synth_clips(spark, 400))
 
 
 @q("click_screen")
@@ -3657,7 +3680,7 @@ def click_screen_q(spark, sf):
     rejection. Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
     from ..operators.click import click_screen
 
-    return click_screen(_synth_clips(spark, 400, 8))
+    return click_screen(_synth_clips(spark, 400))
 
 
 @q("reverb_screen")
@@ -3673,7 +3696,7 @@ def reverb_screen_q(spark, sf):
     cases. Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
     from ..operators.reverb import reverb_screen
 
-    return reverb_screen(_synth_clips(spark, 400, 8))
+    return reverb_screen(_synth_clips(spark, 400))
 
 
 @q("dynrange_screen")
@@ -3689,7 +3712,7 @@ def dynrange_screen_q(spark, sf):
     cases. Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
     from ..operators.dynrange import dynrange_screen
 
-    return dynrange_screen(_synth_clips(spark, 400, 8))
+    return dynrange_screen(_synth_clips(spark, 400))
 
 
 @q("media_probe")
@@ -3707,7 +3730,7 @@ def media_probe_q(spark, sf):
     stages, 0 exchanges (pytest-enforced)."""
     from ..operators.mediaprobe import media_probe
 
-    return media_probe(_synth_clips(spark, 400, 8))
+    return media_probe(_synth_clips(spark, 400))
 
 
 @q("bandwidth_screen")
@@ -3725,7 +3748,7 @@ def bandwidth_screen_q(spark, sf):
     (pytest-enforced)."""
     from ..operators.bandwidth import bandwidth_screen
 
-    return bandwidth_screen(_synth_clips(spark, 400, 8))
+    return bandwidth_screen(_synth_clips(spark, 400))
 
 
 @q("declip_stats")
@@ -3744,7 +3767,7 @@ def declip_stats_q(spark, sf):
     (pytest-enforced)."""
     from ..operators.declip import declip_stats
 
-    return declip_stats(_synth_clips(spark, 400, 8))
+    return declip_stats(_synth_clips(spark, 400))
 
 
 @q(
@@ -3814,7 +3837,7 @@ def snr_screen_q(spark, sf):
     0 exchanges (pytest-enforced)."""
     from ..operators.snr import snr_screen
 
-    return snr_screen(_synth_clips(spark, 400, 8))
+    return snr_screen(_synth_clips(spark, 400))
 
 
 @q(
@@ -3891,7 +3914,7 @@ def audio_screens_q(spark, sf):
     basis). Plan: 1 ArrowEvalPython, 0 exchanges (pytest-enforced)."""
     from ..operators.audioscreen import screen_audio
 
-    return screen_audio(_synth_clips(spark, 400, 8))
+    return screen_audio(_synth_clips(spark, 400))
 
 
 @q(
@@ -4346,7 +4369,7 @@ def audio_g711_q(spark, sf):
     oracle decode."""
     from ..operators.companding import g711_transcode
 
-    return g711_transcode(_synth_clips(spark, 400, 8))
+    return g711_transcode(_synth_clips(spark, 400))
 
 
 @q("audio_adpcm")
@@ -4365,7 +4388,7 @@ def audio_adpcm_q(spark, sf):
     scalar replica over the oracle decode (crc-for-crc on 60 clips)."""
     from ..operators.adpcm import adpcm_transcode
 
-    return adpcm_transcode(_synth_clips(spark, 400, 8))
+    return adpcm_transcode(_synth_clips(spark, 400))
 
 
 @q("audio_flac")
@@ -4380,7 +4403,7 @@ def audio_flac_q(spark, sf):
     ratio sanity vs incompressible noise, replica over oracle decode."""
     from ..operators.flacarchive import flac_archive
 
-    return flac_archive(_synth_clips(spark, 400, 8))
+    return flac_archive(_synth_clips(spark, 400))
 
 
 @q("quantile_sketch", None)  # oracle set right below (needs the helper)
@@ -5050,7 +5073,7 @@ def speech_rate_q(spark, sf):
     dur-based variant (`speaking_rate`) carries the DuckDB oracle."""
     from ..operators.rate import speech_rate
 
-    return speech_rate(_synth_clips(spark, 400, 8))
+    return speech_rate(_synth_clips(spark, 400))
 
 
 @q(
@@ -6626,7 +6649,7 @@ def qc_eval_q(spark, sf):
 
     from ..pipeline import annotate, broadcast_models
 
-    clips = _synth_clips(spark, 400, 8)
+    clips = _synth_clips(spark, 400)
     lang_bc, ppl_bc = broadcast_models(spark)
     eng = annotate(clips, lang_bc, ppl_bc).select("clip_id", "keep", "drop_rule")
 
