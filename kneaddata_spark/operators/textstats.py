@@ -75,6 +75,12 @@ def lang_stopword_votes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
     votes = {lang: _vote(lang) for lang in STOPWORDS}
+    # r6: tokenize + per-language array scans are the whole cost and run
+    # before any exchange — widen the degenerate single-split scan
+    # (no-op at real scale, operators/partitioning.py)
+    from .partitioning import widen
+
+    df = widen(df, id_col)
     out = df.select(F.col(id_col), *[v.alias(f"votes_{k}") for k, v in votes.items()])
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"votes_{k}") for k in langs])
@@ -512,7 +518,14 @@ def pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     one map-side-combinable aggregation to |rules| output rows.
     """
     from .. import rules
+    from .partitioning import widen
 
+    # r6: the sequential regex chain (|rules| extract_all + replace per
+    # row) is the whole cost and runs on the scan's splits — widen the
+    # degenerate single-split case; the explode+groupBy below partial-
+    # aggregates, so this is the plan's only exchange at bench scale
+    # (no-op at real scale).
+    df = widen(df)
     cur = F.col(text_col)
     structs = []
     for i, (pat, tag) in enumerate(rules.SCRUB_PATTERNS):
@@ -557,9 +570,16 @@ def lang_segments(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
+    from .partitioning import widen
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), "\\s+")
-    t = df.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "tok")
+    # r6: widen BY doc_id — tokenize + posexplode + the vote chain run
+    # 32-wide instead of on the single scan split, and because the
+    # repartition hash-clusters on doc_id it SATISFIES the window's
+    # ClusteredDistribution: still exactly one exchange end-to-end
+    # (the audited invariant), just moved below the scan (no-op at scale).
+    t = widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)), "doc_id").select(
+        "doc_id", F.posexplode(toks).alias("pos", "tok")
     ).where(F.col("tok") != "")
     vote = F.lit("und")
     for lang in sorted(STOPWORDS, reverse=True):

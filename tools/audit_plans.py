@@ -108,8 +108,11 @@ AUDIT = [
     # shuffles (same pin as resample/VAD)
     ("audio_loudnorm", {"max_exchanges": 0, "arrow_only": True}),
     # r4d: PII report — row-local regex projection exploded to |rules|
-    # tagged rows + ONE combinable agg; zero Python
-    ("pii_report", {"no_python": True, "max_exchanges": 1}),
+    # tagged rows + ONE combinable agg; zero Python. r6: +1 exchange for
+    # the widen() of the degenerate single-split scan (the sequential
+    # regex chain is the whole cost) — a conditional no-op at real scale
+    # (operators/partitioning.py), so the scale shape stays ONE shuffle.
+    ("pii_report", {"no_python": True, "max_exchanges": 2}),
     # r4d: confusion matrix — co-keyed join + one combinable agg
     ("langid_confusion", {"no_python": True}),
     # r4d: fused prep — the whole resample+loudness chain in ONE Arrow
