@@ -386,7 +386,12 @@ def minhash_dedup_pairs(
     # signature groupBy(id), the size aggregate and both verification
     # joins all key on an id — one exchange at cache build serves all.
     sh = _hashed_shingles(df, id_col, text_col, n, max_df, part_col="id")
-    sigs = minhash_signatures(sh, num_hashes, hash_col="h")
+    # r6 session 3: persist the signature frame — the band self-join's two
+    # sides otherwise each re-evaluate the 64-min aggregate over the
+    # corpus-scale shingle cache (guide §7.2 duplicated subtrees; measured
+    # ~1 s per extra evaluation at sf1.0). |docs| x (num_hashes+1) longs —
+    # bounded like the sh cache, same persist_tracked release discipline.
+    sigs = persist_tracked(minhash_signatures(sh, num_hashes, hash_col="h"))
     cand = minhash_lsh_candidates(sigs, bands, num_hashes // bands)
     # r6 verification: per-doc shingle-hash ARRAYS + array_intersect,
     # replacing the old candidate⋈shingle⋈shingle join chain. The band
@@ -402,7 +407,12 @@ def minhash_dedup_pairs(
     # sharing ZERO shingles now scores jaccard 0 instead of vanishing
     # from the inner join — identical output for any threshold > 0
     # (every caller uses 0.5-0.7).
-    arrs = sh.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    # persisted for the same reason: aa and bb below otherwise re-run the
+    # collect_list aggregate once per verification join side (measured
+    # base 6.4 / sigs 5.4-6.0 / sigs+arrs 4.4 s best-of-3 at sf1.0).
+    arrs = persist_tracked(
+        sh.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    )
     aa = arrs.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"))
     bb = arrs.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"))
     paired = cand.join(aa, "id_a").join(bb, "id_b")
