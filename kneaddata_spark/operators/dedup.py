@@ -202,7 +202,11 @@ def ngram_jaccard_pairs(
     # r6: hashed-long shingle basis, one cache partitioned on h so the
     # self-join needs no further exchange — see _hashed_shingles.
     sh = _hashed_shingles(df, id_col, text_col, n, max_df, part_col="h")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # r6 session 3: sizes is joined back TWICE (id_a and id_b sides), so
+    # without a pin each join side re-aggregates the corpus-scale cache
+    # (guide §7.2; measured 15.3 -> 10.4 s cold-session, ~0.5 s
+    # steady-state at sf1.0). |docs| rows.
+    sizes = persist_tracked(sh.groupBy("id").agg(F.count("*").alias("sz")))
     a = sh.alias("a")
     b = sh.alias("b")
     # Pair counting repartitions the raw join output by (id_a, id_b) and
@@ -263,7 +267,11 @@ def containment_pairs(
     # shuffled-hash self-join + repartition-then-aggregate pair counting
     # — see ngram_jaccard_pairs for the measurements (identical here).
     sh = _hashed_shingles(df, id_col, text_col, n, max_df, part_col="h")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    # r6 session 3: sizes is joined back TWICE (id_a and id_b sides), so
+    # without a pin each join side re-aggregates the corpus-scale cache
+    # (guide §7.2; measured 15.3 -> 10.4 s cold-session, ~0.5 s
+    # steady-state at sf1.0). |docs| rows.
+    sizes = persist_tracked(sh.groupBy("id").agg(F.count("*").alias("sz")))
     a = sh.alias("a")
     b = sh.alias("b")
     n_parts = int(
@@ -521,6 +529,11 @@ def simhash_near_dup_pairs(
     shares at least one exact 16-bit chunk; join per chunk, then verify
     with bit_count(xor)."""
     width = 64 // chunks
+    # r6 session 3: the self-join's two sides otherwise each re-evaluate
+    # the whole signature build (the 64-bit-count aggregate over token
+    # hashes — guide §7.2 duplicated subtrees; measured 6.9 -> 2.3 s on a
+    # cold session, ~0.4 s steady-state at sf1.0). |docs| x 2 longs.
+    sigs = persist_tracked(sigs)
     chunked = sigs.select(
         "id",
         "simhash",

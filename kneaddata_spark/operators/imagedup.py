@@ -93,6 +93,13 @@ def banded_hamming_pairs(
         raise ValueError(
             f"max_hamming={max_hamming} breaks the {N_BANDS}-band pigeonhole"
         )
+    # r6 session 3: the band self-join's two sides otherwise each
+    # re-evaluate `h` — which embeds the Python image/video DECODE stage
+    # (guide §7.2 duplicated subtrees; the simhash/minhash persist
+    # precedent). |media| x (id, hash) rows, persist_tracked discipline.
+    from .caching import persist_tracked
+
+    h = persist_tracked(h)
     bands = h.select(
         id_col,
         hash_col,
