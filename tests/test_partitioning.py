@@ -114,3 +114,39 @@ def test_simhash_bitcount_signature_matches_pm1_definition(spark):
         if sig >= 1 << 63:
             sig -= 1 << 64
         assert sigs[i] == sig
+
+
+def test_clip_fixture_scan_width_matches_session(spark):
+    """r6 session 3: the shared audio fixture is written one ~1 MB file
+    per core (floor 8), so the Python decode stage — which has NO
+    exchange before it — plans a scan split per core instead of the old
+    4-8. The file count must track the session's parallelism and the
+    scan must not pack the files back together."""
+    from kneaddata_spark.plans.entry_queries import _clip_parts, _synth_clips
+
+    want = _clip_parts(spark)
+    clips = _synth_clips(spark, 400)
+    # one split per file: the decode stage inherits this width
+    assert clips.rdd.getNumPartitions() >= want - 1  # openCost packing slack
+    assert clips.count() == 400
+
+
+def test_dup_screens_pin_their_self_join_inputs(spark):
+    """r6 session 3: the signature/array frames feeding both self-join
+    sides are persist_tracked — without the pin each side re-evaluates
+    the corpus-wide aggregate (and, for images, the Python decode). The
+    pin is visible as InMemoryTableScan in the physical plan."""
+    from tools.audit_plans import plan_of
+    from kneaddata_spark.operators import dedup
+    from kneaddata_spark.operators.caching import release_tracked
+
+    rows = [(i, f"tok{i} alpha beta gamma delta epsilon zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    release_tracked()
+    p = plan_of(dedup.minhash_dedup_pairs(df, "doc_id", "text"))
+    assert "InMemoryTableScan" in p
+    release_tracked()
+    sigs = dedup.simhash_signatures(df, "doc_id", "text")
+    p = plan_of(dedup.simhash_near_dup_pairs(sigs))
+    assert "InMemoryTableScan" in p
+    release_tracked()
